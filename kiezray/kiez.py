@@ -1,0 +1,450 @@
+"""Kiez facade: hubness-reduced kNN entity alignment on Ray Data.
+
+API mirrors the reference ``kiez.Kiez`` (/root/reference/kiez/kiez.py:98-223)
+— ``Kiez(n_candidates, algorithm, hubness, ...).fit(source, target)
+.kneighbors(k)`` — but execution is a Ray Data pipeline:
+
+  source/target tables -> object-store shards (indexed side, ray.put once)
+  -> ``map_batches(SearchStage)`` streaming query batches (s->t and the
+  t->s calibration pass) -> per-target calibration stats (one reduction
+  pass, broadcast) -> ``map_batches(RerankStage)`` vectorized hubness
+  kernels + per-row top-k.
+
+Semantics conformance notes (checked against the reference tests' shapes):
+ - the t->s calibration pass passes the query explicitly, so it never
+   excludes self even when source is target (base.py:37-42 +
+   neighbor_algorithm_base.py:121 ``is_self_querying = query is None and
+   source_equals_target``);
+ - the main s->t query excludes self iff ``fit`` got no target;
+ - k is clamped to n_candidates with a warning (base.py:56-70) and
+   n_candidates to the indexed-side size (neighbor_algorithm_base.py:98-110);
+ - DisSimLocal's metric gate and squared-overriding follow dis_sim.py:44-61,
+   and its global min-shift is a global aggregate + finalize pass.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .arrowutil import matrix_to_fsl, matrix_to_list, emb_to_matrix
+from .rerank import (
+    CalibrationStats,
+    apply_kernel,
+    dsl_finalize,
+    topk_sorted,
+)
+from .search import knn_search, neighbors_to_matrices, shard_refs_from_dataset
+from .stats import compute_calibration_stats
+
+_HUBNESS_ALIASES = {
+    None: "none",
+    "none": "none",
+    "nohubnessreduction": "none",
+    "nohubness": "none",
+    "csls": "csls",
+    "localscaling": "ls",
+    "ls": "ls",
+    "nicdm": "nicdm",
+    "mutualproximity": "mp_normal",
+    "mp": "mp_normal",
+    "mp_normal": "mp_normal",
+    "mp_empiric": "mp_empiric",
+    "dissimlocal": "dsl",
+    "dsl": "dsl",
+}
+
+_ALGORITHM_ALIASES = {
+    None: "exact",
+    "sklearnnn": "exact",
+    "exact": "exact",
+    "bruteforce": "exact",
+    "faiss": "faiss",
+    "ivf": "ivf",
+    "lsh": "lsh",
+    # graph/tree ANN backends of the reference map onto the available
+    # approximate implementations (capability parity, not a port)
+    "nmslib": "ivf",
+    "nng": "ivf",
+    "annoy": "ivf",
+}
+
+
+def _resolve_hubness(hubness, hubness_kwargs: dict | None) -> tuple[str, dict]:
+    kwargs = dict(hubness_kwargs or {})
+    if isinstance(hubness, str):
+        key = hubness.replace("_", "").replace("-", "").lower()
+        key = {"mpnormal": "mp_normal", "mpempiric": "mp_empiric"}.get(key, key)
+    else:
+        key = hubness
+    if key not in _HUBNESS_ALIASES and key not in ("mp_normal", "mp_empiric"):
+        raise ValueError(f"Unknown hubness method: {hubness!r}")
+    method = _HUBNESS_ALIASES.get(key, key)
+    m = kwargs.pop("method", None)
+    if m is not None:
+        m = m.lower()
+        if method == "ls":
+            if m not in ("ls", "standard", "nicdm"):
+                raise ValueError(f"Invalid method {m}. Try 'ls' or 'nicdm'.")
+            method = "nicdm" if m == "nicdm" else "ls"
+        elif method in ("mp_normal", "mp_empiric"):
+            if m in ("normal", "gaussi"):
+                method = "mp_normal"
+            elif m in ("empiric", "exact"):
+                method = "mp_empiric"
+            else:
+                raise ValueError(
+                    f'Mutual proximity method "{m}" not recognized. Try'
+                    ' "normal" or "empiric".'
+                )
+    return method, kwargs
+
+
+class RerankStage:
+    """map_batches stage applying a hubness kernel + per-row top-k.
+
+    Calibration stats arrive as one broadcast object ref (read once per
+    actor). For DisSimLocal the stage emits pre-shift full-width distances
+    plus a per-row min for the global aggregate (two-phase finalize).
+    """
+
+    def __init__(
+        self,
+        method: str,
+        stats_ref,
+        k: int,
+        target_vecs_ref=None,
+        dsl_first_phase: bool = False,
+    ):
+        self.method = method
+        self.stats: CalibrationStats = ray.get(stats_ref)
+        self.k = k
+        self.target_vecs = ray.get(target_vecs_ref) if target_vecs_ref else None
+        self.dsl_first_phase = dsl_first_phase
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_col = batch["neigh_ids"].combine_chunks()
+        d_col = batch["neigh_dists"].combine_chunks()
+        c = len(ids_col[0]) if len(ids_col) else 0
+        I = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+        D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+        if self.method == "dsl":
+            qv = emb_to_matrix(batch["embedding"]).astype(np.float64)
+            sec = apply_kernel("dsl", D, I, self.stats, qv, self.target_vecs)
+            # ranking is invariant under the global shift + sqrt, so top-k
+            # happens now; the finalize pass only rewrites the k values
+            sec_k, ids_k = topk_sorted(sec, I, self.k)
+            return pa.table(
+                {
+                    "query_id": pa.array(q, pa.int64()),
+                    "neigh_ids": matrix_to_list(ids_k, pa.int64()),
+                    "neigh_dists": matrix_to_list(sec_k, pa.float64()),
+                    "row_min": pa.array(sec.min(axis=1), pa.float64()),
+                }
+            )
+        sec = apply_kernel(self.method, D, I, self.stats)
+        sec_k, ids_k = topk_sorted(sec, I, self.k)
+        return pa.table(
+            {
+                "query_id": pa.array(q, pa.int64()),
+                "neigh_ids": matrix_to_list(ids_k, pa.int64()),
+                "neigh_dists": matrix_to_list(sec_k, pa.float64()),
+            }
+        )
+
+
+class _DslFinalize:
+    def __init__(self, global_min: float, squared: bool):
+        self.global_min = global_min
+        self.squared = squared
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d_col = batch["neigh_dists"].combine_chunks()
+        n = len(batch)
+        k = len(d_col[0]) if n else 0
+        D = d_col.values.to_numpy(zero_copy_only=False).reshape(n, k)
+        D = dsl_finalize(D, self.global_min, self.squared)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "neigh_ids": batch["neigh_ids"],
+                "neigh_dists": matrix_to_list(D, pa.float64()),
+            }
+        )
+
+
+class Kiez:
+    """Hubness-reduced kNN search facade (reference-compatible surface)."""
+
+    def __init__(
+        self,
+        n_candidates: int = 10,
+        algorithm: str | None = None,
+        algorithm_kwargs: dict | None = None,
+        hubness: str | None = None,
+        hubness_kwargs: dict | None = None,
+        batch_size: int = 4096,
+        rows_per_shard: int = 65536,
+        concurrency=None,
+    ):
+        if not np.issubdtype(type(n_candidates), np.integer):
+            raise TypeError(
+                f"n_neighbors does not take {type(n_candidates)} value, enter"
+                " integer value"
+            )
+        if n_candidates <= 0:
+            raise ValueError(f"Expected n_candidates > 0. Got {n_candidates}")
+        self.n_candidates = int(n_candidates)
+        algo_key = (
+            algorithm.replace("_", "").lower() if isinstance(algorithm, str) else algorithm
+        )
+        if algo_key not in _ALGORITHM_ALIASES:
+            raise ValueError(f"Unknown algorithm: {algorithm!r}")
+        self.algorithm = _ALGORITHM_ALIASES[algo_key]
+        self.algorithm_kwargs = dict(algorithm_kwargs or {})
+        self.algorithm_kwargs.pop("n_candidates", None)
+        self.algorithm_kwargs.pop("n_jobs", None)
+        self.metric = self.algorithm_kwargs.get("metric", "euclidean")
+        self.hubness, hk = _resolve_hubness(hubness, hubness_kwargs)
+        if self.hubness != "none" and self.n_candidates == 1:
+            raise ValueError(
+                "Cannot perform hubness reduction with a single candidate per query!"
+            )
+        self.dsl_squared = bool(hk.pop("squared", True))
+        if self.hubness == "dsl":
+            if self.metric in ("euclidean", "minkowski"):
+                self.dsl_squared = False
+                p = self.algorithm_kwargs.get("p", 2)
+                if p != 2:
+                    raise ValueError(
+                        "DisSimLocal only supports squared Euclidean distances."
+                        f" p must be 2. Now it is p={p}"
+                    )
+            elif self.metric == "sqeuclidean":
+                self.dsl_squared = True
+            else:
+                raise ValueError(
+                    "DisSimLocal only supports squared Euclidean distances, not"
+                    f" metric={self.metric}."
+                )
+        self.batch_size = batch_size
+        self.rows_per_shard = rows_per_shard
+        self.concurrency = concurrency
+        self._fitted = False
+
+    @classmethod
+    def from_path(cls, path: str | Path) -> "Kiez":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    # ------------------------------------------------------------------
+    # fitting
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _matrix_to_ds(mat: np.ndarray, n_blocks: int = 4) -> "ray.data.Dataset":
+        mat = np.ascontiguousarray(mat, dtype=np.float64)
+        tbl = pa.table(
+            {
+                "row_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+                "embedding": matrix_to_fsl(mat, pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        if len(mat) > 1024:
+            ds = ds.repartition(n_blocks)
+        return ds
+
+    def fit(self, source, target=None) -> "Kiez":
+        """Build shard indexes over both sides and run the t->s calibration
+        pass. Accepts numpy matrices (reference-compatible) or Ray Datasets
+        with (row_id:int64 dense, embedding:list<float>) columns."""
+        self._self_query = target is None
+        if isinstance(source, np.ndarray):
+            if source.ndim != 2:
+                raise ValueError(f"Expected 2D array, got {source.ndim}D")
+            if target is not None and source.shape[1] != target.shape[1]:
+                raise ValueError(
+                    "Expected source and target to have the same number of"
+                    f" features, but got source.shape: {source.shape} and"
+                    f" target.shape: {target.shape}"
+                )
+            self._source_vecs = np.ascontiguousarray(source, dtype=np.float64)
+            self._target_vecs = (
+                self._source_vecs
+                if target is None
+                else np.ascontiguousarray(target, dtype=np.float64)
+            )
+            self._source_ds = self._matrix_to_ds(self._source_vecs)
+            self._target_ds = (
+                self._source_ds if target is None else self._matrix_to_ds(self._target_vecs)
+            )
+            self._n = len(self._source_vecs)
+            self._m = len(self._target_vecs)
+        elif isinstance(source, ray.data.Dataset):
+            self._source_ds = source
+            self._target_ds = source if target is None else target
+            self._source_vecs = None
+            self._target_vecs = None
+            self._n = self._source_ds.count()
+            self._m = self._n if target is None else self._target_ds.count()
+        else:
+            raise ValueError(
+                f"Not implemented for input type {type(source)}! Only numpy"
+                " arrays and ray.data.Dataset allowed!"
+            )
+
+        self._target_shards, m2 = shard_refs_from_dataset(
+            self._target_ds, rows_per_shard=self.rows_per_shard
+        )
+        assert m2 == self._m
+        if self.hubness != "none":
+            self._source_shards, _ = shard_refs_from_dataset(
+                self._source_ds, rows_per_shard=self.rows_per_shard
+            )
+            c = self._check_k(self.n_candidates, self._n)
+            t2s = knn_search(
+                self._target_ds,
+                self._source_shards,
+                k=c,
+                algorithm=self.algorithm,
+                algorithm_kwargs=self.algorithm_kwargs,
+                exclude_self=False,  # reference passes query explicitly here
+                batch_size=self.batch_size,
+                concurrency=self.concurrency,
+            )
+            if self.hubness == "dsl" and self._source_vecs is None:
+                self._source_vecs = self._dense_from_shards(self._source_shards, self._n)
+                self._target_vecs = self._dense_from_shards(self._target_shards, self._m)
+            stats = compute_calibration_stats(
+                t2s,
+                self.hubness,
+                n_targets=self._m,
+                n_candidates=c,
+                source_vecs=self._source_vecs,
+                target_vecs=self._target_vecs,
+            )
+            self._stats_ref = ray.put(stats)
+            if self.hubness == "dsl":
+                self._target_vecs_ref = ray.put(self._target_vecs)
+        self._fitted = True
+        return self
+
+    @staticmethod
+    def _dense_from_shards(refs, n_rows: int) -> np.ndarray:
+        first = ray.get(refs[0])
+        d = first[1].shape[1]
+        out = np.empty((n_rows, d))
+        for ref in refs:
+            ids, vecs = ray.get(ref)
+            out[ids] = vecs
+        return out
+
+    @staticmethod
+    def _check_k(k: int, needed_space: int) -> int:
+        if not np.issubdtype(type(k), np.integer):
+            raise TypeError(f"k does not take {type(k)} value, enter integer value")
+        if k <= 0:
+            raise ValueError(f"Expected k > 0. Got {k}")
+        if k > needed_space:
+            warnings.warn(
+                f"k={k} is larger than number of samples in indexed space.\n"
+                f"Setting to k={needed_space}",
+                stacklevel=2,
+            )
+            return needed_space
+        return k
+
+    def _set_k_if_needed(self, k: int | None) -> int:
+        if k is None:
+            warnings.warn(
+                f"No k supplied, setting to n_candidates = {self.n_candidates}",
+                stacklevel=2,
+            )
+            return self.n_candidates
+        if k <= 0:
+            raise ValueError(f"Expected k > 0. Got {k}")
+        if k > self.n_candidates:
+            warnings.warn(
+                "k > n_candidates supplied! Setting to n_candidates ="
+                f" {self.n_candidates}",
+                stacklevel=2,
+            )
+            return self.n_candidates
+        return k
+
+    # ------------------------------------------------------------------
+    # querying
+    # ------------------------------------------------------------------
+
+    def kneighbors_dataset(self, k: int | None = None) -> "ray.data.Dataset":
+        """Lazy Dataset of (query_id, neigh_ids, neigh_dists) — the native
+        streaming result; `kneighbors` densifies it for numpy parity."""
+        if not self._fitted:
+            raise RuntimeError("Kiez instance is not fitted yet; call fit first.")
+        if self.hubness == "none":
+            n_neighbors = self._set_k_if_needed(k)
+            n_neighbors = self._check_k(n_neighbors, self._m)
+            return knn_search(
+                self._source_ds,
+                self._target_shards,
+                k=n_neighbors,
+                algorithm=self.algorithm,
+                algorithm_kwargs=self.algorithm_kwargs,
+                exclude_self=self._self_query,
+                batch_size=self.batch_size,
+                concurrency=self.concurrency,
+            )
+        n_neighbors = self._set_k_if_needed(k)
+        c = self._check_k(self.n_candidates, self._m)
+        cand = knn_search(
+            self._source_ds,
+            self._target_shards,
+            k=c,
+            algorithm=self.algorithm,
+            algorithm_kwargs=self.algorithm_kwargs,
+            exclude_self=self._self_query,
+            keep_query_embedding=self.hubness == "dsl",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )
+        fn_kwargs = dict(
+            method=self.hubness,
+            stats_ref=self._stats_ref,
+            k=n_neighbors,
+            target_vecs_ref=self._target_vecs_ref if self.hubness == "dsl" else None,
+        )
+        reranked = cand.map_batches(
+            RerankStage,
+            fn_constructor_kwargs=fn_kwargs,
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency or (1, 8),
+            zero_copy_batch=True,
+        )
+        if self.hubness == "dsl":
+            # global non-negative shift needs a global min: materialize the
+            # (small, k-wide) reranked table once, aggregate, finalize.
+            reranked = reranked.materialize()
+            gmin = reranked.min("row_min")
+            reranked = reranked.drop_columns(["row_min"]).map_batches(
+                _DslFinalize(gmin, self.dsl_squared),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                zero_copy_batch=True,
+            )
+        return reranked
+
+    def kneighbors(self, k: int | None = None, return_distance: bool = True):
+        ds = self.kneighbors_dataset(k)
+        dist, ind = neighbors_to_matrices(ds, n_rows=self._n)
+        if return_distance:
+            return dist, ind
+        return ind

@@ -1,0 +1,196 @@
+"""Hubness-reduction rerank kernels: pure, vectorized numpy batch functions.
+
+Each kernel maps a batch of raw candidate results
+``D (n, c) float64`` (primary distances, ascending per row) and
+``I (n, c) int64`` (global target row ids) plus small per-target
+calibration arrays (broadcast, indexed by target row id) to the
+secondary "hubness reduced" distance matrix of the same shape.
+
+Semantics reproduce the reference formulas exactly:
+ - CSLS            /root/reference/kiez/hubness_reduction/csls.py:88-93
+ - LocalScaling    local_scaling.py:133-147 (standard + nicdm)
+ - MutualProximity mutual_proximity.py:166-212 (normal + empiric)
+ - DisSimLocal     dis_sim.py:143-177
+ - top-k sort      base.py:72-87
+
+The kernels are deliberately Ray-free so they can be unit-tested against a
+straight-line oracle and reused inside ``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .metrics import norm_sf
+
+HUBNESS_METHODS = (
+    "none",
+    "csls",
+    "ls",
+    "nicdm",
+    "mp_normal",
+    "mp_empiric",
+    "dsl",
+)
+
+
+@dataclass
+class CalibrationStats:
+    """Per-target-row calibration state derived from the t->s pass.
+
+    Arrays are indexed by dense target row id (0..m-1). Only the fields a
+    given method needs are populated; the whole object is small (O(m)
+    scalars, O(m*c) for mp_empiric/dsl) and is broadcast via ``ray.put``.
+    """
+
+    method: str = "none"
+    n_candidates: int = 0
+    # csls / nicdm: mean of each target's t->s candidate distances
+    r_mean: np.ndarray | None = None
+    # ls standard: k-th (largest retained) t->s distance per target
+    r_kth: np.ndarray | None = None
+    # mp_normal
+    mu: np.ndarray | None = None
+    sd: np.ndarray | None = None
+    # mp_empiric: full t->s neighbor lists per target
+    t2s_ind: np.ndarray | None = None  # (m, c) int64
+    t2s_dist: np.ndarray | None = None  # (m, c) float64
+    # dsl: squared distance of each target to the centroid of its source NNs
+    dist_to_centroid: np.ndarray | None = None
+    extras: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def csls(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
+    """2*d - mean_c(d_query_row) - mean_c(d_t2s)[target]."""
+    r_test = D.mean(axis=1, keepdims=True)
+    return 2.0 * D - r_test - stats.r_mean[I]
+
+
+def local_scaling(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
+    """standard LS: 1 - exp(-d^2 / (r_query_kth * r_target_kth))."""
+    r_s = D[:, -1].reshape(-1, 1)
+    return 1.0 - np.exp(-(D**2) / (r_s * stats.r_kth[I]))
+
+
+def nicdm(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
+    """d / sqrt(mean_c(d_query_row) * mean_c(d_t2s)[target])."""
+    r_s = D.mean(axis=1, keepdims=True)
+    return D / np.sqrt(r_s * stats.r_mean[I])
+
+
+def mp_normal(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
+    """1 - SF(d; mu_q, sd_q) * SF(d; mu_t[ind], sd_t[ind]) (population sd)."""
+    mu_q = np.nanmean(D, axis=1).reshape(-1, 1)
+    sd_q = np.nanstd(D, axis=1).reshape(-1, 1)
+    p1 = norm_sf(D, mu_q, sd_q)
+    p2 = norm_sf(D, stats.mu[I], stats.sd[I])
+    return 1.0 - p1 * p2
+
+
+def mp_empiric(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
+    """Empirical joint-exceedance MP, vectorized over the batch.
+
+    For query i and its candidate j: d_j[l] = distance recorded in target
+    j's t->s neighbor list at id I[i, l] if present, else (kth + 1e-6);
+    score = 1 - |{l : D[i, l] > D[i, j] and d_j[l] > D[i, j]}| / c.
+    Replicates the double loop at mutual_proximity.py:185-212 including its
+    id-space quirk (candidate *target* ids looked up among *source*
+    neighbor ids).
+    """
+    n, c = D.shape
+    t2s_ind = stats.t2s_ind[I]  # (n, c, c2)
+    t2s_dist = stats.t2s_dist[I]  # (n, c, c2)
+    default = t2s_dist[:, :, -1] + 1e-6  # (n, c) kth distance + eps
+    # match[i, j, r, l] = (t2s_ind[i, j, r] == I[i, l])
+    match = t2s_ind[:, :, :, None] == I[:, None, None, :]
+    picked = np.where(match, t2s_dist[:, :, :, None], 0.0).sum(axis=2)
+    found = match.any(axis=2)
+    d_j = np.where(found, picked, default[:, :, None])  # (n, c, l)
+    d_i = D[:, None, :]  # (n, 1, l)
+    thresh = D[:, :, None]  # (n, j, 1)
+    hits = ((d_i > thresh) & (d_j > thresh)).sum(axis=2)
+    return 1.0 - hits / c
+
+
+def dsl_preshift(
+    D: np.ndarray,
+    I: np.ndarray,
+    stats: CalibrationStats,
+    query_vecs: np.ndarray,
+    target_vecs: np.ndarray,
+) -> np.ndarray:
+    """DisSimLocal secondary distance BEFORE the global non-negative shift.
+
+    sqdist(q, t) - ||q - centroid(candidate targets of q)||^2
+                 - ||t - centroid(source NNs of t)||^2.
+    The global min-shift and optional sqrt (dis_sim.py:168-177) are applied
+    in a second pass because the minimum is a global aggregate.
+    """
+    cand = target_vecs[I]  # (n, c, d)
+    q = query_vecs[:, None, :]  # (n, 1, d)
+    diff = q - cand
+    hub = np.einsum("ncd,ncd->nc", diff, diff)  # exact sq euclidean
+    centroids = cand.mean(axis=1)  # (n, d)
+    qc = query_vecs - centroids
+    hub -= np.einsum("nd,nd->n", qc, qc).reshape(-1, 1)
+    hub -= stats.dist_to_centroid[I]
+    return hub
+
+
+def dsl_finalize(hub: np.ndarray, global_min: float, squared: bool) -> np.ndarray:
+    """Apply the global non-negative shift and optional sqrt (monotonic)."""
+    if global_min < 0.0:
+        hub = hub - global_min
+    if not squared:
+        hub = np.sqrt(np.maximum(hub, 0.0))
+    return hub
+
+
+def topk_sorted(
+    dist: np.ndarray, ind: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row ascending top-k of (dist, ind), candidate position tie-break.
+
+    Matches HubnessReduction._sort (base.py:79-87): argpartition over the
+    secondary distance, then take_along_axis on both matrices.
+    """
+    n, c = dist.shape
+    k = min(k, c)
+    pos = np.broadcast_to(np.arange(c), (n, c))
+    order = np.lexsort((pos, dist), axis=-1)[:, :k]
+    return (
+        np.take_along_axis(dist, order, axis=1),
+        np.take_along_axis(ind, order, axis=1),
+    )
+
+
+def apply_kernel(
+    method: str,
+    D: np.ndarray,
+    I: np.ndarray,
+    stats: CalibrationStats,
+    query_vecs: np.ndarray | None = None,
+    target_vecs: np.ndarray | None = None,
+) -> np.ndarray:
+    if method == "none":
+        return D
+    if method == "csls":
+        return csls(D, I, stats)
+    if method == "ls":
+        return local_scaling(D, I, stats)
+    if method == "nicdm":
+        return nicdm(D, I, stats)
+    if method == "mp_normal":
+        return mp_normal(D, I, stats)
+    if method == "mp_empiric":
+        return mp_empiric(D, I, stats)
+    if method == "dsl":
+        return dsl_preshift(D, I, stats, query_vecs, target_vecs)
+    raise ValueError(f"Unknown hubness method: {method}")

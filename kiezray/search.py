@@ -1,0 +1,198 @@
+"""Distributed kNN search stages (Ray Data map_batches over shard indexes).
+
+Replaces the reference's joblib query sharding
+(/root/reference/kiez/neighbors/neighbor_algorithm_base.py:139-166) with
+Ray Data's streaming executor, and the single in-process index with a set
+of per-shard indexes:
+
+ - the *indexed* side is cut into shards; each shard's ``(ids, vecs)``
+   arrays are placed in the object store ONCE (``ray.put``) and every
+   search actor builds its shard indexes once in ``__init__`` — the
+   broadcast-small-side pattern, no per-batch reshipping;
+ - the *query* side streams through ``map_batches(SearchStage, ...)`` as
+   zero-copy Arrow batches; each batch is searched against every shard and
+   the per-shard top-k are merged with a vectorized k-way merge on the raw
+   primary distance (merge BEFORE any hubness transform, preserving the
+   reference's candidates-then-transform order, base.py:89-105).
+
+At cluster scale the shard list is the unit of data parallelism for the
+index side: shards live in the object store and are fetched at most once
+per node. When the indexed side outgrows broadcast, the blocking stage
+(kiezray.block) bounds each searchable universe to one blocking partition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .arrowutil import emb_to_matrix, matrix_to_list
+from .index import make_index
+
+
+def shard_refs_from_dataset(
+    ds: "ray.data.Dataset",
+    id_col: str = "row_id",
+    emb_col: str = "embedding",
+    rows_per_shard: int = 65536,
+) -> tuple[list["ray.ObjectRef"], int]:
+    """Materialize the indexed side into object-store shards.
+
+    Returns (refs, total_rows). Each ref holds ``(ids int64 (s,), vecs
+    float64 (s, d))``. The indexed side of a search must fit the cluster's
+    aggregate object store — at 100 TB total data this is the per-block
+    target universe produced by blocking, not the whole corpus.
+    """
+    refs: list[ray.ObjectRef] = []
+    total = 0
+    buf_ids: list[np.ndarray] = []
+    buf_vecs: list[np.ndarray] = []
+    buffered = 0
+
+    def flush():
+        nonlocal buffered
+        if not buf_ids:
+            return
+        ids = np.concatenate(buf_ids)
+        vecs = np.concatenate(buf_vecs)
+        order = np.argsort(ids, kind="stable")  # id-ordered shards => shard-count
+        refs.append(ray.put((ids[order], vecs[order])))  # invariant tie-breaks
+        buf_ids.clear()
+        buf_vecs.clear()
+        buffered = 0
+
+    for batch in ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=rows_per_shard, batch_format="pyarrow"
+    ):
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = emb_to_matrix(batch[emb_col]).astype(np.float64)
+        buf_ids.append(ids)
+        buf_vecs.append(vecs)
+        buffered += len(ids)
+        total += len(ids)
+        if buffered >= rows_per_shard:
+            flush()
+    flush()
+    return refs, total
+
+
+class SearchStage:
+    """Callable-class stage for ``map_batches``: per-shard index built once
+    per actor in ``__init__``, vectorized search + k-way merge per batch."""
+
+    def __init__(
+        self,
+        shard_refs: list,
+        k: int,
+        algorithm: str = "exact",
+        algorithm_kwargs: dict | None = None,
+        id_col: str = "row_id",
+        emb_col: str = "embedding",
+        exclude_self: bool = False,
+        keep_query_embedding: bool = False,
+    ):
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.exclude_self = exclude_self
+        self.keep_query_embedding = keep_query_embedding
+        self.indexes = []
+        for ref in shard_refs:
+            ids, vecs = ray.get(ref)
+            idx = make_index(algorithm, **(algorithm_kwargs or {}))
+            idx.build(ids, vecs)
+            self.indexes.append(idx)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = emb_to_matrix(batch[self.emb_col]).astype(np.float64)
+        excl = q_ids if self.exclude_self else None
+        dists = []
+        idss = []
+        for idx in self.indexes:
+            d, i = idx.search(q, self.k, exclude_ids=excl)
+            dists.append(d)
+            idss.append(i)
+        if len(self.indexes) == 1:
+            dist, ids = dists[0], idss[0]
+        else:
+            alld = np.concatenate(dists, axis=1)
+            alli = np.concatenate(idss, axis=1)
+            # merge on primary distance, id tie-break; NaN padding sorts last
+            key = np.where(np.isnan(alld), np.inf, alld)
+            order = np.lexsort((alli, key), axis=-1)[:, : self.k]
+            dist = np.take_along_axis(alld, order, axis=1)
+            ids = np.take_along_axis(alli, order, axis=1)
+        cols = {
+            "query_id": pa.array(q_ids, type=pa.int64()),
+            "neigh_ids": matrix_to_list(ids, pa.int64()),
+            "neigh_dists": matrix_to_list(dist, pa.float64()),
+        }
+        if self.keep_query_embedding:
+            cols["embedding"] = (
+                batch[self.emb_col].combine_chunks()
+                if isinstance(batch[self.emb_col], pa.ChunkedArray)
+                else batch[self.emb_col]
+            )
+        return pa.table(cols)
+
+
+def knn_search(
+    query_ds: "ray.data.Dataset",
+    shard_refs: list,
+    k: int,
+    algorithm: str = "exact",
+    algorithm_kwargs: dict | None = None,
+    id_col: str = "row_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+    keep_query_embedding: bool = False,
+    batch_size: int = 4096,
+    concurrency: int | tuple | None = None,
+) -> "ray.data.Dataset":
+    """query Dataset -> (query_id, neigh_ids, neigh_dists[, embedding])."""
+    fn_kwargs = dict(
+        shard_refs=shard_refs,
+        k=k,
+        algorithm=algorithm,
+        algorithm_kwargs=algorithm_kwargs,
+        id_col=id_col,
+        emb_col=emb_col,
+        exclude_self=exclude_self,
+        keep_query_embedding=keep_query_embedding,
+    )
+    cols = [id_col, emb_col]
+    return query_ds.select_columns(cols).map_batches(
+        SearchStage,
+        fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+        zero_copy_batch=True,
+    )
+
+
+def neighbors_to_matrices(
+    result_ds_or_table, n_rows: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a (query_id, neigh_ids, neigh_dists) result into dense
+    (dist, ind) matrices ordered by query_id — the reference's return shape
+    (kiez/kiez.py:217-223). Driver-side; only for conformance-scale data."""
+    tbl = result_ds_or_table
+    if hasattr(tbl, "to_arrow_refs"):  # Dataset
+        tbl = pa.concat_tables(ray.get(tbl.to_arrow_refs()))
+    q = tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_col = tbl["neigh_ids"].combine_chunks()
+    d_col = tbl["neigh_dists"].combine_chunks()
+    k = len(ids_col[0]) if len(ids_col) else 0
+    ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+    dists = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+    n = n_rows if n_rows is not None else (q.max() + 1 if len(q) else 0)
+    out_i = np.full((n, k), -1, dtype=np.int64)
+    out_d = np.full((n, k), np.nan)
+    out_i[q] = ids
+    out_d[q] = dists
+    return out_d, out_i

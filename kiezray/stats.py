@@ -1,0 +1,80 @@
+"""Per-target calibration statistics from the t->s search pass.
+
+The reference keeps these as fitted instance attributes in driver memory
+(csls.py:53-54, local_scaling.py:82-83, mutual_proximity.py:94-103,
+dis_sim.py:104-107). Here they are computed by one streaming pass over the
+t->s result Dataset and packed into dense arrays indexed by target row id
+(a small O(m) / O(m*c) table) that is broadcast via ``ray.put`` into the
+rerank stage — the broadcast-join pattern for small sides.
+
+At 10^12-doc scale the same reductions run *per blocking partition* (m =
+targets within one block), so the arrays stay small; the code path is
+identical because blocking bounds every search universe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .rerank import CalibrationStats
+
+
+def compute_calibration_stats(
+    t2s_ds: "ray.data.Dataset",
+    method: str,
+    n_targets: int,
+    n_candidates: int,
+    source_vecs: np.ndarray | None = None,
+    target_vecs: np.ndarray | None = None,
+) -> CalibrationStats:
+    """Reduce the t->s neighbor table into per-target calibration arrays.
+
+    t2s_ds rows: (query_id = target row id, neigh_ids = source row ids
+    ascending by distance, neigh_dists). ``source_vecs``/``target_vecs``
+    are dense (rows indexed by row id) and only required for ``dsl``.
+    """
+    m, c = n_targets, n_candidates
+    stats = CalibrationStats(method=method, n_candidates=c)
+    if method == "none":
+        return stats
+
+    if method in ("csls", "nicdm"):
+        stats.r_mean = np.full(m, np.nan)
+    elif method == "ls":
+        stats.r_kth = np.full(m, np.nan)
+    elif method == "mp_normal":
+        stats.mu = np.full(m, np.nan)
+        stats.sd = np.full(m, np.nan)
+    elif method == "mp_empiric":
+        stats.t2s_ind = np.full((m, c), -1, dtype=np.int64)
+        stats.t2s_dist = np.full((m, c), np.nan)
+    elif method == "dsl":
+        stats.dist_to_centroid = np.full(m, np.nan)
+    else:
+        raise ValueError(f"Unknown hubness method: {method}")
+
+    for batch in t2s_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_col = batch["neigh_ids"].combine_chunks()
+        d_col = batch["neigh_dists"].combine_chunks()
+        k = len(ids_col[0]) if len(ids_col) else 0
+        I = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        if method in ("csls", "nicdm"):
+            stats.r_mean[q] = D.mean(axis=1)
+        elif method == "ls":
+            stats.r_kth[q] = D[:, -1]
+        elif method == "mp_normal":
+            stats.mu[q] = np.nanmean(D, axis=1)
+            stats.sd[q] = np.nanstd(D, axis=1)
+        elif method == "mp_empiric":
+            stats.t2s_ind[q] = I
+            stats.t2s_dist[q] = D
+        elif method == "dsl":
+            # centroid of each target's source NNs, then squared distance
+            # target -> centroid (dis_sim.py:94-107)
+            centroids = source_vecs[I].mean(axis=1)
+            diff = target_vecs[q] - centroids
+            stats.dist_to_centroid[q] = np.einsum("nd,nd->n", diff, diff)
+    return stats
