@@ -1,0 +1,125 @@
+"""Evaluation: hits@k against gold links and pairwise cluster P/R/F1.
+
+`hits` reproduces /root/reference/kiez/evaluate/eval_metrics.py:23-61
+(ndarray and dict variants, default k=[1,5,10]). `hits_ds` evaluates a
+neighbor Dataset against a gold table via broadcast-join membership test.
+`pairwise_scores` is the north-rule metric: precision/recall/F1 over
+labeled pairs between predicted and reference clusterings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def hits(nn_ind, gold: dict, k=None) -> dict[int, float]:
+    if k is None:
+        k = [1, 5, 10]
+    k = sorted(k)
+    counter = {kk: 0 for kk in k}
+    if isinstance(nn_ind, dict):
+        items = nn_ind.items()
+    else:
+        items = enumerate(np.asarray(nn_ind))
+    rows = list(items)
+    for kk in k:
+        for i, row in rows:
+            if i in gold and gold[i] in list(row[:kk]):
+                counter[kk] += 1
+    return {kk: v / len(gold) for kk, v in counter.items()}
+
+
+def hits_ds(neighbors_ds, gold: dict, k=None) -> dict[int, float]:
+    """Distributed hits@k: gold map broadcast into a map_batches membership
+    test, per-k partial sums aggregated. neighbors_ds rows: (query_id,
+    neigh_ids)."""
+    import ray
+
+    if k is None:
+        k = [1, 5, 10]
+    k = sorted(k)
+    gold_ref = ray.put(gold)
+
+    class HitCounter:
+        def __init__(self, gold_ref, ks):
+            self.gold = ray.get(gold_ref)
+            self.ks = ks
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = batch["query_id"].to_numpy(zero_copy_only=False)
+            col = batch["neigh_ids"].combine_chunks()
+            c = len(col[0]) if len(col) else 0
+            ids = col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+            want = np.array(
+                [self.gold.get(int(x), -(10**18)) for x in q], dtype=np.int64
+            )
+            pos = np.where(
+                ids == want[:, None], np.arange(c)[None, :], c
+            ).min(axis=1)
+            out = {
+                f"h{kk}": pa.array(
+                    [int(((pos < kk) & (want > -(10**18))).sum())], pa.int64()
+                )
+                for kk in self.ks
+            }
+            return pa.table(out)
+
+    sums = neighbors_ds.map_batches(
+        HitCounter,
+        fn_constructor_kwargs={"gold_ref": gold_ref, "ks": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    total = {kk: 0 for kk in k}
+    for b in sums.iter_batches(batch_format="pyarrow"):
+        for kk in k:
+            total[kk] += int(pa.compute.sum(b[f"h{kk}"]).as_py() or 0)
+    return {kk: total[kk] / len(gold) for kk in k}
+
+
+def _cluster_pairs(assign: dict) -> set[tuple]:
+    by_cluster: dict = {}
+    for doc, cl in assign.items():
+        by_cluster.setdefault(cl, []).append(doc)
+    pairs = set()
+    for members in by_cluster.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
+
+
+def pairwise_scores(
+    predicted: dict, reference: dict, restrict_pairs: set | None = None
+) -> dict[str, float]:
+    """Pairwise precision/recall/F1 of two clusterings given as
+    {doc_id: cluster_id} maps. ``restrict_pairs`` limits evaluation to a
+    labeled-pair universe (e.g. pairs sharing a blocking key, per the
+    north rule). Driver-side: pair sets are O(sum cluster_size^2); at scale
+    evaluate per blocking partition and aggregate the three counters.
+    """
+    pred = _cluster_pairs(predicted)
+    gold = _cluster_pairs(reference)
+    if restrict_pairs is not None:
+        norm = {tuple(sorted(p)) for p in restrict_pairs}
+        pred &= norm
+        gold &= norm
+    tp = len(pred & gold)
+    precision = tp / len(pred) if pred else 1.0
+    recall = tp / len(gold) if gold else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "tp": tp,
+        "pred_pairs": len(pred),
+        "gold_pairs": len(gold),
+    }

@@ -1,0 +1,56 @@
+"""Evaluation metric tests (mirrors reference tests/evaluate/test_eval_metrics.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kiezray.arrowutil import matrix_to_list
+from kiezray.evaluate import hits, hits_ds, pairwise_scores
+
+NN_IND = np.array([[1, 2, 3], [2, 3, 4], [3, 4, 5], [4, 5, 6]])
+GOLD = {0: 2, 1: 4, 2: 3, 3: 4}
+
+
+def test_hits_reference_values():
+    assert hits(NN_IND, GOLD, k=[1, 2, 3]) == {1: 0.5, 2: 0.75, 3: 1.0}
+
+
+def test_hits_default_k():
+    res = hits(NN_IND, GOLD)
+    assert res == {1: 0.5, 5: 1.0, 10: 1.0}
+
+
+def test_hits_dict_variant():
+    nn = {i: list(NN_IND[i]) for i in range(4)}
+    assert hits(nn, GOLD, k=[1, 2, 3]) == {1: 0.5, 2: 0.75, 3: 1.0}
+
+
+def test_hits_ds_matches():
+    tbl = pa.table(
+        {
+            "query_id": pa.array(np.arange(4, dtype=np.int64)),
+            "neigh_ids": matrix_to_list(NN_IND.astype(np.int64), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    assert hits_ds(ds, GOLD, k=[1, 2, 3]) == {1: 0.5, 2: 0.75, 3: 1.0}
+
+
+def test_pairwise_scores():
+    pred = {"a": 1, "b": 1, "c": 2, "d": 2}
+    gold = {"a": "x", "b": "x", "c": "x", "d": "y"}
+    res = pairwise_scores(pred, gold)
+    # pred pairs {ab, cd}; gold pairs {ab, ac, bc}; tp = {ab}
+    assert res["tp"] == 1
+    assert res["precision"] == pytest.approx(0.5)
+    assert res["recall"] == pytest.approx(1 / 3)
+    assert res["f1"] == pytest.approx(2 * 0.5 * (1 / 3) / (0.5 + 1 / 3))
+
+
+def test_pairwise_restricted():
+    pred = {"a": 1, "b": 1, "c": 2, "d": 2}
+    gold = {"a": "x", "b": "x", "c": "x", "d": "y"}
+    res = pairwise_scores(pred, gold, restrict_pairs={("a", "b"), ("c", "d")})
+    assert res["gold_pairs"] == 1 and res["pred_pairs"] == 2
+    assert res["recall"] == 1.0
