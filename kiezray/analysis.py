@@ -181,15 +181,17 @@ def hubness_score(
 
 def k_occurrence_ds(
     neighbors_ds,
-    n_targets: int,
+    n_targets,
     k: int | None = None,
 ):
     """Distributed A1: per-batch partial bincount inside map_batches, then a
     small groupby sum — the pre-aggregate pattern, so the shuffle moves one
     row per (batch, distinct target) instead of one row per candidate slot.
 
-    neighbors_ds rows: (query_id, neigh_ids list<int64>, ...). Returns a
-    Dataset (target_id:int64, k_occurrence:int64) including zero rows.
+    neighbors_ds rows: (query_id, neigh_ids list<int64>, ...). ``n_targets``
+    is either an int (dense target ids 0..n-1) or an explicit int64 array of
+    the target-id universe (sparse ids allowed). Returns a Dataset
+    (target_id:int64, k_occurrence:int64) including zero rows.
     """
     import ray.data
     from ray.data.aggregate import Sum
@@ -218,11 +220,16 @@ def k_occurrence_ds(
     )
     # add zero-occurrence targets (antihubs) without a join: union a zero row
     # per target and re-aggregate; the zeros table is tiny (one int per target)
+    universe = (
+        np.arange(n_targets, dtype=np.int64)
+        if np.isscalar(n_targets)
+        else np.asarray(n_targets, dtype=np.int64)
+    )
     zeros = ray.data.from_arrow(
         pa.table(
             {
-                "target_id": pa.array(np.arange(n_targets, dtype=np.int64)),
-                "k_occurrence": pa.array(np.zeros(n_targets, dtype=np.int64)),
+                "target_id": pa.array(universe),
+                "k_occurrence": pa.array(np.zeros(len(universe), dtype=np.int64)),
             }
         )
     )

@@ -1,0 +1,478 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All are Ray-Data-first: vectorized per-batch hashing/sketching inside
+``map_batches``, grouped shuffles only over the (much smaller) key space,
+and transitive closure via kiezray.cluster label propagation. The
+reference has no dedup (SURVEY.md §2.6); these are the engine's
+training-data extensions.
+
+ - exact:        content hash -> hash-partitioned group -> keep min id
+ - minhash-LSH:  shingle -> minhash sig -> band buckets -> candidate pairs
+                 -> signature-jaccard verify -> connected components
+ - simhash:      64-bit simhash -> band buckets -> hamming verify -> CC
+ - n-gram jaccard: exact set jaccard on candidate pairs within buckets
+ - embedding:    cosine near-dup via the sharded ANN search stage
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .cluster import connected_components
+
+# deterministic 64-bit mix constants (splitmix64)
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(30)
+        x = (x * _M1) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(27)
+        x = (x * _M2) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Deterministic 64-bit hashes of the character k-shingles of a text."""
+    t = text.lower()
+    if len(t) < k:
+        t = t + " " * (k - len(t))
+    raw = np.array(
+        [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)],
+        dtype=np.uint64,
+    )
+    return _splitmix64(np.unique(raw))
+
+
+def content_hash_column(texts) -> pa.Array:
+    """Stable sha1 hex digest per row (exact-dup key)."""
+    return pa.array(
+        [hashlib.sha1(t.encode("utf-8")).hexdigest() for t in texts],
+        pa.string(),
+    )
+
+
+def dedup_exact(
+    ds: "ray.data.Dataset", content_cols: list[str], id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Keep the minimum-id row of each exact-content group.
+
+    Hash-partition on the content hash (groupby shuffle moves one row per
+    duplicate, not per byte: only id+hash columns shuffle if the caller
+    projects first).
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        parts = [t[c].to_pylist() for c in content_cols]
+        joined = ["\x1f".join(str(x) for x in row) for row in zip(*parts)]
+        return t.append_column("__chash", content_hash_column(joined))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        hashed.groupby("__chash")
+        .map_groups(keep_min, batch_format="pandas")
+        .drop_columns(["__chash"])
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: text -> (num_perm,) minhash signature.
+
+    Permutation parameters are derived deterministically in __init__ (once
+    per actor, the stateful-stage pattern).
+    """
+
+    def __init__(
+        self, text_col: str = "text", num_perm: int = 64, shingle_k: int = 3,
+        seed: int = 42,
+    ):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 2**61 - 1, size=num_perm, dtype=np.uint64) | 1
+        self.b = rng.randint(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.text_col = text_col
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_k)
+        if len(h) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            vals = (h[None, :] * self.a[:, None] + self.b[:, None]) & np.uint64(
+                0xFFFFFFFFFFFFFFFF
+            )
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        flat = pa.array(sigs.astype(np.int64).ravel(), pa.int64())
+        sig_col = pa.FixedSizeListArray.from_arrays(flat, self.num_perm)
+        return batch.append_column("minhash", sig_col)
+
+
+def minhash_signatures(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, num_perm=num_perm, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def _candidate_pairs_from_buckets(
+    exploded: "ray.data.Dataset", id_col: str, max_bucket: int = 200
+) -> "ray.data.Dataset":
+    """(bucket, id) rows -> distinct candidate pairs (a < b).
+
+    ``max_bucket`` is the skew guard: a bucket with b members emits
+    O(b^2) pairs, so oversized buckets (degenerate shingles, boilerplate)
+    are truncated to the smallest ``max_bucket`` ids — the standard LSH
+    hot-bucket cap; truncation count is observable in the group sizes.
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    cand = exploded.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
+def dedup_minhash_lsh(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """MinHash+LSH near-dup clustering -> (id, component) assignment.
+
+    shingle -> minhash -> band buckets (groupby) -> candidate pairs ->
+    signature-estimated jaccard >= threshold -> connected components.
+    Signatures are carried with the ids through a broadcast map so the
+    verify step needs no second shuffle of the texts.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, text_col, num_perm, shingle_k)
+
+    sig_tbl = sigs.select_columns([id_col, "minhash"])
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t["minhash"].combine_chunks()
+        S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
+        out_ids = np.repeat(ids, bands)
+        band_idx = np.tile(np.arange(bands), len(ids))
+        bh = np.empty(len(ids) * bands, dtype=np.uint64)
+        view = S.astype(np.uint64).reshape(len(ids), bands, rows_per_band)
+        mix = view[:, :, 0]
+        for r in range(1, rows_per_band):
+            mix = _splitmix64(mix ^ view[:, :, r])
+        bh = mix.ravel()
+        bucket = [f"{b}:{h:x}" for b, h in zip(band_idx, bh)]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    exploded = sig_tbl.map_batches(explode_bands, batch_format="pyarrow")
+    cand = _candidate_pairs_from_buckets(exploded, id_col)
+
+    # broadcast the signature matrix for the verify kernel (id -> sig);
+    # at extreme scale this becomes a shuffle join keyed on id
+    import ray
+
+    sig_map = {}
+    for b in sig_tbl.iter_batches(batch_format="pyarrow"):
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        col = b["minhash"].combine_chunks()
+        S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
+        for i, sid in enumerate(ids):
+            sig_map[sid] = S[i]
+    sig_ref = ray.put(sig_map)
+
+    class Verify:
+        def __init__(self, sig_ref, threshold):
+            self.sigs = ray.get(sig_ref)
+            self.threshold = threshold
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            if len(a) == 0:
+                return t
+            A = np.stack([self.sigs[x] for x in a])
+            B = np.stack([self.sigs[x] for x in b])
+            jac = (A == B).mean(axis=1)
+            return t.filter(pa.array(jac >= self.threshold))
+
+    edges = cand.map_batches(
+        Verify,
+        fn_constructor_kwargs={"sig_ref": sig_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    nodes = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
+    )
+    return connected_components(edges, extra_nodes_ds=nodes)
+
+
+class SimHasher:
+    """64-bit simhash over token hashes (weighted bit votes)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.bits = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.uint64:
+        toks = text.lower().split()
+        if not toks:
+            return np.uint64(0)
+        hs = _splitmix64(
+            np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+        )
+        bits = ((hs[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        vals = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        return batch.append_column(
+            "simhash", pa.array(vals.astype(np.int64), pa.int64())
+        )
+
+
+def dedup_simhash(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> "ray.data.Dataset":
+    """SimHash near-dup: band the 64-bit hash into ``bands`` chunks (any
+    pair within hamming distance < bands shares >= 1 identical chunk),
+    bucket-group, verify hamming distance, cluster."""
+    hashed = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).select_columns([id_col, "simhash"])
+
+    width = 64 // bands
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_ids = np.repeat(ids, bands)
+        band_idx = np.tile(np.arange(bands), len(ids))
+        chunks = np.stack(
+            [(h >> np.uint64(b * width)) & np.uint64((1 << width) - 1) for b in range(bands)],
+            axis=1,
+        ).ravel()
+        bucket = [f"{b}:{c:x}" for b, c in zip(band_idx, chunks)]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "bucket": pa.array(bucket, pa.string()),
+                "simhash": pa.array(
+                    np.repeat(h, bands).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(200)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = hs[ai] ^ hs[bi]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep]})
+
+    cand = exploded.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    edges = cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    nodes = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
+    )
+    return connected_components(edges, extra_nodes_ds=nodes)
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> "ray.data.Dataset":
+    """Exact character-n-gram jaccard over LSH candidate pairs ->
+    (a, b, jaccard) rows with jaccard >= threshold.
+
+    LSH bounds the pair universe; the verify recomputes the exact shingle
+    sets per pair inside the stage (texts broadcast via object store)."""
+    import ray
+
+    sigs = minhash_signatures(ds, text_col, num_perm, shingle_k)
+    rows_per_band = num_perm // bands
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t["minhash"].combine_chunks()
+        S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
+        view = S.astype(np.uint64).reshape(len(ids), bands, rows_per_band)
+        mix = view[:, :, 0]
+        for r in range(1, rows_per_band):
+            mix = _splitmix64(mix ^ view[:, :, r])
+        band_idx = np.tile(np.arange(bands), len(ids))
+        bucket = [f"{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
+        return pa.table(
+            {id_col: pa.array(np.repeat(ids, bands)), "bucket": pa.array(bucket)}
+        )
+
+    exploded = sigs.select_columns([id_col, "minhash"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+    cand = _candidate_pairs_from_buckets(exploded, id_col)
+
+    texts = {}
+    for b in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            texts[i] = t or ""
+    text_ref = ray.put(texts)
+
+    class Jaccard:
+        def __init__(self, text_ref, k, threshold):
+            self.texts = ray.get(text_ref)
+            self.k = k
+            self.threshold = threshold
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            out_a, out_b, out_j = [], [], []
+            for x, y in zip(a, b):
+                sx = set(_shingle_hashes(self.texts[x], self.k).tolist())
+                sy = set(_shingle_hashes(self.texts[y], self.k).tolist())
+                if not sx and not sy:
+                    j = 1.0
+                else:
+                    j = len(sx & sy) / len(sx | sy)
+                if j >= self.threshold:
+                    out_a.append(x)
+                    out_b.append(y)
+                    out_j.append(j)
+            return pa.table(
+                {
+                    "a": pa.array(out_a),
+                    "b": pa.array(out_b),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+    return cand.map_batches(
+        Jaccard,
+        fn_constructor_kwargs={
+            "text_ref": text_ref, "k": shingle_k, "threshold": threshold
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def dedup_embedding_cosine(
+    ds: "ray.data.Dataset",
+    id_col: str = "row_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_candidates: int = 10,
+) -> "ray.data.Dataset":
+    """Embedding near-dup: sharded cosine self-search, edges where
+    similarity >= threshold, connected components."""
+    from .search import knn_search, shard_refs_from_dataset
+
+    shards, _, _ = shard_refs_from_dataset(ds, id_col=id_col, emb_col=emb_col)
+    nds = knn_search(
+        ds, shards, k=n_candidates, algorithm="exact",
+        algorithm_kwargs={"metric": "cosine"}, id_col=id_col, emb_col=emb_col,
+        exclude_self=True,
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        ids_col = t["neigh_ids"].combine_chunks()
+        d_col = t["neigh_dists"].combine_chunks()
+        k = len(ids_col[0]) if len(ids_col) else 0
+        ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        dist = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        sim = 1.0 - dist
+        keep = ((ids >= 0) & (sim >= threshold)).ravel()
+        a = np.repeat(q, k)[keep]
+        b = ids.ravel()[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b), pa.int64()),
+                "b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    edges = nds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    nodes = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
+    )
+    return connected_components(edges, extra_nodes_ds=nodes)

@@ -301,14 +301,17 @@ class Kiez:
                 " arrays and ray.data.Dataset allowed!"
             )
 
-        self._target_shards, m2 = shard_refs_from_dataset(
+        self._target_shards, m2, t_max_id = shard_refs_from_dataset(
             self._target_ds, rows_per_shard=self.rows_per_shard
         )
         assert m2 == self._m
+        # stats/dense arrays are indexed by row id; ids may be sparse
+        self._m_index = t_max_id + 1
         if self.hubness != "none":
-            self._source_shards, _ = shard_refs_from_dataset(
+            self._source_shards, _, s_max_id = shard_refs_from_dataset(
                 self._source_ds, rows_per_shard=self.rows_per_shard
             )
+            self._n_index = s_max_id + 1
             c = self._check_k(self.n_candidates, self._n)
             t2s = knn_search(
                 self._target_ds,
@@ -320,13 +323,19 @@ class Kiez:
                 batch_size=self.batch_size,
                 concurrency=self.concurrency,
             )
-            if self.hubness == "dsl" and self._source_vecs is None:
-                self._source_vecs = self._dense_from_shards(self._source_shards, self._n)
-                self._target_vecs = self._dense_from_shards(self._target_shards, self._m)
+            if self.hubness == "dsl" and (
+                self._source_vecs is None or len(self._source_vecs) < self._n_index
+            ):
+                self._source_vecs = self._dense_from_shards(
+                    self._source_shards, self._n_index
+                )
+                self._target_vecs = self._dense_from_shards(
+                    self._target_shards, self._m_index
+                )
             stats = compute_calibration_stats(
                 t2s,
                 self.hubness,
-                n_targets=self._m,
+                n_targets=self._m_index,
                 n_candidates=c,
                 source_vecs=self._source_vecs,
                 target_vecs=self._target_vecs,
@@ -444,7 +453,10 @@ class Kiez:
 
     def kneighbors(self, k: int | None = None, return_distance: bool = True):
         ds = self.kneighbors_dataset(k)
-        dist, ind = neighbors_to_matrices(ds, n_rows=self._n)
+        # numpy inputs have dense row ids == positions; Dataset inputs may be
+        # sparse, in which case rows are sized by the max query id seen
+        n_rows = self._n if self._source_vecs is not None else None
+        dist, ind = neighbors_to_matrices(ds, n_rows=n_rows)
         if return_distance:
             return dist, ind
         return ind

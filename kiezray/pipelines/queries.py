@@ -1,0 +1,747 @@
+"""Driver-table query pipelines + their DuckDB oracle SQL.
+
+Each ``q_*`` function takes ``sf_dir`` (a directory of driver parquet
+tables, TESTDATA.md) and returns a pyarrow Table / Ray Dataset whose
+row-set is reproduced exactly by the matching SQL in ``ORACLE_SQL`` —
+same column names, types, and (rounded) values. The embeddings table is
+split into a source side (even vec_id) and target side (odd vec_id).
+
+These are the operator-conformance surface for SURVEY.md §2: every entry
+exercises real library stages (sharded search actors, rerank kernels,
+grouped shuffles, label propagation), not ad-hoc driver code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..analysis import _measures_from_occurrence, k_occurrence_ds
+from ..arrowutil import emb_to_matrix
+from ..cluster import connected_components
+from ..evaluate import hits_ds
+from ..kiez import Kiez
+from ..search import knn_search, shard_refs_from_dataset
+
+N_CAND = 10
+TOPK = 5
+
+
+# ---------------------------------------------------------------------------
+# shared loading
+# ---------------------------------------------------------------------------
+
+
+def _emb_ds(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "row_id": pc.cast(t["vec_id"], pa.int64()),
+                "embedding": t["embedding"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _sides(sf_dir: str):
+    ds = _emb_ds(sf_dir)
+    even = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["row_id"], 1), 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    odd = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["row_id"], 1), 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return even, odd
+
+
+def _explode_neighbors(
+    nds: "ray.data.Dataset", dist_name: str = "dist", digits: int = 4,
+    to_similarity: bool = False,
+) -> "ray.data.Dataset":
+    """(query_id, neigh_ids, neigh_dists) -> long (source_id, rank,
+    target_id, <dist_name>) with distances rounded for oracle comparison."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        ids_col = t["neigh_ids"].combine_chunks()
+        d_col = t["neigh_dists"].combine_chunks()
+        k = len(ids_col[0]) if len(ids_col) else 0
+        ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        dist = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        keep = (ids >= 0).ravel()
+        vals = dist.ravel()
+        if to_similarity:
+            vals = 1.0 - vals
+        return pa.table(
+            {
+                "source_id": pa.array(np.repeat(q, k)[keep], pa.int64()),
+                "rank": pa.array(
+                    np.tile(np.arange(1, k + 1, dtype=np.int64), len(q))[keep]
+                ),
+                "target_id": pa.array(ids.ravel()[keep], pa.int64()),
+                dist_name: pa.array(np.round(vals[keep], digits), pa.float64()),
+            }
+        )
+
+    return nds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _knn_ds(sf_dir: str, hubness, k: int, hkw=None, n_candidates: int = N_CAND):
+    source, target = _sides(sf_dir)
+    kz = Kiez(
+        n_candidates=n_candidates,
+        algorithm="exact",
+        algorithm_kwargs={"metric": "euclidean"},
+        hubness=hubness,
+        hubness_kwargs=hkw or {},
+    )
+    kz.fit(source, target)
+    return kz.kneighbors_dataset(k)
+
+
+_SQL_SIDES = """
+src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings WHERE vec_id % 2 = 0),
+tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings WHERE vec_id % 2 = 1),
+d AS (SELECT s.vec_id sid, t.vec_id tid, list_distance(s.e, t.e) dist
+      FROM src s CROSS JOIN tgt t),
+s2t AS (SELECT sid, tid, dist,
+               row_number() OVER (PARTITION BY sid ORDER BY dist, tid) rn
+        FROM d),
+t2s AS (SELECT sid, tid, dist,
+               row_number() OVER (PARTITION BY tid ORDER BY dist, sid) rn
+        FROM d),
+cand AS (SELECT * FROM s2t WHERE rn <= {c}),
+tcand AS (SELECT * FROM t2s WHERE rn <= {c})
+"""
+
+
+def _sql_sides(c: int = N_CAND) -> str:
+    return _SQL_SIDES.format(c=c)
+
+
+# ---------------------------------------------------------------------------
+# C2/C3/N1: raw exact kNN (no hubness)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_basic(sf_dir: str):
+    return _explode_neighbors(_knn_ds(sf_dir, None, k=N_CAND))
+
+
+SQL_KNN_BASIC = f"""
+WITH {_sql_sides()}
+SELECT sid AS source_id, rn AS rank, tid AS target_id,
+       round(dist, 4) AS dist
+FROM cand ORDER BY source_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# C5+C6: CSLS rerank
+# ---------------------------------------------------------------------------
+
+
+def q_knn_csls(sf_dir: str):
+    return _explode_neighbors(_knn_ds(sf_dir, "csls", k=TOPK))
+
+
+SQL_KNN_CSLS = f"""
+WITH {_sql_sides()},
+r_test AS (SELECT sid, avg(dist) rt FROM cand GROUP BY sid),
+r_train AS (SELECT tid, avg(dist) rr FROM tcand GROUP BY tid),
+sec AS (SELECT c.sid, c.tid, 2 * c.dist - r.rt - rt2.rr AS hdist
+        FROM cand c JOIN r_test r USING (sid) JOIN r_train rt2 USING (tid)),
+ranked AS (SELECT sid, tid, hdist,
+                  row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
+           FROM sec)
+SELECT sid AS source_id, rk AS rank, tid AS target_id,
+       round(hdist, 4) AS dist
+FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# C7: LocalScaling standard + NICDM
+# ---------------------------------------------------------------------------
+
+
+def q_knn_ls(sf_dir: str):
+    return _explode_neighbors(_knn_ds(sf_dir, "localscaling", k=TOPK), digits=6)
+
+
+SQL_KNN_LS = f"""
+WITH {_sql_sides()},
+r_s AS (SELECT sid, max(dist) rs FROM cand GROUP BY sid),
+r_t AS (SELECT tid, max(dist) rt FROM tcand GROUP BY tid),
+sec AS (SELECT c.sid, c.tid,
+               1 - exp(-(c.dist * c.dist) / (r_s.rs * r_t.rt)) AS hdist
+        FROM cand c JOIN r_s USING (sid) JOIN r_t USING (tid)),
+ranked AS (SELECT sid, tid, hdist,
+                  row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
+           FROM sec)
+SELECT sid AS source_id, rk AS rank, tid AS target_id,
+       round(hdist, 6) AS dist
+FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
+"""
+
+
+def q_knn_nicdm(sf_dir: str):
+    return _explode_neighbors(
+        _knn_ds(sf_dir, "localscaling", k=TOPK, hkw={"method": "nicdm"}), digits=6
+    )
+
+
+SQL_KNN_NICDM = f"""
+WITH {_sql_sides()},
+r_s AS (SELECT sid, avg(dist) rs FROM cand GROUP BY sid),
+r_t AS (SELECT tid, avg(dist) rt FROM tcand GROUP BY tid),
+sec AS (SELECT c.sid, c.tid, c.dist / sqrt(r_s.rs * r_t.rt) AS hdist
+        FROM cand c JOIN r_s USING (sid) JOIN r_t USING (tid)),
+ranked AS (SELECT sid, tid, hdist,
+                  row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
+           FROM sec)
+SELECT sid AS source_id, rk AS rank, tid AS target_id,
+       round(hdist, 6) AS dist
+FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# C8: MutualProximity — normal final distances are not SQL-expressible in
+# DuckDB (no erf); the calibration stats are, and the full rerank ships as a
+# rows-only query.
+# ---------------------------------------------------------------------------
+
+
+def q_mp_stats(sf_dir: str):
+    source, target = _sides(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(source)
+    t2s = knn_search(target, shards, k=N_CAND)
+
+    def stats(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        d_col = t["neigh_dists"].combine_chunks()
+        k = len(d_col[0]) if len(d_col) else 0
+        D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        return pa.table(
+            {
+                "target_id": pa.array(q, pa.int64()),
+                "mu": pa.array(np.round(np.nanmean(D, axis=1), 6), pa.float64()),
+                "sd": pa.array(np.round(np.nanstd(D, axis=1), 6), pa.float64()),
+            }
+        )
+
+    return t2s.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MP_STATS = f"""
+WITH {_sql_sides()}
+SELECT tid AS target_id, round(avg(dist), 6) AS mu,
+       round(stddev_pop(dist), 6) AS sd
+FROM tcand GROUP BY tid ORDER BY target_id
+"""
+
+
+def q_knn_mp_normal(sf_dir: str):
+    """Rows-only check (no DuckDB erf): full MP-normal rerank."""
+    return _explode_neighbors(
+        _knn_ds(sf_dir, "mutualproximity", k=TOPK), digits=6
+    )
+
+
+def q_knn_mp_empiric(sf_dir: str):
+    """Rows-only: MP-empiric joint-exceedance rerank (O(n*c^2) kernel)."""
+    return _explode_neighbors(
+        _knn_ds(sf_dir, "mutualproximity", k=TOPK, hkw={"method": "empiric"}),
+        digits=6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9: DisSimLocal (sqeuclidean primary metric so squared=True)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_dsl(sf_dir: str):
+    source, target = _sides(sf_dir)
+    kz = Kiez(
+        n_candidates=N_CAND,
+        algorithm="exact",
+        algorithm_kwargs={"metric": "sqeuclidean"},
+        hubness="dissimlocal",
+    )
+    kz.fit(source, target)
+    return _explode_neighbors(kz.kneighbors_dataset(TOPK))
+
+
+SQL_KNN_DSL = f"""
+WITH
+src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings WHERE vec_id % 2 = 0),
+tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings WHERE vec_id % 2 = 1),
+d AS (SELECT s.vec_id sid, t.vec_id tid,
+             list_distance(s.e, t.e) ** 2 AS dist
+      FROM src s CROSS JOIN tgt t),
+s2t AS (SELECT sid, tid, dist,
+               row_number() OVER (PARTITION BY sid ORDER BY dist, tid) rn
+        FROM d),
+t2s AS (SELECT sid, tid, dist,
+               row_number() OVER (PARTITION BY tid ORDER BY dist, sid) rn
+        FROM d),
+cand AS (SELECT * FROM s2t WHERE rn <= {N_CAND}),
+tcand AS (SELECT * FROM t2s WHERE rn <= {N_CAND}),
+dims AS (SELECT i FROM range(1, 65) r(i)),
+-- centroid (per dim) of each target's source NNs, then ||t - c||^2
+tcent AS (SELECT tc.tid, dims.i, avg(s.e[dims.i]) c
+          FROM tcand tc JOIN src s ON s.vec_id = tc.sid CROSS JOIN dims
+          GROUP BY tc.tid, dims.i),
+delta_t AS (SELECT t.vec_id tid, sum((t.e[tc.i] - tc.c) ** 2) dt
+            FROM tgt t JOIN tcent tc ON tc.tid = t.vec_id GROUP BY t.vec_id),
+-- centroid of each source's candidate targets, then ||s - c||^2
+scent AS (SELECT c.sid, dims.i, avg(t.e[dims.i]) c
+          FROM cand c JOIN tgt t ON t.vec_id = c.tid CROSS JOIN dims
+          GROUP BY c.sid, dims.i),
+delta_s AS (SELECT s.vec_id sid, sum((s.e[sc.i] - sc.c) ** 2) ds
+            FROM src s JOIN scent sc ON sc.sid = s.vec_id GROUP BY s.vec_id),
+pre AS (SELECT c.sid, c.tid, c.dist - delta_s.ds - delta_t.dt AS hdist
+        FROM cand c JOIN delta_s USING (sid) JOIN delta_t USING (tid)),
+shifted AS (SELECT sid, tid,
+                   hdist - least((SELECT min(hdist) FROM pre), 0) AS hdist
+            FROM pre),
+ranked AS (SELECT sid, tid, hdist,
+                  row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
+           FROM shifted)
+SELECT sid AS source_id, rk AS rank, tid AS target_id,
+       round(hdist, 4) AS dist
+FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1: k-occurrence (grouped count shuffle incl. zero rows)
+# ---------------------------------------------------------------------------
+
+
+def _target_ids(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .column("vec_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    return np.sort(ids[ids % 2 == 1])
+
+
+def q_k_occurrence(sf_dir: str):
+    nds = _knn_ds(sf_dir, None, k=N_CAND)
+    return k_occurrence_ds(nds, _target_ids(sf_dir), k=N_CAND)
+
+
+SQL_K_OCCURRENCE = f"""
+WITH {_sql_sides()},
+counts AS (SELECT tid, count(*) c FROM cand GROUP BY tid)
+SELECT t.vec_id AS target_id,
+       CAST(coalesce(counts.c, 0) AS BIGINT) AS k_occurrence
+FROM tgt t LEFT JOIN counts ON counts.tid = t.vec_id
+ORDER BY target_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2-A9: hubness scalar measures over the k-occurrence vector
+# ---------------------------------------------------------------------------
+
+
+def q_hubness_stats(sf_dir: str):
+    occ_tbl = q_k_occurrence(sf_dir).to_pandas()
+    occ = occ_tbl.sort_values("target_id")["k_occurrence"].to_numpy()
+    n_test = int(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), 0)),
+            batch_format="pyarrow",
+        )
+        .count()
+    )
+    m = _measures_from_occurrence(
+        occ, k=N_CAND, n_test=n_test, hub_size=2.0, return_value="all",
+        store_k_occurrence=False,
+    )
+    return pa.table(
+        {
+            "k_skewness": [round(float(m["k_skewness"]), 6)],
+            "gini": [round(float(m["gini"]), 6)],
+            "robinhood": [round(float(m["robinhood"]), 6)],
+            "atkinson": [round(float(m["atkinson"]), 6)],
+            "antihub_occurrence": [round(float(m["antihub_occurrence"]), 6)],
+            "hub_occurrence": [round(float(m["hub_occurrence"]), 6)],
+            "groupie_ratio": [round(float(m["groupie_ratio"]), 6)],
+        }
+    )
+
+
+SQL_HUBNESS_STATS = f"""
+WITH {_sql_sides()},
+counts AS (SELECT tid, count(*) c FROM cand GROUP BY tid),
+occ AS (SELECT CAST(coalesce(counts.c, 0) AS DOUBLE) x
+        FROM tgt t LEFT JOIN counts ON counts.tid = t.vec_id),
+n_test AS (SELECT count(*) nt FROM src),
+moments AS (SELECT count(*) n, avg(x) mean, sum(x) total,
+                   avg((x - (SELECT avg(x) FROM occ)) ** 2) m2,
+                   avg((x - (SELECT avg(x) FROM occ)) ** 3) m3,
+                   avg(sqrt(x)) msqrt, max(x) mx
+            FROM occ),
+gini_n AS (SELECT sum((2 * (rw - 1) - n + 1) * x) g
+           FROM (SELECT x, row_number() OVER (ORDER BY x) rw,
+                        (SELECT count(*) FROM occ) n
+                 FROM occ)),
+vals AS (SELECT
+  m.m3 / (m.m2 ** 1.5) AS k_skewness,
+  2 * g.g / (2 * m.n * m.total) AS gini,
+  (SELECT 0.5 * sum(abs(x - m.mean)) FROM occ) / m.total AS robinhood,
+  1 - (m.msqrt ** 2) / m.mean AS atkinson,
+  (SELECT count(*) FROM occ WHERE x = 0) / CAST(m.n AS DOUBLE)
+      AS antihub_occurrence,
+  (SELECT coalesce(sum(x), 0) FROM occ WHERE x >= 2 * {N_CAND})
+      / {N_CAND} / (SELECT nt FROM n_test) AS hub_occurrence,
+  m.mx / (SELECT nt FROM n_test) / {N_CAND} AS groupie_ratio
+FROM moments m, gini_n g)
+SELECT round(k_skewness, 6) AS k_skewness, round(gini, 6) AS gini,
+       round(robinhood, 6) AS robinhood, round(atkinson, 6) AS atkinson,
+       round(antihub_occurrence, 6) AS antihub_occurrence,
+       round(hub_occurrence, 6) AS hub_occurrence,
+       round(groupie_ratio, 6) AS groupie_ratio
+FROM vals
+"""
+
+
+# ---------------------------------------------------------------------------
+# E1: hits@k with synthetic gold (source s -> target s+1)
+# ---------------------------------------------------------------------------
+
+
+def q_hits(sf_dir: str):
+    nds = _knn_ds(sf_dir, None, k=N_CAND)
+    src_ids = _target_ids(sf_dir) - 1  # even ids
+    gold = {int(s): int(s) + 1 for s in src_ids}
+    res = hits_ds(nds, gold, k=[1, 5, 10])
+    return pa.table(
+        {
+            "k": pa.array(sorted(res), pa.int64()),
+            "hits": pa.array(
+                [round(res[kk], 6) for kk in sorted(res)], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_HITS = f"""
+WITH {_sql_sides()},
+gold AS (SELECT vec_id sid, vec_id + 1 tid FROM src),
+matched AS (SELECT g.sid, min(c.rn) rnk
+            FROM gold g LEFT JOIN cand c ON c.sid = g.sid AND c.tid = g.tid
+            GROUP BY g.sid),
+ks AS (SELECT unnest([1, 5, 10]) k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       round(sum(CASE WHEN m.rnk IS NOT NULL AND m.rnk <= ks.k
+                      THEN 1 ELSE 0 END) / CAST((SELECT count(*) FROM gold)
+                      AS DOUBLE), 6) AS hits
+FROM ks CROSS JOIN matched m GROUP BY ks.k ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: cosine top-k of a query set against the target side
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine(sf_dir: str):
+    source, target = _sides(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(target)
+    queries = source.map_batches(
+        lambda t: t.filter(pc.less(t["row_id"], 10)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nds = knn_search(
+        queries, shards, k=N_CAND, algorithm="exact",
+        algorithm_kwargs={"metric": "cosine"},
+    )
+    out = _explode_neighbors(nds, dist_name="cos_sim", digits=6, to_similarity=True)
+    return out.map_batches(
+        lambda t: t.rename_columns(["query_id", "rank", "target_id", "cos_sim"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_COSINE = """
+WITH
+q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+      FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 10),
+tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings WHERE vec_id % 2 = 1),
+d AS (SELECT q.vec_id qid, t.vec_id tid,
+             list_cosine_similarity(q.e, t.e) sim
+      FROM q CROSS JOIN tgt t),
+ranked AS (SELECT qid, tid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, tid) rk
+           FROM d)
+SELECT qid AS query_id, rk AS rank, tid AS target_id,
+       round(sim, 6) AS cos_sim
+FROM ranked WHERE rk <= 10 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Clustering: mutual-kNN edges -> connected components (label propagation)
+# ---------------------------------------------------------------------------
+
+
+def q_components(sf_dir: str):
+    source, target = _sides(sf_dir)
+    s_shards, _, _ = shard_refs_from_dataset(source)
+    t_shards, _, _ = shard_refs_from_dataset(target)
+    s2t = knn_search(source, t_shards, k=3)
+    t2s = knn_search(target, s_shards, k=3)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        ids_col = t["neigh_ids"].combine_chunks()
+        k = len(ids_col[0]) if len(ids_col) else 0
+        ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        keep = (ids >= 0).ravel()
+        a = np.repeat(q, k)[keep]
+        b = ids.ravel()[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table(
+            {"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64())}
+        )
+
+    p1 = s2t.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    p2 = t2s.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    # mutual = pair present in both directions -> grouped count == 2
+    import pandas as pd
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) >= 2:
+            return g.head(1)
+        return g.head(0)
+
+    edges = (
+        p1.union(p2)
+        .groupby(["a", "b"])
+        .map_groups(mutual, batch_format="pandas")
+    )
+    all_nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(
+                    np.sort(
+                        np.concatenate(
+                            [_target_ids(sf_dir), _target_ids(sf_dir) - 1]
+                        )
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+    )
+    comp = connected_components(edges, extra_nodes_ds=all_nodes)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["node"], "component": t["component"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COMPONENTS = """
+WITH RECURSIVE
+src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings WHERE vec_id % 2 = 0),
+tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings WHERE vec_id % 2 = 1),
+d AS (SELECT s.vec_id sid, t.vec_id tid, list_distance(s.e, t.e) dist
+      FROM src s CROSS JOIN tgt t),
+s2t AS (SELECT sid, tid FROM
+        (SELECT sid, tid,
+                row_number() OVER (PARTITION BY sid ORDER BY dist, tid) rn
+         FROM d) WHERE rn <= 3),
+t2s AS (SELECT sid, tid FROM
+        (SELECT sid, tid,
+                row_number() OVER (PARTITION BY tid ORDER BY dist, sid) rn
+         FROM d) WHERE rn <= 3),
+edges AS (SELECT s.sid a, s.tid b FROM s2t s
+          JOIN t2s t ON t.sid = s.sid AND t.tid = s.tid),
+undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach (node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT u.a, reach.r FROM undirected u JOIN reach ON reach.node = u.b
+)
+SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (exact) over a constructed duplicate universe
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    dup = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.add(pc.cast(t["doc_id"], pa.int64()), 100000),
+                "text": t["text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    union = docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    ).union(dup)
+
+    from ..dedup import dedup_exact
+
+    kept = dedup_exact(union, content_cols=["text"], id_col="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = """
+WITH u AS (SELECT CAST(doc_id AS BIGINT) doc_id, text FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT) + 100000, text FROM documents)
+SELECT min(doc_id) AS doc_id FROM u GROUP BY text ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(sf_dir: str):
+    from ..textops import text_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_stats(docs)
+
+
+SQL_TEXT_STATS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+       CAST(array_length(list_distinct(
+           string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_unique_tokens,
+       round(CAST(array_length(list_distinct(
+                 string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+             / array_length(string_split_regex(trim(text), '\\s+')), 6)
+           AS unique_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(sf_dir: str):
+    from ..textops import language_id
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return language_id(docs)
+
+
+SQL_LANG_ID = """
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') t
+    FROM documents),
+scores AS (
+    SELECT doc_id,
+        len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is'))) s_en,
+        len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) s_de,
+        len(list_filter(t, x -> x IN ('le', 'la', 'les', 'et', 'est'))) s_fr,
+        len(list_filter(t, x -> x IN ('el', 'los', 'una', 'y', 'es'))) s_es
+    FROM toks)
+SELECT doc_id,
+       CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0
+            THEN 'unknown'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM scores ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "knn_basic": q_knn_basic,
+    "knn_csls": q_knn_csls,
+    "knn_ls": q_knn_ls,
+    "knn_nicdm": q_knn_nicdm,
+    "knn_mp_normal": q_knn_mp_normal,
+    "knn_mp_empiric": q_knn_mp_empiric,
+    "knn_dsl": q_knn_dsl,
+    "mp_stats": q_mp_stats,
+    "k_occurrence": q_k_occurrence,
+    "hubness_stats": q_hubness_stats,
+    "hits_at_k": q_hits,
+    "ann_cosine": q_ann_cosine,
+    "components": q_components,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+}
+
+ORACLE_SQL = {
+    "knn_basic": SQL_KNN_BASIC,
+    "knn_csls": SQL_KNN_CSLS,
+    "knn_ls": SQL_KNN_LS,
+    "knn_nicdm": SQL_KNN_NICDM,
+    "knn_dsl": SQL_KNN_DSL,
+    "mp_stats": SQL_MP_STATS,
+    "k_occurrence": SQL_K_OCCURRENCE,
+    "hubness_stats": SQL_HUBNESS_STATS,
+    "hits_at_k": SQL_HITS,
+    "ann_cosine": SQL_ANN_COSINE,
+    "components": SQL_COMPONENTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    # knn_mp_normal / knn_mp_empiric intentionally absent: DuckDB has no
+    # erf/survival function; the driver records rows-only checks for them.
+}

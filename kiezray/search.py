@@ -38,16 +38,18 @@ def shard_refs_from_dataset(
     id_col: str = "row_id",
     emb_col: str = "embedding",
     rows_per_shard: int = 65536,
-) -> tuple[list["ray.ObjectRef"], int]:
+) -> tuple[list["ray.ObjectRef"], int, int]:
     """Materialize the indexed side into object-store shards.
 
-    Returns (refs, total_rows). Each ref holds ``(ids int64 (s,), vecs
-    float64 (s, d))``. The indexed side of a search must fit the cluster's
-    aggregate object store — at 100 TB total data this is the per-block
-    target universe produced by blocking, not the whole corpus.
+    Returns (refs, total_rows, max_id). Each ref holds ``(ids int64 (s,),
+    vecs float64 (s, d))``. Ids need not be dense. The indexed side of a
+    search must fit the cluster's aggregate object store — at 100 TB total
+    data this is the per-block target universe produced by blocking, not
+    the whole corpus.
     """
     refs: list[ray.ObjectRef] = []
     total = 0
+    max_id = -1
     buf_ids: list[np.ndarray] = []
     buf_vecs: list[np.ndarray] = []
     buffered = 0
@@ -69,6 +71,8 @@ def shard_refs_from_dataset(
     ):
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vecs = emb_to_matrix(batch[emb_col]).astype(np.float64)
+        if len(ids):
+            max_id = max(max_id, int(ids.max()))
         buf_ids.append(ids)
         buf_vecs.append(vecs)
         buffered += len(ids)
@@ -76,7 +80,7 @@ def shard_refs_from_dataset(
         if buffered >= rows_per_shard:
             flush()
     flush()
-    return refs, total
+    return refs, total, max_id
 
 
 class SearchStage:

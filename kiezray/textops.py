@@ -1,0 +1,174 @@
+"""Text analysis operators: stats, language-ID, quality, fingerprints.
+
+Vectorized per-batch (pandas string kernels / numpy) — training-data
+pipeline extensions beyond the reference (SURVEY.md §2.6). The SQL-checked
+ops (`text_stats`, `language_id`) define their semantics to be exactly
+expressible in DuckDB (whitespace-regex tokenization, marker-word counts)
+so the oracle comparison is meaningful.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_WS = re.compile(r"\s+")
+
+_LANG_MARKERS = {
+    "en": {"the", "a", "of", "and", "is"},
+    "de": {"der", "die", "das", "und", "ist"},
+    "fr": {"le", "la", "les", "et", "est"},
+    "es": {"el", "los", "una", "y", "es"},
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+
+def _tokens(text: str) -> list[str]:
+    return _WS.split(text.strip())
+
+
+def text_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, text) -> (doc_id, n_chars, n_tokens, n_unique_tokens,
+    unique_ratio) — whitespace tokenization matching the DuckDB oracle."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").map(_tokens)
+        n_tokens = toks.map(len).astype(np.int64)
+        n_unique = toks.map(lambda ts: len(set(ts))).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_chars": batch["text"].fillna("").str.len().astype(np.int64),
+                "n_tokens": n_tokens,
+                "n_unique_tokens": n_unique,
+                "unique_ratio": np.round(
+                    n_unique / np.maximum(n_tokens, 1), 6
+                ).astype(np.float64),
+            }
+        )
+
+    return docs_ds.map_batches(stats, batch_format="pandas")
+
+
+def language_id(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Marker-word language heuristic -> (doc_id, lang_pred).
+
+    argmax over per-language marker counts with fixed priority tie-break;
+    'unknown' when no marker fires. Deterministic; mirrored by SQL_LANG_ID.
+    """
+
+    def predict_one(text: str) -> str:
+        toks = _tokens(text.strip().lower())
+        scores = {
+            lang: sum(t in markers for t in toks)
+            for lang, markers in _LANG_MARKERS.items()
+        }
+        if all(v == 0 for v in scores.values()):
+            return "unknown"
+        best = max(_LANG_ORDER, key=lambda lang: (scores[lang], -_LANG_ORDER.index(lang)))
+        return best
+
+    def predict(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "lang_pred": batch["text"].fillna("").map(predict_one),
+            }
+        )
+
+    return docs_ds.map_batches(predict, batch_format="pandas")
+
+
+def quality_score(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Heuristic document-quality features: length, punctuation ratio,
+    stopword ratio, mean token length, and a combined [0,1] score."""
+    stop = _LANG_MARKERS["en"]
+    punct = set(".,;:!?\"'()[]{}")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        toks = texts.map(_tokens)
+        n_tok = toks.map(len).clip(lower=1)
+        stop_ratio = toks.map(lambda ts: sum(t in stop for t in ts)) / n_tok
+        punct_ratio = texts.map(
+            lambda t: sum(c in punct for c in t) / max(len(t), 1)
+        )
+        mean_tok_len = toks.map(
+            lambda ts: float(np.mean([len(t) for t in ts])) if ts else 0.0
+        )
+        length_ok = ((texts.str.len() >= 50) & (texts.str.len() <= 20000)).astype(
+            float
+        )
+        qual = (
+            0.4 * length_ok
+            + 0.3 * (1.0 - punct_ratio.clip(0, 1))
+            + 0.3 * (mean_tok_len.clip(0, 10) / 10.0)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_chars": texts.str.len().astype(np.int64),
+                "stopword_ratio": stop_ratio.astype(np.float64),
+                "punct_ratio": punct_ratio.astype(np.float64),
+                "mean_token_len": mean_tok_len.astype(np.float64),
+                "quality": qual.astype(np.float64),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def token_counts(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Whitespace + BPE-ish subword token counts per document."""
+    sub = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "ws_tokens": texts.map(lambda t: len(_tokens(t))).astype(np.int64),
+                "subword_tokens": texts.str.lower().map(
+                    lambda t: len(sub.findall(t))
+                ).astype(np.int64),
+            }
+        )
+
+    return docs_ds.map_batches(count, batch_format="pandas")
+
+
+def fingerprint(docs_ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Dataset":
+    """Winnowing-style rolling-hash document fingerprint: min crc32 over
+    each window of token hashes, xor-folded to one int64 per doc."""
+
+    def fp_one(text: str) -> int:
+        toks = _tokens(text.lower())
+        if not toks:
+            return 0
+        hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+        if len(hs) <= window:
+            mins = np.array([hs.min()], dtype=np.uint64)
+        else:
+            view = np.lib.stride_tricks.sliding_window_view(hs, window)
+            mins = view.min(axis=1)
+        out = np.uint64(0)
+        for m in np.unique(mins):
+            out ^= (m * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+                0xFFFFFFFFFFFFFFFF
+            )
+        return int(out.astype(np.int64))
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "fingerprint": batch["text"].fillna("").map(fp_one).astype(np.int64),
+            }
+        )
+
+    return docs_ds.map_batches(fp, batch_format="pandas")
