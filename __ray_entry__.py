@@ -18,11 +18,12 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship: hubness-reduced (CSLS) entity alignment over the sf0.001
-    embeddings table, returning the reranked neighbor pairs."""
+    """Flagship: the full north-rule ER pipeline (embed -> LSH blocking ->
+    hubness-reranked pair scoring -> transitive clustering) over the
+    sf0.001 documents table adapted to the interleaved-span schema."""
     from kiezray.pipelines import queries as Q
 
-    return Q.q_knn_csls("/root/testdata/sf0.001")
+    return Q.q_er_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,180 @@
+"""Locality-sensitive blocking with explicit skew handling.
+
+Stage 1 of the north-rule pipeline: give every document a small set of
+blocking keys (MinHash band buckets over its span text) such that
+duplicates of one entity collide in >= 1 block with high probability.
+The block key is THE partitioning key of the whole pipeline: index build,
+pair scoring and the first clustering shuffle all group by it.
+
+Skew: blocks are data-dependent, and hub surface forms produce huge
+blocks. ``split_oversized_blocks`` measures the block histogram (an
+A1-style grouped count) and deterministically salts any block above
+``max_block`` into ceil(b / max_block) sub-blocks by doc-id hash. Pair
+recall inside a split block drops (documented trade); the alternative
+cap-and-truncate is what dedup.py uses. Both bound every downstream
+group to O(max_block^2) work.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .dedup import _shingle_hashes, _splitmix64
+
+
+class BlockKeyer:
+    """(doc_id, spans|text) -> exploded (doc_id, block_key) rows.
+
+    MinHash over character shingles of the document text; ``bands`` keys
+    per doc (band index + band hash). Permutation params derived once per
+    actor from the seed.
+    """
+
+    def __init__(
+        self,
+        bands: int = 8,
+        rows_per_band: int = 4,
+        shingle_k: int = 4,
+        seed: int = 42,
+        text_from_spans: bool = True,
+        extra_cols: tuple = (),
+    ):
+        num_perm = bands * rows_per_band
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 2**61 - 1, size=num_perm, dtype=np.uint64) | 1
+        self.b = rng.randint(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.text_from_spans = text_from_spans
+        self.extra_cols = extra_cols
+
+    def _doc_text(self, row_spans) -> str:
+        parts = []
+        for s in row_spans or []:
+            if s["kind"] == "text":
+                parts.append(s["text"])
+            else:
+                parts.append(s["media_ref"])
+        return " ".join(parts)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        if self.text_from_spans:
+            texts = [self._doc_text(sp) for sp in batch["spans"].to_pylist()]
+        else:
+            texts = [t or "" for t in batch["text"].to_pylist()]
+        n = len(ids)
+        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            h = _shingle_hashes(t, self.shingle_k)
+            if len(h) == 0:
+                continue
+            with np.errstate(over="ignore"):
+                vals = (
+                    h[None, :] * self.a[:, None] + self.b[:, None]
+                ) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            sigs[i] = vals.min(axis=1)
+        view = sigs.reshape(n, self.bands, self.rows_per_band)
+        mix = view[:, :, 0]
+        for r in range(1, self.rows_per_band):
+            mix = _splitmix64(mix ^ view[:, :, r])
+        out_ids = np.repeat(np.array(ids, dtype=object), self.bands)
+        band_idx = np.tile(np.arange(self.bands), n)
+        keys = [f"b{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
+        cols = {
+            "doc_id": pa.array(out_ids.tolist(), pa.string()),
+            "block_key": pa.array(keys, pa.string()),
+        }
+        for c in self.extra_cols:
+            src = batch[c]
+            idx = np.repeat(np.arange(n), self.bands)
+            cols[c] = src.take(pa.array(idx))
+        return pa.table(cols)
+
+
+def blocking_keys(
+    docs_ds: "ray.data.Dataset",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 4,
+    seed: int = 42,
+    text_from_spans: bool = True,
+    carry_cols: tuple = ("embedding",),
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    return docs_ds.map_batches(
+        BlockKeyer,
+        fn_constructor_kwargs=dict(
+            bands=bands,
+            rows_per_band=rows_per_band,
+            shingle_k=shingle_k,
+            seed=seed,
+            text_from_spans=text_from_spans,
+            extra_cols=tuple(carry_cols),
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def block_histogram(keys_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(block_key, n_docs) — the skew detector (A1-style grouped count)."""
+    from ray.data.aggregate import Count
+
+    return keys_ds.groupby("block_key").aggregate(Count(alias_name="n_docs"))
+
+
+def split_oversized_blocks(
+    keys_ds: "ray.data.Dataset",
+    max_block: int = 256,
+) -> "ray.data.Dataset":
+    """Salt any block with > max_block docs into hash sub-blocks.
+
+    Two grouped passes: histogram, then broadcast the (small) oversized-key
+    -> fanout map into a rewrite of the key column. Deterministic: salt =
+    crc32(doc_id) % fanout.
+    """
+    import ray
+
+    hist = block_histogram(keys_ds).to_pandas()
+    over = hist[hist["n_docs"] > max_block]
+    if len(over) == 0:
+        return keys_ds
+    fanout = {
+        k: int(np.ceil(n / max_block))
+        for k, n in zip(over["block_key"], over["n_docs"])
+    }
+    ref = ray.put(fanout)
+
+    class Salt:
+        def __init__(self, ref):
+            self.fanout = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["block_key"].to_pylist()
+            ids = t["doc_id"].to_pylist()
+            new = []
+            for k, d in zip(keys, ids):
+                f = self.fanout.get(k)
+                if f:
+                    new.append(f"{k}#s{zlib.crc32(d.encode()) % f}")
+                else:
+                    new.append(k)
+            return t.set_column(
+                t.schema.get_field_index("block_key"),
+                "block_key",
+                pa.array(new, pa.string()),
+            )
+
+    return keys_ds.map_batches(
+        Salt, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

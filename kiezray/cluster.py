@@ -1,148 +1,178 @@
-"""Transitive clustering: connected components as a groupby shuffle.
+"""Transitive clustering: connected components via vectorized shuffles.
 
 The reference has no clustering; this stage is specified by the north rule
 (BASELINE.json.north_rule): matched pairs -> transitive clusters. The
 algorithm is distributed min-label propagation:
 
-    labels(node) <- min over {labels(node)} ∪ {labels(u) : (u, node) edge}
+    label(node) <- min over {label(node)} ∪ {label(u) : (u, node) edge}
 
-iterated to fixpoint. Each iteration is two grouped shuffles expressed with
-``groupby().map_groups`` — no driver-side union-find, no join operator
-required (the label lookup is folded into the first groupby by unioning
-tagged label rows with tagged adjacency rows on the same key).
+iterated to fixpoint. Each iteration is one hash join (adjacency x labels,
+Ray's native ``Dataset.join``) plus one grouped Min aggregate — both
+C-level vectorized shuffles, no per-row Python. Convergence is detected
+with a join of the old and new label tables (changed-row count).
 
-Scale notes: label tables are one row per node; edge tables one row per
-edge (emitted in both directions). Convergence is O(component diameter)
-iterations; entity-resolution clusters are near-cliques so 2-4 rounds are
-typical. Hot nodes (hubs) are bounded by the pair-generation stage's group
-cap (kiezray.block), which is the skew guard for this shuffle too.
+String node ids are supported: Min aggregates lexicographically, so the
+component id is the minimum node id reachable (same semantics for int64
+ids, matching the SQL oracle's ``min(reachable vec_id)``).
+
+Scale notes: label/adjacency tables are one row per node/edge; iterations
+are O(component diameter) (entity-resolution clusters are near-cliques,
+so 2-4 rounds). Hot nodes are bounded upstream by the pair-generation
+group cap. ``num_partitions`` sizes the join shuffle.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
-
-
-def _init_labels(edges_ds, extra_nodes_ds=None):
-    a = edges_ds.select_columns(["a"]).map_batches(
-        lambda t: pa.table({"node": t["a"]}), batch_format="pyarrow"
-    )
-    b = edges_ds.select_columns(["b"]).map_batches(
-        lambda t: pa.table({"node": t["b"]}), batch_format="pyarrow"
-    )
-    nodes = a.union(b)
-    if extra_nodes_ds is not None:
-        nodes = nodes.union(extra_nodes_ds)
-    # distinct via groupby-first
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    nodes = nodes.groupby("node").map_groups(first, batch_format="pandas")
-    return nodes.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
-        batch_format="pyarrow",
-    )
+from ray.data.aggregate import Min
 
 
 def connected_components(
     edges_ds: "ray.data.Dataset",
     extra_nodes_ds: "ray.data.Dataset" = None,
     max_iter: int = 50,
+    num_partitions: int = 16,
+    driver_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """edges (a, b) [+ optional isolated nodes (node)] -> (node, component).
 
     Component id is the minimum node id (numeric or lexicographic for
     strings) reachable from the node. Isolated extra nodes keep their own
     id as component.
-    """
-    labels = _init_labels(edges_ds, extra_nodes_ds).materialize()
 
-    both = edges_ds.map_batches(
+    When the edge table is provably small (count <= driver_threshold) the
+    closure runs as driver-side union-find on the collected edge columns —
+    the edge table is orders of magnitude smaller than the corpus, and one
+    pass of union-find beats several join shuffles. Larger graphs take the
+    distributed label-propagation loop. Set driver_threshold=0 to force
+    the distributed path (tests do).
+    """
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges <= driver_threshold:
+        return _cc_driver(edges_ds, extra_nodes_ds)
+    return _cc_distributed(
+        edges_ds, extra_nodes_ds, max_iter, num_partitions
+    )
+
+
+def _cc_driver(edges_ds, extra_nodes_ds):
+    import ray
+
+    edges = []
+    for b in edges_ds.select_columns(["a", "b"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        edges.extend(zip(b["a"].to_pylist(), b["b"].to_pylist()))
+    nodes = []
+    if extra_nodes_ds is not None:
+        for b in extra_nodes_ds.select_columns(["node"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            nodes.extend(b["node"].to_pylist())
+    comp = connected_components_local(edges, nodes=nodes)
+    keys = sorted(comp)
+    tbl = pa.table(
+        {
+            "node": pa.array(keys),
+            "component": pa.array([comp[k] for k in keys]),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def _cc_distributed(
+    edges_ds: "ray.data.Dataset",
+    extra_nodes_ds,
+    max_iter: int,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    # undirected adjacency, pinned once (iterations must not re-execute the
+    # upstream pair-generation pipeline)
+    adj = edges_ds.map_batches(
         lambda t: pa.table(
             {
-                "key": pa.concat_arrays(
+                "src": pa.concat_arrays(
                     [t["a"].combine_chunks(), t["b"].combine_chunks()]
                 ),
-                "other": pa.concat_arrays(
+                "dst": pa.concat_arrays(
                     [t["b"].combine_chunks(), t["a"].combine_chunks()]
                 ),
             }
         ),
         batch_format="pyarrow",
+        zero_copy_batch=True,
     ).materialize()
 
+    nodes = adj.select_columns(["src"]).map_batches(
+        lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"
+    )
+    if extra_nodes_ds is not None:
+        nodes = nodes.union(extra_nodes_ds.select_columns(["node"]))
+    labels = (
+        nodes.groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .materialize()
+    )
+
     for _ in range(max_iter):
-        lab_rows = labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t["node"],
-                    "other": t["node"],  # placeholder, ignored for kind=0
-                    "label": t["label"],
-                    "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
-                }
-            ),
+        # (1) neighbor-min: pull each neighbor's label across every edge
+        msgs = adj.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
             batch_format="pyarrow",
         )
-        edge_rows = both.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t["key"],
-                    "other": t["other"],
-                    "label": t["key"],  # placeholder, ignored for kind=1
-                    "kind": pa.array(np.ones(len(t), dtype=np.int8)),
-                }
+        stepped = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # (2) pointer-doubling shortcut: label <- label(label). Label values
+        # are themselves node ids, so a self-join halves tree depth per
+        # round; with (1) this converges in O(log diameter) iterations
+        # (Shiloach-Vishkin style) instead of O(diameter).
+        new_labels = stepped.join(
+            stepped.map_batches(
+                lambda t: pa.table({"node2": t["node"], "label2": t["label"]}),
+                batch_format="pyarrow",
             ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("label",),
+            right_on=("node2",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["label2"]}),
             batch_format="pyarrow",
-        )
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g.loc[g["kind"] == 0, "label"]
-            if lab.empty:  # key never appears without a label row, but keep
-                return pd.DataFrame(  # the schema stable if it happens
-                    {
-                        "node": pd.Series([], dtype=g["key"].dtype),
-                        "label": pd.Series([], dtype=g["label"].dtype),
-                        "is_self": pd.Series([], dtype=np.int8),
-                    }
-                )
-            label = lab.min()
-            neigh = g.loc[g["kind"] == 1, "other"]
-            nodes = [g["key"].iloc[0]]
-            labels_out = [label]
-            selfs = [1]
-            if len(neigh):
-                nodes.extend(neigh.tolist())
-                labels_out.extend([label] * len(neigh))
-                selfs.extend([0] * len(neigh))
-            return pd.DataFrame(
-                {"node": nodes, "label": labels_out, "is_self": selfs}
-            )
-
-        msgs = lab_rows.union(edge_rows).groupby("key").map_groups(
-            propagate, batch_format="pandas"
-        )
-
-        def take_min(g: pd.DataFrame) -> pd.DataFrame:
-            new = g["label"].min()
-            old_rows = g.loc[g["is_self"] == 1, "label"]
-            old = old_rows.iloc[0] if len(old_rows) else new
-            return pd.DataFrame(
-                {
-                    "node": [g["node"].iloc[0]],
-                    "label": [new],
-                    "changed": [1 if new != old else 0],
-                }
-            )
-
-        new_labels = (
-            msgs.groupby("node").map_groups(take_min, batch_format="pandas")
         ).materialize()
-        changed = new_labels.sum("changed")
-        labels = new_labels.drop_columns(["changed"]).materialize()
-        if not changed:
+        changed_ds = new_labels.join(
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "old": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "changed": pc.cast(
+                        pc.not_equal(t["label"], t["old"]), pa.int64()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = new_labels
+        if not changed_ds.sum("changed"):
             break
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "component": t["label"]}),

@@ -1,0 +1,108 @@
+"""Per-stage checkpointing with lineage manifests (north-rule resume).
+
+Layout (resumable output: one directory per stage, partitioned parquet,
+atomic rename, manifest):
+
+    <ckpt_dir>/stage=<name>/part-*.parquet
+    <ckpt_dir>/stage=<name>/_lineage.json
+        {"stage", "fingerprint", "row_count", "schema", "wall_s",
+         "completed_at"}
+
+``run_stage`` skips recomputation when a completed manifest's fingerprint
+matches the requested one (fingerprint = hash of upstream fingerprints +
+stage config), otherwise computes, writes to a temp dir, atomically
+renames, and returns a Dataset reading the checkpoint. A failed run
+leaves either no dir or a temp dir that is ignored — rerun = resume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import ray.data
+
+
+def fingerprint(*parts) -> str:
+    h = hashlib.sha1()
+    for p in parts:
+        h.update(json.dumps(p, sort_keys=True, default=str).encode())
+        h.update(b"\x1f")
+    return h.hexdigest()[:16]
+
+
+def _stage_dir(ckpt_dir: str, name: str) -> str:
+    return os.path.join(ckpt_dir, f"stage={name}")
+
+
+def stage_is_complete(ckpt_dir: str, name: str, fp: str) -> bool:
+    mpath = os.path.join(_stage_dir(ckpt_dir, name), "_lineage.json")
+    if not os.path.exists(mpath):
+        return False
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+        return m.get("fingerprint") == fp
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def run_stage(
+    name: str,
+    fp: str,
+    make_ds,
+    ckpt_dir: str | None,
+    resume: bool = True,
+    metrics: dict | None = None,
+) -> "ray.data.Dataset":
+    """Compute-or-reload one pipeline stage.
+
+    make_ds: () -> Dataset (lazy). Without a ckpt_dir the stage pins its
+    output in the object store (each stage output is consumed by more than
+    one downstream pass; without pinning, laziness re-executes the whole
+    upstream pipeline per consumer). With a ckpt_dir the parquet
+    checkpoint is the pin.
+    """
+    if ckpt_dir is None:
+        return make_ds().materialize()
+    sdir = _stage_dir(ckpt_dir, name)
+    data_dir = os.path.join(sdir, "data")
+    if resume and stage_is_complete(ckpt_dir, name, fp):
+        return ray.data.read_parquet(data_dir)
+    tmp = sdir + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(sdir, ignore_errors=True)
+    t0 = time.time()
+    ds = make_ds()
+    ds.write_parquet(os.path.join(tmp, "data"))
+    rows = ray.data.read_parquet(os.path.join(tmp, "data")).count()
+    manifest = {
+        "stage": name,
+        "fingerprint": fp,
+        "row_count": rows,
+        "wall_s": round(time.time() - t0, 3),
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    if metrics:
+        manifest["metrics"] = metrics
+    # manifest lands inside tmp, then one atomic rename publishes the stage:
+    # a torn write can never present a complete-looking stage
+    with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, sdir)
+    return ray.data.read_parquet(data_dir)
+
+
+def read_manifests(ckpt_dir: str) -> dict[str, dict]:
+    out = {}
+    if not os.path.isdir(ckpt_dir):
+        return out
+    for d in sorted(os.listdir(ckpt_dir)):
+        mpath = os.path.join(ckpt_dir, d, "_lineage.json")
+        if d.startswith("stage=") and os.path.exists(mpath):
+            with open(mpath) as f:
+                out[d[len("stage="):]] = json.load(f)
+    return out

@@ -1,0 +1,229 @@
+"""Flagship entity-resolution pipeline (the north rule, end to end):
+
+    interleaved docs -> embed (actor pool, zero-copy Arrow)
+                     -> LSH blocking keys + skew-aware block splitting
+                     -> per-block hubness-reduced pair scoring
+                        (CSLS-family kernels on within-block kNN)
+                     -> pair dedup + threshold
+                     -> transitive clustering (label-propagation CC)
+
+Every stage can checkpoint through kiezray.lineage (per-stage partitioned
+parquet + manifest); rerunning with the same config resumes after the
+last completed stage. The blocking key is the single partitioning key:
+pair scoring is a ``groupby(block_key).map_groups`` whose group size is
+bounded by the skew splitter, so no stage ever materializes an unbounded
+group or the full corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..arrowutil import emb_to_matrix
+from ..block import blocking_keys, split_oversized_blocks
+from ..cluster import connected_components
+from ..embed import embed_docs
+from ..lineage import fingerprint, run_stage
+from ..rerank import csls
+
+
+@dataclass
+class ERConfig:
+    dim: int = 512
+    bands: int = 8
+    rows_per_band: int = 4
+    shingle_k: int = 4
+    seed: int = 42
+    n_candidates: int = 8
+    sim_threshold: float = 0.70
+    hubness: str = "csls"  # 'csls' | 'none'
+    max_block: int = 256
+    checkpoint_dir: str | None = None
+    resume: bool = True
+    concurrency: tuple = (1, 8)
+    extra: dict = field(default_factory=dict)
+
+
+class BlockPairScorer:
+    """Per-block pair scoring with within-block hubness reduction.
+
+    Inside one block (bounded by max_block docs): cosine distance matrix,
+    per-doc top-c neighbor lists, CSLS rescaling with the block-local
+    calibration means (both directions are the same matrix for this
+    self-alignment), then emit pairs whose *similarity-form* CSLS score
+    clears the threshold. Mirrors the reference rerank semantics
+    (csls.py:88-93) with block = candidate universe.
+    """
+
+    def __init__(self, n_candidates: int, sim_threshold: float, hubness: str):
+        self.c = n_candidates
+        self.tau = sim_threshold
+        self.hubness = hubness
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=str),
+                    "b": pd.Series([], dtype=str),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        ids = g["doc_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sim = mat @ mat.T
+        dist = 1.0 - sim
+        np.fill_diagonal(dist, np.inf)
+        c = min(self.c, n - 1)
+        # within-block kNN lists (ascending by distance)
+        idx = np.argpartition(dist, kth=c - 1, axis=1)[:, :c]
+        dvals = np.take_along_axis(dist, idx, axis=1)
+        order = np.argsort(dvals, kind="stable", axis=1)
+        I = np.take_along_axis(idx, order, axis=1)
+        D = np.take_along_axis(dvals, order, axis=1)
+        if self.hubness == "csls":
+            from ..rerank import CalibrationStats
+
+            # CSLS governs candidate RANKING (hub demotion); the match
+            # decision thresholds the raw cosine similarity — CSLS values
+            # are recentered and not comparable against a fixed tau
+            stats = CalibrationStats(method="csls", r_mean=D.mean(axis=1))
+            sec = csls(D, I, stats)
+            order2 = np.argsort(sec, kind="stable", axis=1)
+            I = np.take_along_axis(I, order2, axis=1)
+            D = np.take_along_axis(D, order2, axis=1)
+        score = 1.0 - D
+        a_idx = np.repeat(np.arange(n), c)
+        b_idx = I.ravel()
+        sc = score.ravel()
+        keep = sc >= self.tau
+        a_ids = ids[a_idx[keep]]
+        b_ids = ids[b_idx[keep]]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame(
+            {"a": lo, "b": hi, "score": np.round(sc[keep], 6)}
+        )
+
+
+def run_er(
+    docs_ds: "ray.data.Dataset",
+    config: ERConfig | None = None,
+) -> dict:
+    """Run the full pipeline; returns dict with 'clusters' (doc_id,
+    cluster_id), 'pairs' (a, b, score), and 'embedded' Datasets."""
+    cfg = config or ERConfig()
+    cfg_fp = fingerprint(asdict(cfg))
+    ck = cfg.checkpoint_dir
+
+    embedded = run_stage(
+        "embed",
+        fingerprint(cfg_fp, "embed"),
+        lambda: embed_docs(
+            docs_ds, dim=cfg.dim, concurrency=cfg.concurrency
+        ),
+        ck,
+        cfg.resume,
+    )
+
+    def make_keys():
+        keys = blocking_keys(
+            embedded,
+            bands=cfg.bands,
+            rows_per_band=cfg.rows_per_band,
+            shingle_k=cfg.shingle_k,
+            seed=cfg.seed,
+            carry_cols=("embedding",),
+            concurrency=cfg.concurrency,
+        )
+        return split_oversized_blocks(keys, max_block=cfg.max_block)
+
+    keys = run_stage("block", fingerprint(cfg_fp, "block"), make_keys, ck, cfg.resume)
+
+    def make_pairs():
+        scorer = BlockPairScorer(cfg.n_candidates, cfg.sim_threshold, cfg.hubness)
+
+        def score_block(g: pd.DataFrame) -> pd.DataFrame:
+            return scorer(g)
+
+        scored = keys.groupby("block_key").map_groups(
+            score_block, batch_format="pandas"
+        )
+
+        def dedup_first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values("score", ascending=False).head(1)
+
+        return scored.groupby(["a", "b"]).map_groups(
+            dedup_first, batch_format="pandas"
+        )
+
+    pairs = run_stage("pairs", fingerprint(cfg_fp, "pairs"), make_pairs, ck, cfg.resume)
+
+    def make_clusters():
+        nodes = docs_ds.select_columns(["doc_id"]).map_batches(
+            lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
+        )
+        comp = connected_components(pairs, extra_nodes_ds=nodes)
+        return comp.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["node"], "cluster_id": t["component"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    clusters = run_stage(
+        "clusters", fingerprint(cfg_fp, "clusters"), make_clusters, ck, cfg.resume
+    )
+
+    return {"embedded": embedded, "pairs": pairs, "clusters": clusters}
+
+
+def oracle_clusters(
+    docs_tbl: pa.Table, cfg: ERConfig | None = None
+) -> dict[str, str]:
+    """Exact-search reference implementation (no blocking, no Ray): the
+    conformance target for pairwise F1. All-pairs cosine over the same
+    embeddings + same CSLS scoring + same threshold + union-find."""
+    from ..cluster import connected_components_local
+    from ..embed import doc_text_and_media, embed_text
+    from ..rerank import CalibrationStats
+
+    cfg = cfg or ERConfig()
+    ids = docs_tbl["doc_id"].to_pylist()
+    spans = docs_tbl["spans"].to_pylist()
+    mat = np.stack(
+        [embed_text(*doc_text_and_media(sp), cfg.dim) for sp in spans]
+    )
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    mat = mat / norms
+    dist = 1.0 - mat @ mat.T
+    np.fill_diagonal(dist, np.inf)
+    n = len(ids)
+    c = min(cfg.n_candidates, n - 1)
+    idx = np.argsort(dist, axis=1)[:, :c]
+    D = np.take_along_axis(dist, idx, axis=1)
+    if cfg.hubness == "csls":
+        stats = CalibrationStats(method="csls", r_mean=D.mean(axis=1))
+        sec = csls(D, idx, stats)
+        order2 = np.argsort(sec, kind="stable", axis=1)
+        idx = np.take_along_axis(idx, order2, axis=1)
+        D = np.take_along_axis(D, order2, axis=1)
+    score = 1.0 - D
+    edges = []
+    for i in range(n):
+        for j_pos in range(c):
+            if score[i, j_pos] >= cfg.sim_threshold:
+                a, b = ids[i], ids[int(idx[i, j_pos])]
+                edges.append((min(a, b), max(a, b)))
+    comp = connected_components_local(edges, nodes=ids)
+    return comp

@@ -672,6 +672,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_er_pipeline(sf_dir: str):
+    """Flagship (rows-only): full blocking -> hubness-reranked pair scoring
+    -> transitive clustering over the documents table adapted to the
+    interleaved-span schema. Returns (doc_id, cluster_id)."""
+    import pyarrow.parquet as pq
+
+    from ..pipelines.er import ERConfig, run_er
+    from ..synth import docs_from_plain_text
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs_from_plain_text(tbl)
+    ds = ray.data.from_arrow(docs).repartition(8)
+    out = run_er(ds, ERConfig())
+    return out["clusters"]
+
+
+def q_minhash_dedup(sf_dir: str):
+    """Rows-only: MinHash+LSH near-dup components over documents with an
+    injected duplicate of every 10th doc."""
+    from ..dedup import dedup_minhash_lsh
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    dups = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.cast(pc.bit_wise_and(t["doc_id"], 7), pa.int64()), 0)
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.add(t["doc_id"], 100000), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return dedup_minhash_lsh(docs.union(dups), threshold=0.9)
+
+
 def q_lang_id(sf_dir: str):
     from ..textops import language_id
 
@@ -725,6 +768,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "er_pipeline": q_er_pipeline,
+    "minhash_dedup": q_minhash_dedup,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,84 @@
+"""Connected-components tests: driver and distributed paths agree."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kiezray.cluster import (
+    connected_components,
+    connected_components_local,
+)
+
+
+def _edges_ds(edges):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in edges]),
+                "b": pa.array([e[1] for e in edges]),
+            }
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    rng = np.random.RandomState(5)
+    n = 300
+    edges = [
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.randint(0, n, size=(400, 2))
+        if a != b
+    ]
+    nodes = list(range(n))
+    return edges, nodes
+
+
+def test_driver_path_matches_local(random_graph):
+    edges, nodes = random_graph
+    nodes_ds = ray.data.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    got = connected_components(_edges_ds(edges), extra_nodes_ds=nodes_ds)
+    gdf = got.to_pandas().set_index("node")["component"].to_dict()
+    want = connected_components_local(edges, nodes=nodes)
+    assert gdf == want
+
+
+def test_distributed_path_matches_local(random_graph):
+    edges, nodes = random_graph
+    nodes_ds = ray.data.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    got = connected_components(
+        _edges_ds(edges), extra_nodes_ds=nodes_ds, driver_threshold=0,
+        num_partitions=4,
+    )
+    gdf = got.to_pandas().set_index("node")["component"].to_dict()
+    want = connected_components_local(edges, nodes=nodes)
+    assert gdf == want
+
+
+def test_distributed_string_nodes():
+    edges = [("b", "a"), ("c", "b"), ("x", "y"), ("q", "q2")]
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"node": pa.array(["a", "b", "c", "x", "y", "q", "q2", "zz"])})
+    )
+    got = connected_components(
+        _edges_ds(edges), extra_nodes_ds=nodes_ds, driver_threshold=0,
+        num_partitions=2,
+    )
+    gdf = got.to_pandas().set_index("node")["component"].to_dict()
+    assert gdf == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+        "q": "q", "q2": "q", "zz": "zz",
+    }
+
+
+def test_chain_graph_distributed():
+    """Long chain exercises multi-iteration convergence."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = connected_components(
+        _edges_ds(edges), driver_threshold=0, num_partitions=2, max_iter=50
+    )
+    gdf = got.to_pandas()
+    assert (gdf["component"] == 0).all()
+    assert len(gdf) == n

@@ -1,0 +1,159 @@
+"""End-to-end ER pipeline tests: F1 conformance, span invariance, resume."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kiezray.evaluate import pairwise_scores
+from kiezray.pipelines.er import ERConfig, oracle_clusters, run_er
+from kiezray.synth import docs_from_plain_text, generate_docs
+
+
+@pytest.fixture(scope="module")
+def small_docs():
+    docs, gold_clusters, gold_links = generate_docs(
+        n_entities=40, seed=42, hub_entities=1, hub_copies=12
+    )
+    return docs, gold_clusters, gold_links
+
+
+@pytest.fixture(scope="module")
+def er_out(small_docs, tmp_path_factory):
+    """One checkpointed pipeline run shared by the inspection tests."""
+    docs, _, _ = small_docs
+    ds = ray.data.from_arrow(docs).repartition(4)
+    ck = str(tmp_path_factory.mktemp("er_ckpt"))
+    cfg = ERConfig(checkpoint_dir=ck)
+    return run_er(ds, cfg), cfg, ck
+
+
+def _gold_map(gold_clusters: pa.Table) -> dict:
+    return dict(
+        zip(
+            gold_clusters["doc_id"].to_pylist(),
+            gold_clusters["entity_id"].to_pylist(),
+        )
+    )
+
+
+def test_generator_deterministic():
+    d1, c1, l1 = generate_docs(n_entities=10, seed=7)
+    d2, c2, l2 = generate_docs(n_entities=10, seed=7)
+    assert d1.equals(d2) and c1.equals(c2) and l1.equals(l2)
+    d3, _, _ = generate_docs(n_entities=10, seed=8)
+    assert not d3.equals(d1)
+
+
+def test_span_sequence_invariant(small_docs, er_out):
+    """Per-row span-sequence equality through embed + pipeline carry."""
+    docs, _, _ = small_docs
+    out, _, _ = er_out
+    emb_tbl = pa.concat_tables(
+        ray.get(out["embedded"].to_arrow_refs())
+    ).combine_chunks()
+    want = {
+        d: s for d, s in zip(docs["doc_id"].to_pylist(), docs["spans"].to_pylist())
+    }
+    got = {
+        d: s
+        for d, s in zip(
+            emb_tbl["doc_id"].to_pylist(), emb_tbl["spans"].to_pylist()
+        )
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], f"span sequence changed for {k}"
+
+
+def test_er_f1_vs_oracle_and_gold(small_docs, er_out):
+    """North-rule conformance: pairwise F1 >= 0.99 vs the exact-search
+    oracle on labeled pairs sharing a blocking key; high F1 vs gold."""
+    docs, gold_clusters, _ = small_docs
+    ds = ray.data.from_arrow(docs).repartition(4)
+    out, cfg, _ = er_out
+    pred_tbl = out["clusters"].to_pandas()
+    pred = dict(zip(pred_tbl["doc_id"], pred_tbl["cluster_id"]))
+    assert len(pred) == len(docs)
+
+    oracle = oracle_clusters(docs, cfg)
+
+    # labeled-pair universe: gold pairs that share >= 1 blocking key
+    from kiezray.block import blocking_keys
+    from kiezray.embed import embed_docs
+
+    keys = blocking_keys(embed_docs(ds, cfg.dim), bands=cfg.bands,
+                         rows_per_band=cfg.rows_per_band,
+                         shingle_k=cfg.shingle_k, seed=cfg.seed,
+                         carry_cols=()).to_pandas()
+    by_key: dict = {}
+    for d, k in zip(keys["doc_id"], keys["block_key"]):
+        by_key.setdefault(k, []).append(d)
+    shared = set()
+    for members in by_key.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                shared.add((ms[i], ms[j]))
+
+    res = pairwise_scores(pred, oracle, restrict_pairs=shared)
+    assert res["f1"] >= 0.99, res
+
+    gold = _gold_map(gold_clusters)
+    res_gold = pairwise_scores(pred, gold)
+    assert res_gold["f1"] >= 0.9, res_gold
+
+
+def test_checkpoint_resume(small_docs, tmp_path):
+    """Stage-level resume: second run reuses completed stages byte-for-byte
+    and later stages can be recomputed after deletion."""
+    docs, _, _ = small_docs
+    ds = ray.data.from_arrow(docs).repartition(2)
+    ck = str(tmp_path / "ckpt")
+    cfg = ERConfig(checkpoint_dir=ck)
+    out1 = run_er(ds, cfg)
+    c1 = out1["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    embed_manifest = os.path.join(ck, "stage=embed", "_lineage.json")
+    mtime1 = os.path.getmtime(embed_manifest)
+
+    # simulate a crash after stage 2: blow away pairs+clusters, rerun
+    import shutil
+
+    shutil.rmtree(os.path.join(ck, "stage=pairs"))
+    shutil.rmtree(os.path.join(ck, "stage=clusters"))
+    out2 = run_er(ds, cfg)
+    c2 = out2["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert os.path.getmtime(embed_manifest) == mtime1  # stage skipped
+    assert c1.equals(c2)
+
+    from kiezray.lineage import read_manifests
+
+    mans = read_manifests(ck)
+    assert set(mans) == {"embed", "block", "pairs", "clusters"}
+    assert all(m["row_count"] > 0 for m in mans.values())
+
+
+def test_hub_block_is_split(small_docs):
+    """The hub entity's oversized block must be salted below max_block."""
+    docs, _, _ = small_docs
+    ds = ray.data.from_arrow(docs)
+    from kiezray.block import block_histogram, blocking_keys, split_oversized_blocks
+    from kiezray.embed import embed_docs
+
+    keys = blocking_keys(embed_docs(ds, 512), carry_cols=())
+    split = split_oversized_blocks(keys, max_block=10)
+    hist = block_histogram(split).to_pandas()
+    assert hist["n_docs"].max() <= 10 * 2  # salting bounds, modest slack
+
+
+def test_plain_text_adapter():
+    tbl = pa.table({"doc_id": [1, 2], "text": ["a b c d e f g h i j k l m n", "x y"]})
+    docs = docs_from_plain_text(tbl, sentence_tokens=5)
+    spans = docs["spans"].to_pylist()
+    assert spans[0][0]["kind"] == "text"
+    kinds = [s["kind"] for s in spans[0]]
+    assert "media" in kinds
+    offsets = [s["offset"] for s in spans[0]]
+    assert offsets == sorted(offsets)
