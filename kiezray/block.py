@@ -140,10 +140,12 @@ def split_oversized_blocks(
 
     Two grouped passes: histogram, then broadcast the (small) oversized-key
     -> fanout map into a rewrite of the key column. Deterministic: salt =
-    crc32(doc_id) % fanout.
+    crc32(doc_id) % fanout. The input is pinned first because both passes
+    consume it.
     """
     import ray
 
+    keys_ds = keys_ds.materialize()
     hist = block_histogram(keys_ds).to_pandas()
     over = hist[hist["n_docs"] > max_block]
     if len(over) == 0:

@@ -1,0 +1,93 @@
+"""CLI entry: ``python -m kiezray run conf.json`` (ray-job-submit shaped).
+
+Config JSON mirrors the reference's Kiez kwargs (kiez.py:154-158) plus
+pipeline keys:
+
+{
+  "pipeline": "er" | "align",
+  "input": "<parquet/lance path of docs or embeddings>",
+  "output": "<output dir>",
+  "checkpoint_dir": "...",           # optional, enables resume
+  "n_candidates": 10, "hubness": "CSLS", "hubness_kwargs": {...},
+  "algorithm": "SklearnNN", "algorithm_kwargs": {...},
+  "er": { ...ERConfig overrides... }
+}
+
+Owns its Ray session (guarded init) — the driver-contract entry points in
+__ray_entry__ never reach this module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kiezray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run a pipeline from a JSON config")
+    runp.add_argument("conf")
+    runp.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    with open(args.conf) as f:
+        conf = json.load(f)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    try:
+        pipeline = conf.get("pipeline", "er")
+        out_dir = conf["output"]
+        if pipeline == "er":
+            from .io import read_docs
+            from .pipelines.er import ERConfig, run_er
+
+            er_kwargs = dict(conf.get("er", {}))
+            if "checkpoint_dir" in conf:
+                er_kwargs.setdefault("checkpoint_dir", conf["checkpoint_dir"])
+            docs = read_docs(conf["input"])
+            out = run_er(docs, ERConfig(**er_kwargs))
+            out["clusters"].write_parquet(out_dir)
+            print(json.dumps({"status": "ok", "output": out_dir}))
+        elif pipeline == "align":
+            from .kiez import Kiez
+
+            kz = Kiez(
+                n_candidates=conf.get("n_candidates", 10),
+                algorithm=conf.get("algorithm"),
+                algorithm_kwargs=conf.get("algorithm_kwargs"),
+                hubness=conf.get("hubness"),
+                hubness_kwargs=conf.get("hubness_kwargs"),
+            )
+            import ray.data as rd
+
+            source = rd.read_parquet(conf["input"])
+            target = (
+                rd.read_parquet(conf["target"]) if "target" in conf else None
+            )
+            kz.fit(source, target)
+            kz.kneighbors_dataset(conf.get("k")).write_parquet(out_dir)
+            print(json.dumps({"status": "ok", "output": out_dir}))
+        else:
+            raise ValueError(f"unknown pipeline: {pipeline}")
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

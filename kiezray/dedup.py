@@ -45,10 +45,26 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Deterministic 64-bit hashes of the character k-shingles of a text."""
+    """Deterministic 64-bit hashes of the character k-shingles of a text.
+
+    Vectorized for k <= 8: the UTF-8 byte stream is viewed as sliding
+    windows and packed into uint64 words, then mixed with splitmix64 —
+    no per-shingle Python. Falls back to crc32 per shingle for k > 8.
+    """
     t = text.lower()
     if len(t) < k:
         t = t + " " * (k - len(t))
+    if k <= 8:
+        buf = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(buf) < k:  # multibyte edge: re-pad in byte space
+            buf = np.pad(buf, (0, k - len(buf)), constant_values=32)
+        win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+        weights = (np.uint64(256) ** np.arange(k, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        with np.errstate(over="ignore"):
+            packed = (win * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return _splitmix64(np.unique(packed))
     raw = np.array(
         [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)],
         dtype=np.uint64,
@@ -79,16 +95,36 @@ def dedup_exact(
         joined = ["\x1f".join(str(x) for x in row) for row in zip(*parts)]
         return t.append_column("__chash", content_hash_column(joined))
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    import ray
+    from ray.data.aggregate import Min
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
+    mins = hashed.groupby("__chash").aggregate(Min(id_col, alias_name=id_col))
+    # semi-join back via broadcast of the kept-id set (one id per distinct
+    # content); at corpus scales where even that set outgrows a broadcast,
+    # swap in Dataset.join keyed on (__chash, id)
+    kept_ids = set()
+    for b in mins.iter_batches(batch_format="pyarrow"):
+        kept_ids.update(b[id_col].to_pylist())
+    ref = ray.put(kept_ids)
 
-    return (
-        hashed.groupby("__chash")
-        .map_groups(keep_min, batch_format="pandas")
-        .drop_columns(["__chash"])
-    )
+    class KeepFilter:
+        def __init__(self, ref, id_col):
+            self.keep = ray.get(ref)
+            self.id_col = id_col
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [x in self.keep for x in t[self.id_col].to_pylist()]
+            )
+            return t.filter(mask)
+
+    return hashed.map_batches(
+        KeepFilter,
+        fn_constructor_kwargs={"ref": ref, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).drop_columns(["__chash"])
 
 
 class MinHasher:

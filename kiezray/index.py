@@ -64,28 +64,121 @@ def _topk_by_id_tiebreak(
 class ExactIndex:
     """Brute-force index: one GEMM per (query batch, shard). Conformance
     oracle, equivalent of the reference SklearnNN backend
-    (kiez/neighbors/exact/sklearn_nearest_neighbors.py)."""
+    (kiez/neighbors/exact/sklearn_nearest_neighbors.py).
 
-    def __init__(self, metric: str = "euclidean", p: float = 2.0):
+    The hot path is fused and allocation-light: a single GEMM, in-place
+    norm adds, argpartition on the score matrix, and monotonic
+    post-transforms (sqrt for euclidean) applied only to the k selected
+    values. ``dtype=float32`` halves memory traffic for bandwidth-bound
+    shards (distances still returned float64).
+    """
+
+    _GEMM_METRICS = {
+        "euclidean", "l2", "sqeuclidean", "cosine", "ip", "innerproduct",
+        "inner_product", "minkowski",
+    }
+
+    def __init__(
+        self,
+        metric: str = "euclidean",
+        p: float = 2.0,
+        dtype="float64",
+        chunk_rows: int = 8192,
+    ):
         self.metric = metric
         self.p = p
+        self.dtype = np.dtype(dtype)
+        # target rows per GEMM tile: keeps the (n_q, chunk) score matrix
+        # cache-resident instead of materializing (n_q, m) in RAM — the
+        # score matrix, not the GEMM, is the bandwidth hog at large m
+        self.chunk_rows = chunk_rows
         self.ids: np.ndarray | None = None
         self.vecs: np.ndarray | None = None
 
     def build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
         self.ids = np.ascontiguousarray(ids, dtype=np.int64)
-        self.vecs = np.ascontiguousarray(vecs, dtype=np.float64)
+        vecs = np.ascontiguousarray(vecs, dtype=self.dtype)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+        self.vecs = vecs
+        if self.metric in ("euclidean", "l2", "sqeuclidean") or (
+            self.metric == "minkowski" and self.p == 2.0
+        ):
+            self._xn = np.einsum("ij,ij->i", vecs, vecs)
+        else:
+            self._xn = None
+
+    def _chunk_topk(
+        self, q: np.ndarray, k: int, exclude_ids: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Tile the indexed side; keep a running per-query top-k."""
+        m = len(self.ids)
+        n = len(q)
+        best_d = np.full((n, k), np.inf)
+        best_i = np.full((n, k), -1, dtype=np.int64)
+        for s in range(0, m, self.chunk_rows):
+            e = min(s + self.chunk_rows, m)
+            d = self._score_slice(q, s, e)
+            ids = self.ids[s:e]
+            if exclude_ids is not None:
+                d[ids[None, :] == exclude_ids[:, None]] = np.inf
+            kk = min(k, e - s)
+            if kk < e - s:
+                part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+                pd = np.take_along_axis(d, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(e - s), (n, e - s))
+                pd = d
+            cd = np.concatenate([best_d, pd.astype(np.float64)], axis=1)
+            ci = np.concatenate([best_i, ids[part]], axis=1)
+            key = np.where(ci < 0, np.iinfo(np.int64).max, ci)
+            order = np.lexsort((key, cd), axis=-1)[:, :k]
+            best_d = np.take_along_axis(cd, order, axis=1)
+            best_i = np.take_along_axis(ci, order, axis=1)
+        return best_d, best_i
+
+    def _score_slice(self, q: np.ndarray, s: int, e: int) -> np.ndarray:
+        m = self.metric
+        if m in ("euclidean", "l2", "sqeuclidean") or (
+            m == "minkowski" and self.p == 2.0
+        ):
+            d = q @ self.vecs[s:e].T
+            d *= -2.0
+            d += self._qn[:, None]
+            d += self._xn[None, s:e]
+            np.maximum(d, 0.0, out=d)
+            return d
+        if m == "cosine":
+            d = self._qnormed @ self.vecs[s:e].T
+            d *= -1.0
+            d += 1.0
+            return d
+        if m in ("ip", "innerproduct", "inner_product"):
+            return -(q @ self.vecs[s:e].T)
+        return pairwise_distances(q, self.vecs[s:e], m, self.p)
 
     def search(
         self, q: np.ndarray, k: int, exclude_ids: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        d = pairwise_distances(q, self.vecs, self.metric, self.p)
-        ids = np.broadcast_to(self.ids, d.shape).copy()
-        if exclude_ids is not None:
-            d = d.copy() if d.base is not None else d
-            d[self.ids[None, :] == exclude_ids[:, None]] = np.inf
-        dist, out_ids = _topk_by_id_tiebreak(d, ids, k)
-        # excluded / overflow slots surface as inf -> convert to padding
+        q = np.ascontiguousarray(q, dtype=self.dtype)
+        # per-query-batch prep for the slice kernels
+        if self.metric in ("euclidean", "l2", "sqeuclidean") or (
+            self.metric == "minkowski" and self.p == 2.0
+        ):
+            self._qn = np.einsum("ij,ij->i", q, q)
+        elif self.metric == "cosine":
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            self._qnormed = q / qn
+        dist, out_ids = self._chunk_topk(q, k, exclude_ids)
+        sqrt_metric = self.metric in ("euclidean", "l2") or (
+            self.metric == "minkowski" and self.p == 2.0
+        )
+        if sqrt_metric:
+            np.sqrt(dist, out=dist)  # monotonic: safe after selection
+        dist, out_ids = _pad(dist, out_ids, k)
         bad = ~np.isfinite(dist)
         if bad.any():
             dist[bad] = np.nan

@@ -293,24 +293,38 @@ class Kiez:
             self._target_ds = source if target is None else target
             self._source_vecs = None
             self._target_vecs = None
-            self._n = self._source_ds.count()
-            self._m = self._n if target is None else self._target_ds.count()
+            # row counts come from the shard-build pass below — no extra
+            # count() executions of the upstream pipeline
+            self._n = None
+            self._m = None
         else:
             raise ValueError(
                 f"Not implemented for input type {type(source)}! Only numpy"
                 " arrays and ray.data.Dataset allowed!"
             )
 
+        shard_dtype = np.dtype(self.algorithm_kwargs.get("dtype", "float64"))
         self._target_shards, m2, t_max_id = shard_refs_from_dataset(
-            self._target_ds, rows_per_shard=self.rows_per_shard
+            self._target_ds, rows_per_shard=self.rows_per_shard,
+            dtype=shard_dtype,
         )
+        if self._m is None:
+            self._m = m2
         assert m2 == self._m
         # stats/dense arrays are indexed by row id; ids may be sparse
         self._m_index = t_max_id + 1
         if self.hubness != "none":
-            self._source_shards, _, s_max_id = shard_refs_from_dataset(
-                self._source_ds, rows_per_shard=self.rows_per_shard
-            )
+            if self._source_ds is self._target_ds:
+                self._source_shards, n2, s_max_id = (
+                    self._target_shards, m2, t_max_id
+                )
+            else:
+                self._source_shards, n2, s_max_id = shard_refs_from_dataset(
+                    self._source_ds, rows_per_shard=self.rows_per_shard,
+                    dtype=shard_dtype,
+                )
+            if self._n is None:
+                self._n = n2
             self._n_index = s_max_id + 1
             c = self._check_k(self.n_candidates, self._n)
             t2s = knn_search(

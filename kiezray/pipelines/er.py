@@ -32,6 +32,28 @@ from ..lineage import fingerprint, run_stage
 from ..rerank import csls
 
 
+_LOOKUP_CACHE: dict = {}
+
+
+def _shard_lookup(refs):
+    """Per-worker-process cache of the broadcast embedding shards as one
+    (pd.Index, matrix) pair — fetched from the object store once per
+    process, not per group/batch."""
+    key = tuple(r.hex() for r in refs)
+    if key not in _LOOKUP_CACHE:
+        import ray
+
+        ids_list, mats = [], []
+        for r in refs:
+            i, m = ray.get(r)
+            ids_list.append(i)
+            mats.append(m)
+        index = pd.Index(np.concatenate(ids_list))
+        _LOOKUP_CACHE.clear()
+        _LOOKUP_CACHE[key] = (index, np.concatenate(mats))
+    return _LOOKUP_CACHE[key]
+
+
 @dataclass
 class ERConfig:
     dim: int = 512
@@ -55,9 +77,10 @@ class BlockPairScorer:
     Inside one block (bounded by max_block docs): cosine distance matrix,
     per-doc top-c neighbor lists, CSLS rescaling with the block-local
     calibration means (both directions are the same matrix for this
-    self-alignment), then emit pairs whose *similarity-form* CSLS score
-    clears the threshold. Mirrors the reference rerank semantics
-    (csls.py:88-93) with block = candidate universe.
+    self-alignment). CSLS governs candidate RANKING (hub demotion); the
+    match decision thresholds the raw cosine similarity — CSLS values are
+    recentered and not comparable against a fixed tau. Mirrors the
+    reference rerank semantics (csls.py:88-93) with block = universe.
     """
 
     def __init__(self, n_candidates: int, sim_threshold: float, hubness: str):
@@ -65,26 +88,18 @@ class BlockPairScorer:
         self.tau = sim_threshold
         self.hubness = hubness
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
+    def score_block(
+        self, ids: np.ndarray, mat: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """ids (n,) object/str, mat (n, d) L2-normalized rows ->
+        (a, b, score) numpy arrays."""
+        n = len(ids)
+        empty = (ids[:0], ids[:0], np.empty(0))
         if n < 2:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype=str),
-                    "b": pd.Series([], dtype=str),
-                    "score": pd.Series([], dtype=np.float64),
-                }
-            )
-        ids = g["doc_id"].to_numpy()
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
-        sim = mat @ mat.T
-        dist = 1.0 - sim
+            return empty
+        dist = 1.0 - mat @ mat.T
         np.fill_diagonal(dist, np.inf)
         c = min(self.c, n - 1)
-        # within-block kNN lists (ascending by distance)
         idx = np.argpartition(dist, kth=c - 1, axis=1)[:, :c]
         dvals = np.take_along_axis(dist, idx, axis=1)
         order = np.argsort(dvals, kind="stable", axis=1)
@@ -93,9 +108,6 @@ class BlockPairScorer:
         if self.hubness == "csls":
             from ..rerank import CalibrationStats
 
-            # CSLS governs candidate RANKING (hub demotion); the match
-            # decision thresholds the raw cosine similarity — CSLS values
-            # are recentered and not comparable against a fixed tau
             stats = CalibrationStats(method="csls", r_mean=D.mean(axis=1))
             sec = csls(D, I, stats)
             order2 = np.argsort(sec, kind="stable", axis=1)
@@ -106,12 +118,63 @@ class BlockPairScorer:
         b_idx = I.ravel()
         sc = score.ravel()
         keep = sc >= self.tau
+        if not keep.any():
+            return empty
         a_ids = ids[a_idx[keep]]
         b_ids = ids[b_idx[keep]]
         lo = np.minimum(a_ids, b_ids)
         hi = np.maximum(a_ids, b_ids)
-        return pd.DataFrame(
-            {"a": lo, "b": hi, "score": np.round(sc[keep], 6)}
+        return lo, hi, np.round(sc[keep], 6)
+
+    def __call__(self, part: pa.Table, lookup) -> pa.Table:
+        """Score ONE COARSE PARTITION holding many whole blocks.
+
+        Blocks are tiny (often 1-4 docs), so per-block pandas frames cost
+        more than the math; instead groups are delimited with numpy over
+        the partition sorted by block_key and each block is scored with
+        pure-numpy slices. ``lookup`` = (pd.Index of doc ids, normalized
+        embedding matrix) from the broadcast shards.
+        """
+        if len(part) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        keys = np.asarray(part["block_key"].to_pylist(), dtype=object)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ids = np.asarray(part["doc_id"].to_pylist(), dtype=object)[order]
+        index, all_mat = lookup
+        mat = all_mat[index.get_indexer(ids)]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1], [True]))
+        )
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b, sc = self.score_block(ids[s:e], mat[s:e])
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(sc)
+        if not out_a:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a).tolist(), pa.string()),
+                "b": pa.array(np.concatenate(out_b).tolist(), pa.string()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
         )
 
 
@@ -136,13 +199,16 @@ def run_er(
     )
 
     def make_keys():
+        # keys stay (doc_id, block_key) ONLY — embeddings do NOT ride the
+        # blocking shuffle (x bands duplication); the score stage reads
+        # them from broadcast object-store shards instead
         keys = blocking_keys(
             embedded,
             bands=cfg.bands,
             rows_per_band=cfg.rows_per_band,
             shingle_k=cfg.shingle_k,
             seed=cfg.seed,
-            carry_cols=("embedding",),
+            carry_cols=(),
             concurrency=cfg.concurrency,
         )
         return split_oversized_blocks(keys, max_block=cfg.max_block)
@@ -150,20 +216,49 @@ def run_er(
     keys = run_stage("block", fingerprint(cfg_fp, "block"), make_keys, ck, cfg.resume)
 
     def make_pairs():
+        import zlib
+
+        import ray
+        from ray.data.aggregate import Max
+
+        # broadcast the (normalized) embedding matrix shards once; score
+        # workers look vectors up by doc_id instead of shuffling 512-dim
+        # rows through the blocking groupby x bands
+        emb_shards = []
+        for b in embedded.select_columns(["doc_id", "embedding"]).iter_batches(
+            batch_size=32768, batch_format="pyarrow"
+        ):
+            ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
+            mat = emb_to_matrix(b["embedding"]).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            emb_shards.append(ray.put((ids, mat / norms)))
+
         scorer = BlockPairScorer(cfg.n_candidates, cfg.sim_threshold, cfg.hubness)
+        # coarse hash partitions: each map_groups call scores MANY whole
+        # blocks with numpy (per-tiny-block overhead killed); a block never
+        # spans two partitions because partition = f(block_key)
+        P = 64
 
-        def score_block(g: pd.DataFrame) -> pd.DataFrame:
-            return scorer(g)
+        def add_part(t: pa.Table) -> pa.Table:
+            part = pa.array(
+                [zlib.crc32(k.encode()) % P for k in t["block_key"].to_pylist()],
+                pa.int32(),
+            )
+            return t.append_column("part", part)
 
-        scored = keys.groupby("block_key").map_groups(
-            score_block, batch_format="pandas"
+        parted = keys.map_batches(add_part, batch_format="pyarrow")
+
+        def score_partition(g: pa.Table) -> pa.Table:
+            lookup = _shard_lookup(emb_shards)
+            return scorer(g, lookup)
+
+        scored = parted.groupby("part").map_groups(
+            score_partition, batch_format="pyarrow"
         )
-
-        def dedup_first(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values("score", ascending=False).head(1)
-
-        return scored.groupby(["a", "b"]).map_groups(
-            dedup_first, batch_format="pandas"
+        # exact pair dedup: vectorized grouped Max over (a, b)
+        return scored.groupby(["a", "b"]).aggregate(
+            Max("score", alias_name="score")
         )
 
     pairs = run_stage("pairs", fingerprint(cfg_fp, "pairs"), make_pairs, ck, cfg.resume)

@@ -747,6 +747,151 @@ FROM scores ORDER BY doc_id
 """
 
 
+def q_token_counts(sf_dir: str):
+    from ..textops import token_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return token_counts(docs)
+
+
+SQL_TOKEN_COUNTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS ws_tokens,
+       CAST(array_length(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS subword_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality(sf_dir: str):
+    """Rows-only: heuristic quality features per document."""
+    from ..textops import quality_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = quality_score(docs)
+    return out.map_batches(
+        lambda df: df.assign(
+            stopword_ratio=df["stopword_ratio"].round(6),
+            punct_ratio=df["punct_ratio"].round(6),
+            mean_token_len=df["mean_token_len"].round(6),
+            quality=df["quality"].round(6),
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Rows-only: winnowing rolling-hash fingerprints."""
+    from ..textops import fingerprint
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return fingerprint(docs)
+
+
+def q_simhash_dedup(sf_dir: str):
+    """Rows-only: SimHash near-dup components with injected duplicates."""
+    from ..dedup import dedup_simhash
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    dups = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.cast(pc.bit_wise_and(t["doc_id"], 15), pa.int64()), 0)
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.add(t["doc_id"], 200000), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return dedup_simhash(docs.union(dups), max_hamming=3)
+
+
+def q_embed_dup(sf_dir: str):
+    """Embedding-cosine near-dup components over all embeddings rows."""
+    from ..dedup import dedup_embedding_cosine
+
+    ds = _emb_ds(sf_dir)
+    comp = dedup_embedding_cosine(
+        ds, id_col="row_id", threshold=0.8, n_candidates=10
+    )
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["node"], "component": t["component"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EMBED_DUP = """
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+d AS (SELECT a.vec_id ai, b.vec_id bi,
+             list_cosine_similarity(a.e, b.e) sim
+      FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+topk AS (SELECT ai, bi, sim,
+                row_number() OVER (PARTITION BY ai
+                                   ORDER BY sim DESC, bi) rn
+         FROM d),
+edges AS (SELECT ai a, bi b FROM topk WHERE rn <= 10 AND sim >= 0.8),
+undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach (node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT u.a, reach.r FROM undirected u JOIN reach ON reach.node = u.b
+)
+SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
+def q_hubness_all(sf_dir: str):
+    """Rows-only: full hubness_score dict incl. truncnorm skewness (no
+    closed-form SQL for the truncated-normal moment)."""
+    occ_tbl = q_k_occurrence(sf_dir).to_pandas()
+    occ = occ_tbl.sort_values("target_id")["k_occurrence"].to_numpy()
+    m = _measures_from_occurrence(
+        occ, k=N_CAND, n_test=(occ_tbl.shape[0]), hub_size=2.0,
+        return_value="all", store_k_occurrence=False,
+    )
+    return pa.table(
+        {
+            "measure": pa.array(
+                [
+                    "k_skewness", "k_skewness_truncnorm", "atkinson", "gini",
+                    "robinhood", "antihub_occurrence", "hub_occurrence",
+                    "groupie_ratio",
+                ]
+            ),
+            "value": pa.array(
+                [
+                    round(float(m[k]), 6)
+                    for k in (
+                        "k_skewness", "k_skewness_truncnorm", "atkinson",
+                        "gini", "robinhood", "antihub_occurrence",
+                        "hub_occurrence", "groupie_ratio",
+                    )
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -770,6 +915,12 @@ QUERIES = {
     "lang_id": q_lang_id,
     "er_pipeline": q_er_pipeline,
     "minhash_dedup": q_minhash_dedup,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "simhash_dedup": q_simhash_dedup,
+    "embed_dup": q_embed_dup,
+    "hubness_all": q_hubness_all,
 }
 
 ORACLE_SQL = {
@@ -787,6 +938,10 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
-    # knn_mp_normal / knn_mp_empiric intentionally absent: DuckDB has no
-    # erf/survival function; the driver records rows-only checks for them.
+    "token_counts": SQL_TOKEN_COUNTS,
+    "embed_dup": SQL_EMBED_DUP,
+    # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
+    # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
+    # / minhash_dedup / simhash_dedup / fingerprint / quality
+    # (hash-function-defined semantics).
 }

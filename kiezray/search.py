@@ -38,6 +38,7 @@ def shard_refs_from_dataset(
     id_col: str = "row_id",
     emb_col: str = "embedding",
     rows_per_shard: int = 65536,
+    dtype=np.float64,
 ) -> tuple[list["ray.ObjectRef"], int, int]:
     """Materialize the indexed side into object-store shards.
 
@@ -70,7 +71,7 @@ def shard_refs_from_dataset(
         batch_size=rows_per_shard, batch_format="pyarrow"
     ):
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = emb_to_matrix(batch[emb_col]).astype(np.float64)
+        vecs = emb_to_matrix(batch[emb_col]).astype(dtype)
         if len(ids):
             max_id = max(max_id, int(ids.max()))
         buf_ids.append(ids)

@@ -157,10 +157,11 @@ def fingerprint(docs_ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Datas
             view = np.lib.stride_tricks.sliding_window_view(hs, window)
             mins = view.min(axis=1)
         out = np.uint64(0)
-        for m in np.unique(mins):
-            out ^= (m * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
-                0xFFFFFFFFFFFFFFFF
-            )
+        with np.errstate(over="ignore"):  # wrap-around is the hash
+            for m in np.unique(mins):
+                out ^= (m * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+                    0xFFFFFFFFFFFFFFFF
+                )
         return int(out.astype(np.int64))
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,91 @@
+"""Multimodal stage plumbing, OpenEA loader, and CLI tests."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kiezray.media import (
+    decode_images,
+    image_features,
+    sample_frames,
+    synth_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def media_ds():
+    return ray.data.from_arrow(synth_media_table(32)).repartition(2)
+
+
+def test_image_decode_schema_and_determinism(media_ds):
+    out = decode_images(media_ds, height=8, width=8).to_pandas()
+    assert len(out) == 32
+    assert all(len(p) == 8 * 8 * 3 for p in out["pixels"])
+    out2 = decode_images(media_ds, height=8, width=8).to_pandas()
+    a = np.stack(out.sort_values("doc_id")["pixels"].to_numpy())
+    b = np.stack(out2.sort_values("doc_id")["pixels"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_image_decode_strict_raises(media_ds):
+    with pytest.raises(Exception, match="codec not available"):
+        decode_images(media_ds, strict=True).materialize()
+
+
+def test_image_features_pipeline(media_ds):
+    feats = image_features(decode_images(media_ds, height=8, width=8)).to_pandas()
+    mat = np.stack(feats["features"].to_numpy())
+    assert mat.shape == (32, 48)
+    np.testing.assert_allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+
+
+def test_frame_sample_fanout(media_ds):
+    frames = sample_frames(media_ds, n_frames=4).to_pandas()
+    assert len(frames) == 32 * 4
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    assert all(isinstance(p, bytes) and len(p) > 0 for p in frames["payload"])
+
+
+def test_openea_loader(tmp_path):
+    from kiezray.io import from_openea, openea_to_datasets
+
+    rng = np.random.RandomState(0)
+    emb = rng.rand(10, 4)
+    np.save(tmp_path / "ent_embeds.npy", emb)
+    # kg1 = global rows 0,2,4; kg2 = 1,3,5
+    (tmp_path / "kg1_ent_ids").write_text("a\t0\nb\t2\nc\t4\n")
+    (tmp_path / "kg2_ent_ids").write_text("x\t1\ny\t3\nz\t5\n")
+    (tmp_path / "ent_links").write_text("a\tx\nc\tz\n")
+    emb1, emb2, ids1, ids2, links = from_openea(str(tmp_path), str(tmp_path))
+    np.testing.assert_array_equal(emb1, emb[[0, 2, 4]])
+    np.testing.assert_array_equal(emb2, emb[[1, 3, 5]])
+    assert ids1 == {0: "a", 1: "b", 2: "c"}
+    assert links == {0: 0, 2: 2}
+
+    s_ds, t_ds, gold = openea_to_datasets(str(tmp_path), str(tmp_path))
+    assert s_ds.count() == 3 and t_ds.count() == 3 and gold.count() == 2
+
+
+def test_cli_er(tmp_path):
+    from kiezray.synth import generate_docs
+
+    docs, _, _ = generate_docs(n_entities=10, seed=3)
+    src = tmp_path / "docs"
+    ray.data.from_arrow(docs).write_parquet(str(src))
+    conf = {
+        "pipeline": "er",
+        "input": str(src),
+        "output": str(tmp_path / "out"),
+        "er": {"max_block": 64},
+    }
+    cp = tmp_path / "conf.json"
+    cp.write_text(json.dumps(conf))
+    from kiezray.cli import main
+
+    main(["run", str(cp)])
+    out = ray.data.read_parquet(str(tmp_path / "out")).to_pandas()
+    assert set(out.columns) == {"doc_id", "cluster_id"}
+    assert len(out) == docs.num_rows
