@@ -244,6 +244,30 @@ class Kiez:
         with open(path) as f:
             return cls(**json.load(f))
 
+    @staticmethod
+    def show_algorithm_options() -> list[str]:
+        """Installed NN backends (reference kiez.py:141-143 parity)."""
+        from .index import INDEX_REGISTRY
+
+        return sorted(INDEX_REGISTRY)
+
+    @staticmethod
+    def show_hubness_options() -> list[str]:
+        from .rerank import HUBNESS_METHODS
+
+        return list(HUBNESS_METHODS)
+
+    def __repr__(self):
+        fitted = (
+            f" is fitted with: n={self._n} m={self._m}"
+            if self._fitted
+            else " is unfitted"
+        )
+        return (
+            f"Kiez(algorithm: {self.algorithm}, hubness: {self.hubness})"
+            f"{fitted}"
+        )
+
     # ------------------------------------------------------------------
     # fitting
     # ------------------------------------------------------------------

@@ -1,0 +1,141 @@
+"""Dedup operator and text-analysis tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kiezray.dedup import (
+    _shingle_hashes,
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "pack my box with five dozen liquor jugs tonight before midnight",
+        "sphinx of black quartz judge my vow while the band plays on",
+        "how vexingly quick daft zebras jump over the old stone wall",
+    ]
+    rows = []
+    i = 0
+    for b_idx, text in enumerate(base):
+        rows.append({"doc_id": i, "text": text, "group": b_idx}); i += 1
+        # near-dup: one word changed
+        rows.append(
+            {"doc_id": i, "text": text.replace("the", "a", 1), "group": b_idx}
+        ); i += 1
+        # exact dup
+        rows.append({"doc_id": i, "text": text, "group": b_idx}); i += 1
+    # unrelated singletons
+    for extra in ["completely different content about databases and queries",
+                  "unrelated sentence mentioning airplanes and weather patterns"]:
+        rows.append({"doc_id": i, "text": extra, "group": 100 + i}); i += 1
+    return pd.DataFrame(rows)
+
+
+def test_shingle_hashes_deterministic():
+    a = _shingle_hashes("hello world", 3)
+    b = _shingle_hashes("hello world", 3)
+    np.testing.assert_array_equal(a, b)
+    assert len(_shingle_hashes("ab", 3)) >= 1  # short-text padding
+    # k>8 fallback path agrees with itself
+    c = _shingle_hashes("hello world, longer text", 12)
+    assert len(c) > 0
+
+
+def test_dedup_exact(dup_docs):
+    ds = ray.data.from_pandas(dup_docs[["doc_id", "text"]]).repartition(2)
+    kept = dedup_exact(ds, content_cols=["text"], id_col="doc_id").to_pandas()
+    # 4 bases + 3 distinct near-dups (one base has no "the" so its
+    # "near-dup" is an exact dup) + 2 singletons = 9 kept
+    assert len(kept) == 9
+    # exact dup (doc_id = base+2) must lose to the base doc
+    assert set(kept["doc_id"]) & {2, 5, 8, 11} == set()
+
+
+def test_dedup_minhash_lsh(dup_docs):
+    ds = ray.data.from_pandas(dup_docs[["doc_id", "text"]]).repartition(2)
+    comp = dedup_minhash_lsh(ds, threshold=0.7).to_pandas()
+    assert len(comp) == len(dup_docs)
+    lab = dict(zip(comp["node"], comp["component"]))
+    by_group = dup_docs.groupby("group")["doc_id"].apply(list)
+    for g, members in by_group.items():
+        if len(members) > 1:
+            assert len({lab[m] for m in members}) == 1, f"group {g} split"
+    # singletons must not merge with anything
+    singles = dup_docs[dup_docs["group"] >= 100]["doc_id"]
+    for s in singles:
+        assert sum(1 for v in lab.values() if v == lab[s]) == 1
+
+
+def test_dedup_simhash(dup_docs):
+    ds = ray.data.from_pandas(dup_docs[["doc_id", "text"]]).repartition(2)
+    comp = dedup_simhash(ds, max_hamming=10).to_pandas()
+    lab = dict(zip(comp["node"], comp["component"]))
+    # exact dups always collapse
+    for base_id in (0, 3, 6, 9):
+        assert lab[base_id] == lab[base_id + 2]
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    ds = ray.data.from_pandas(dup_docs[["doc_id", "text"]]).repartition(2)
+    pairs = ngram_jaccard_pairs(ds, threshold=0.6).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    for base_id in (0, 3, 6, 9):
+        assert (base_id, base_id + 2) in got  # exact dup j=1.0
+        assert (base_id, base_id + 1) in got  # near dup above 0.6
+    assert (pairs["jaccard"] >= 0.6).all()
+
+
+def test_dedup_embedding_cosine():
+    rng = np.random.RandomState(0)
+    base = rng.rand(5, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v))
+        rows.append((i * 2 + 1, v + rng.rand(16) * 0.01))  # near-dup
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([r[1] for r in rows])
+    from kiezray.arrowutil import matrix_to_fsl
+
+    tbl = pa.table(
+        {"row_id": pa.array(ids), "embedding": matrix_to_fsl(mat, pa.float64())}
+    )
+    comp = dedup_embedding_cosine(
+        ray.data.from_arrow(tbl), threshold=0.99, n_candidates=3
+    ).to_pandas()
+    lab = dict(zip(comp["node"], comp["component"]))
+    for i in range(5):
+        assert lab[i * 2] == lab[i * 2 + 1]
+
+
+def test_textops_quality_and_fingerprint():
+    from kiezray.textops import fingerprint, quality_score, token_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the cat and the dog played in a big sunny garden all day",
+                "x!!! ??? ,,,",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    q = quality_score(ds).to_pandas().set_index("doc_id")
+    assert q.loc[1, "stopword_ratio"] > q.loc[2, "stopword_ratio"]
+    assert q.loc[2, "punct_ratio"] > q.loc[1, "punct_ratio"]
+    assert 0 <= q["quality"].min() and q["quality"].max() <= 1
+    t = token_counts(ds).to_pandas().set_index("doc_id")
+    assert t.loc[1, "ws_tokens"] == 13
+    f1 = fingerprint(ds).to_pandas()
+    f2 = fingerprint(ds).to_pandas()
+    assert f1.equals(f2)

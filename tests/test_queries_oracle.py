@@ -1,0 +1,55 @@
+"""Regression: driver-contract queries vs their DuckDB oracle SQL.
+
+A fast subset at sf0.001 (the driver runs the full set at sf0.01); every
+SQL-checked family is represented. Also asserts the __ray_entry__
+contract shape.
+"""
+
+import numpy as np
+import pytest
+
+import __ray_entry__ as entrymod
+from kiezray.pipelines import queries as Q
+
+from .oracle_compare import compare
+
+SF = "/root/testdata/sf0.001"
+
+CHECKED = [
+    ("knn_basic", 2e-4),
+    ("knn_csls", 2e-4),
+    ("knn_dsl", 2e-4),
+    ("mp_stats", 2e-6),
+    ("k_occurrence", 0),
+    ("hubness_stats", 2e-6),
+    ("hits_at_k", 2e-6),
+    ("ann_cosine", 2e-6),
+    ("dedup_exact", 0),
+    ("text_stats", 2e-6),
+    ("token_counts", 0),
+    ("embed_dup", 0),
+]
+
+
+@pytest.mark.parametrize("name,tol", CHECKED)
+def test_query_matches_oracle(name, tol):
+    n = compare(Q.QUERIES[name](SF), Q.ORACLE_SQL[name], SF, float_tol=max(tol, 1e-12))
+    assert n > 0
+
+
+def test_contract_shape():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 24
+    assert len(os_) >= 16
+
+
+def test_mp_normal_internal_consistency():
+    """Rows-only query sanity: MP-normal distances live in [0, 1] and each
+    source keeps exactly TOPK rows with ascending rank distances."""
+    t = Q.QUERIES["knn_mp_normal"](SF).to_pandas()
+    assert t["dist"].between(0, 1).all()
+    g = t.sort_values(["source_id", "rank"]).groupby("source_id")
+    assert (g.size() == Q.TOPK).all()
+    assert all((x["dist"].diff().dropna() >= -1e-9).all() for _, x in g)
