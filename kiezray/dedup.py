@@ -72,6 +72,61 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return _splitmix64(np.unique(raw))
 
 
+def dedup_pair_rows(
+    ds: "ray.data.Dataset",
+    score_col: str | None = None,
+    num_partitions: int = 64,
+    min_count: int = 1,
+) -> "ray.data.Dataset":
+    """Distinct (a, b) pair rows (keeping the max ``score_col`` if given);
+    ``min_count`` keeps only pairs appearing at least that often (e.g. 2
+    for mutual-direction edges).
+
+    Multi-key groupby aggregates are slow in this Ray version, so pairs
+    are hash-partitioned on (a, b) and deduped per partition with one
+    vectorized np.unique/lexsort pass — 64 coarse groups instead of one
+    group per pair.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        part = pa.array(
+            [
+                zlib.crc32(f"{x}\x1f{y}".encode()) % num_partitions
+                for x, y in zip(a, b)
+            ],
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            return g
+        keys = (
+            g["a"].astype(str) + "\x1f" + g["b"].astype(str)
+        ).to_numpy(dtype=object)
+        if score_col is not None:
+            order = np.lexsort((-g[score_col].to_numpy(), keys))
+        else:
+            order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        first = np.concatenate(([True], keys[1:] != keys[:-1]))
+        if min_count > 1:
+            starts = np.flatnonzero(first)
+            counts = np.diff(np.append(starts, len(keys)))
+            first = first.copy()
+            first[starts[counts < min_count]] = False
+        return g.iloc[order[first]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedup_partition, batch_format="pandas")
+    )
+
+
 def content_hash_column(texts) -> pa.Array:
     """Stable sha1 hex digest per row (exact-dup key)."""
     return pa.array(
@@ -188,24 +243,53 @@ def _candidate_pairs_from_buckets(
     ``max_bucket`` is the skew guard: a bucket with b members emits
     O(b^2) pairs, so oversized buckets (degenerate shingles, boilerplate)
     are truncated to the smallest ``max_bucket`` ids — the standard LSH
-    hot-bucket cap; truncation count is observable in the group sizes.
+    hot-bucket cap.
+
+    Buckets are mostly tiny, so they are scored per COARSE hash partition
+    (one numpy pass over many whole buckets) rather than per-bucket pandas
+    frames, and the pair dedup is a vectorized grouped Count.
     """
+    from ray.data.aggregate import Count
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    P = 64
 
-    cand = exploded.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pa.array(
+            [zlib.crc32(k.encode()) % P for k in t["bucket"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("part", part)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        buckets = g["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        buckets = buckets[order]
+        ids = g[id_col].to_numpy()[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], buckets[1:] != buckets[:-1], [True]))
+        )
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            mem = np.sort(ids[s:e])[:max_bucket]
+            ai, bi = np.triu_indices(len(mem), k=1)
+            out_a.append(mem[ai])
+            out_b.append(mem[bi])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0]}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    cand = (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
+    return dedup_pair_rows(cand)
 
 
 def dedup_minhash_lsh(
@@ -226,9 +310,13 @@ def dedup_minhash_lsh(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, text_col, num_perm, shingle_k)
-
-    sig_tbl = sigs.select_columns([id_col, "minhash"])
+    # pinned once: consumed by the banding explode, the driver-side
+    # signature broadcast, and (via lineage) the CC edge build
+    sig_tbl = (
+        minhash_signatures(ds, text_col, num_perm, shingle_k)
+        .select_columns([id_col, "minhash"])
+        .materialize()
+    )
 
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -362,24 +450,55 @@ def dedup_simhash(
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(200)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = hs[ai] ^ hs[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep]})
+    from ray.data.aggregate import Count
 
-    cand = exploded.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    P = 64
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pa.array(
+            [zlib.crc32(k.encode()) % P for k in t["bucket"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("part", part)
 
-    edges = cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        buckets = g["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        buckets = buckets[order]
+        ids = g[id_col].to_numpy()[order]
+        hs = g["simhash"].to_numpy().astype(np.uint64)[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], buckets[1:] != buckets[:-1], [True]))
+        )
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sub = np.argsort(ids[s:e])[:200]
+            mid = ids[s:e][sub]
+            mh = hs[s:e][sub]
+            ai, bi = np.triu_indices(len(mid), k=1)
+            x = mh[ai] ^ mh[bi]
+            # vectorized popcount via unpackbits over the 8 bytes
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(1)
+            keep = ham <= max_hamming
+            if keep.any():
+                out_a.append(mid[ai][keep])
+                out_b.append(mid[bi][keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0]}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    cand = (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
+    edges = dedup_pair_rows(cand)
     nodes = ds.select_columns([id_col]).map_batches(
         lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
     )

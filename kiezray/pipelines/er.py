@@ -219,7 +219,8 @@ def run_er(
         import zlib
 
         import ray
-        from ray.data.aggregate import Max
+
+        from ..dedup import dedup_pair_rows
 
         # broadcast the (normalized) embedding matrix shards once; score
         # workers look vectors up by doc_id instead of shuffling 512-dim
@@ -256,10 +257,9 @@ def run_er(
         scored = parted.groupby("part").map_groups(
             score_partition, batch_format="pyarrow"
         )
-        # exact pair dedup: vectorized grouped Max over (a, b)
-        return scored.groupby(["a", "b"]).aggregate(
-            Max("score", alias_name="score")
-        )
+        # exact pair dedup keeping the best score (hash-partitioned
+        # vectorized unique; multi-key aggregates are slow in this Ray)
+        return dedup_pair_rows(scored, score_col="score")
 
     pairs = run_stage("pairs", fingerprint(cfg_fp, "pairs"), make_pairs, ck, cfg.resume)
 

@@ -538,19 +538,10 @@ def q_components(sf_dir: str):
     p1 = s2t.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
     p2 = t2s.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
 
-    # mutual = pair present in both directions -> grouped count == 2
-    import pandas as pd
+    # mutual = pair present in both directions -> occurrence count == 2
+    from ..dedup import dedup_pair_rows
 
-    def mutual(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) >= 2:
-            return g.head(1)
-        return g.head(0)
-
-    edges = (
-        p1.union(p2)
-        .groupby(["a", "b"])
-        .map_groups(mutual, batch_format="pandas")
-    )
+    edges = dedup_pair_rows(p1.union(p2), min_count=2)
     all_nodes = ray.data.from_arrow(
         pa.table(
             {
