@@ -71,16 +71,9 @@ class BlockKeyer:
         else:
             texts = [t or "" for t in batch["text"].to_pylist()]
         n = len(ids)
-        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            h = _shingle_hashes(t, self.shingle_k)
-            if len(h) == 0:
-                continue
-            with np.errstate(over="ignore"):
-                vals = (
-                    h[None, :] * self.a[:, None] + self.b[:, None]
-                ) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            sigs[i] = vals.min(axis=1)
+        from .dedup import batch_minhash
+
+        sigs = batch_minhash(texts, self.a, self.b, self.shingle_k)
         view = sigs.reshape(n, self.bands, self.rows_per_band)
         mix = view[:, :, 0]
         for r in range(1, self.rows_per_band):

@@ -127,6 +127,42 @@ def dedup_pair_rows(
     )
 
 
+def batch_minhash(
+    texts: list[str],
+    a: np.ndarray,
+    b: np.ndarray,
+    shingle_k: int,
+) -> np.ndarray:
+    """(n_docs, num_perm) minhash signatures, fully vectorized.
+
+    All docs' shingle hashes are concatenated once; each permutation is
+    one fused multiply-add over the flat vector and the per-doc minima
+    come from ``np.minimum.reduceat`` on the doc offsets — no per-doc
+    Python in the permutation loop.
+    """
+    num_perm = len(a)
+    n = len(texts)
+    sigs = np.zeros((n, num_perm), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    hash_list = [_shingle_hashes(t or "", shingle_k) for t in texts]
+    lens = np.array([len(h) for h in hash_list], dtype=np.int64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return sigs
+    flat = np.concatenate([h for h in hash_list if len(h)])
+    ne_lens = lens[nonempty]
+    offsets = np.zeros(len(ne_lens), dtype=np.int64)
+    np.cumsum(ne_lens[:-1], out=offsets[1:])
+    out_ne = np.empty((int(nonempty.sum()), num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            vals = flat * a[p] + b[p]
+            out_ne[:, p] = np.minimum.reduceat(vals, offsets)
+    sigs[nonempty] = out_ne
+    return sigs
+
+
 def content_hash_column(texts) -> pa.Array:
     """Stable sha1 hex digest per row (exact-dup key)."""
     return pa.array(
@@ -212,7 +248,7 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        sigs = batch_minhash(texts, self.a, self.b, self.shingle_k)
         flat = pa.array(sigs.astype(np.int64).ravel(), pa.int64())
         sig_col = pa.FixedSizeListArray.from_arrays(flat, self.num_perm)
         return batch.append_column("minhash", sig_col)

@@ -372,6 +372,10 @@ def make_index(algorithm: str | None, **kwargs):
     name = (algorithm or "exact").lower()
     if name == "faiss" and faiss is None:
         name = "exact"  # reference fallback semantics (kiez.py:118-122)
+    # graph/tree ANN backends of the reference map onto the available
+    # approximate implementation (capability parity, not a port)
+    if name in ("nmslib", "nng", "annoy", "hnsw"):
+        name = "ivf"
     if name not in INDEX_REGISTRY:
         raise ValueError(
             f"Unknown algorithm {algorithm!r}; options: {sorted(INDEX_REGISTRY)}"

@@ -1,0 +1,96 @@
+"""Approximate index tests: recall against the exact index + determinism."""
+
+import numpy as np
+import pytest
+
+from kiezray.index import ExactIndex, IvfIndex, LshIndex, make_index
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(11)
+    x = rng.rand(3000, 32)
+    q = rng.rand(200, 32)
+    return x, q
+
+
+def _recall(approx_ids, exact_ids):
+    hits = sum(
+        len(set(a) & set(e)) / len(e) for a, e in zip(approx_ids, exact_ids)
+    )
+    return hits / len(exact_ids)
+
+
+def test_ivf_recall_and_determinism(data):
+    x, q = data
+    ids = np.arange(len(x))
+    exact = ExactIndex("euclidean")
+    exact.build(ids, x)
+    _, ei = exact.search(q, 10)
+    ivf = IvfIndex("euclidean", nlist=32, nprobe=16)
+    ivf.build(ids, x)
+    d1, i1 = ivf.search(q, 10)
+    assert _recall(i1, ei) > 0.85
+    ivf2 = IvfIndex("euclidean", nlist=32, nprobe=16)
+    ivf2.build(ids, x)
+    d2, i2 = ivf2.search(q, 10)
+    np.testing.assert_array_equal(i1, i2)
+    # rows ascending
+    assert (np.diff(d1, axis=1) >= -1e-12).all()
+
+
+def test_ivf_full_probe_equals_exact(data):
+    x, q = data
+    ids = np.arange(len(x))
+    exact = ExactIndex("euclidean")
+    exact.build(ids, x)
+    ed, ei = exact.search(q, 5)
+    ivf = IvfIndex("euclidean", nlist=8, nprobe=8)  # probe every cell
+    ivf.build(ids, x)
+    d, i = ivf.search(q, 5)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(d, ed, atol=1e-9)
+
+
+def test_lsh_recall(data):
+    x, q = data
+    ids = np.arange(len(x))
+    exact = ExactIndex("cosine")
+    exact.build(ids, x)
+    _, ei = exact.search(q, 10)
+    lsh = LshIndex(nplanes=10)
+    lsh.build(ids, x)
+    _, i1 = lsh.search(q, 10)
+    assert _recall(i1, ei) > 0.5  # hamming-1 probing, no rerank pool
+
+
+def test_lsh_rejects_non_cosine():
+    with pytest.raises(ValueError, match="cosine"):
+        LshIndex(metric="euclidean")
+
+
+def test_make_index_fallback_and_registry():
+    idx = make_index("faiss")  # faiss absent -> exact fallback
+    assert isinstance(idx, ExactIndex)
+    assert isinstance(make_index("NMSLIB".lower()), IvfIndex)
+    with pytest.raises(ValueError, match="Unknown algorithm"):
+        make_index("bogus")
+
+
+def test_exact_sqeuclidean_and_ip(data):
+    x, q = data
+    ids = np.arange(len(x))
+    sq = ExactIndex("sqeuclidean")
+    sq.build(ids, x)
+    d_sq, i_sq = sq.search(q, 5)
+    eu = ExactIndex("euclidean")
+    eu.build(ids, x)
+    d_eu, i_eu = eu.search(q, 5)
+    np.testing.assert_array_equal(i_sq, i_eu)
+    np.testing.assert_allclose(np.sqrt(d_sq), d_eu, atol=1e-9)
+    ip = ExactIndex("ip")
+    ip.build(ids, x)
+    d_ip, i_ip = ip.search(q, 5)
+    # negated inner product: first hit = max dot product
+    dots = q @ x.T
+    np.testing.assert_array_equal(i_ip[:, 0], dots.argmax(axis=1))
