@@ -883,6 +883,69 @@ def q_hubness_all(sf_dir: str):
     )
 
 
+def q_tumbling(sf_dir: str):
+    from ..windows import tumbling_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = tumbling_window(events, window_s=3600)
+    return out.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(4)),
+        batch_format="pandas",
+    )
+
+
+SQL_TUMBLING = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    from ..windows import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return sessionize(events, gap_s=1800)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT CAST(user_id AS BIGINT) user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) es
+           FROM events),
+flagged AS (SELECT user_id, es,
+                   CASE WHEN es - lag(es) OVER w > 1800
+                        OR lag(es) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+sess AS (SELECT user_id, es,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged)
+SELECT user_id, min(es) AS session_start, max(es) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def q_sliding(sf_dir: str):
+    """Rows-only: sliding-window aggregate (1h window / 15m slide)."""
+    from ..windows import sliding_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = sliding_window(events, window_s=3600, slide_s=900)
+    return out.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(4)),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -912,6 +975,9 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "embed_dup": q_embed_dup,
     "hubness_all": q_hubness_all,
+    "tumbling_window": q_tumbling,
+    "sessionize": q_sessionize,
+    "sliding_window": q_sliding,
 }
 
 ORACLE_SQL = {
@@ -931,6 +997,8 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "embed_dup": SQL_EMBED_DUP,
+    "tumbling_window": SQL_TUMBLING,
+    "sessionize": SQL_SESSIONIZE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

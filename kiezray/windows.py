@@ -1,0 +1,154 @@
+"""Stream-shaped operators over an ordered, partitioned event log.
+
+The reference is purely batch (SURVEY.md §2.6: no windows/watermarks); Ray
+Data likewise has no event-time runtime. These operators implement the
+standard batch formulations: tumbling windows as a grouped aggregate on
+the truncated timestamp, sliding windows and sessionization as per-key
+`map_groups` over the key-partitioned, ts-sorted log — the ordering
+assumption is per *group* (Ray groups deliver all rows of a key together;
+each kernel sorts its group by ts, so input order is free).
+
+Skew note: the per-key groupby is the shuffle; hot keys are bounded by
+the event volume of one key. For whale keys, pre-split by (key,
+day-bucket) and merge window fragments downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def tumbling_window(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+) -> "ray.data.Dataset":
+    """(key, window_start, n_events, sum_value) via pre-aggregated partials:
+    each batch emits one row per (key, window) it contains, then a small
+    grouped sum — the combiner pattern, no raw-row shuffle."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, ts_col, value_col]).to_pandas()
+        # unit-safe: arrow timestamps surface as datetime64[us] in pandas
+        epoch = df[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        df["window_start"] = (epoch // window_s) * window_s
+        g = (
+            df.groupby([key_col, "window_start"], as_index=False)
+            .agg(n_events=(value_col, "size"), sum_value=(value_col, "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = events.map_batches(partials, batch_format="pyarrow")
+    # single-key groupby (multi-key aggregates are slow in this Ray):
+    # pack (key, window) into one int64 — window fits in 32 bits of days
+    def pack(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__kw", pa.array(k * (2**40) + (w % (2**40)), pa.int64())
+        )
+
+    agg = (
+        parts.map_batches(pack, batch_format="pyarrow")
+        .groupby("__kw")
+        .aggregate(
+            Min(key_col, alias_name=key_col),
+            Min("window_start", alias_name="window_start"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+    return agg.drop_columns(["__kw"])
+
+
+def sliding_window(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+    slide_s: int = 900,
+) -> "ray.data.Dataset":
+    """Sliding windows = union of slide-aligned tumbling assignments: each
+    event lands in window_s/slide_s windows; emitted per batch, then the
+    same packed grouped sum as tumbling."""
+    assert window_s % slide_s == 0
+    fan = window_s // slide_s
+    from ray.data.aggregate import Min, Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, ts_col, value_col]).to_pandas()
+        epoch = df[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        keys = df[key_col].to_numpy()
+        vals = df[value_col].to_numpy()
+        base = (epoch // slide_s) * slide_s
+        starts = base[:, None] - np.arange(fan)[None, :] * slide_s
+        keep = (epoch[:, None] - starts) < window_s
+        rep_k = np.repeat(keys, fan)[keep.ravel()]
+        rep_v = np.repeat(vals, fan)[keep.ravel()]
+        ws = starts.ravel()[keep.ravel()]
+        df2 = pd.DataFrame(
+            {key_col: rep_k, "window_start": ws, "value": rep_v}
+        )
+        g = df2.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = events.map_batches(explode, batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__kw", pa.array(k * (2**40) + (w % (2**40)), pa.int64())
+        )
+
+    return (
+        parts.map_batches(pack, batch_format="pyarrow")
+        .groupby("__kw")
+        .aggregate(
+            Min(key_col, alias_name=key_col),
+            Min("window_start", alias_name="window_start"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .drop_columns(["__kw"])
+    )
+
+
+def sessionize(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> "ray.data.Dataset":
+    """Session windows per key: sort the key's events by ts, split where
+    the gap exceeds ``gap_s``. Output: (key, session_start, session_end,
+    n_events). Needs the whole key history together -> per-key groupby
+    with a vectorized in-group kernel."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        epoch = g[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        new = np.concatenate(([True], np.diff(epoch) > gap_s))
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].iloc[0],
+                "session_start": pd.Series(epoch).groupby(sid).min(),
+                "session_end": pd.Series(epoch).groupby(sid).max(),
+                "n_events": pd.Series(epoch).groupby(sid).size(),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
+        sessions, batch_format="pandas"
+    )

@@ -1,0 +1,68 @@
+"""Windowed-aggregate operator tests over a synthetic event log."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kiezray.windows import sessionize, sliding_window, tumbling_window
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.RandomState(4)
+    n = 3000
+    ts = np.sort(rng.randint(0, 86400 * 3, n)).astype("datetime64[s]")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(
+                    rng.randint(0, 20, n).astype(np.int64)
+                ),
+                "ts": pa.array(ts),
+                "value": pa.array(rng.rand(n)),
+            }
+        )
+    ).repartition(4)
+
+
+def test_tumbling_totals(events):
+    out = tumbling_window(events, window_s=3600).to_pandas()
+    assert out["n_events"].sum() == 3000
+    # window starts aligned
+    assert (out["window_start"] % 3600 == 0).all()
+    # per-user totals preserved
+    per_user = out.groupby("user_id")["n_events"].sum()
+    raw = events.to_pandas().groupby("user_id").size()
+    pd.testing.assert_series_equal(
+        per_user.sort_index(), raw.sort_index(), check_names=False
+    )
+
+
+def test_sliding_covers_tumbling(events):
+    slid = sliding_window(events, window_s=3600, slide_s=900).to_pandas()
+    # every event lands in exactly window/slide = 4 windows
+    assert slid["n_events"].sum() == 3000 * 4
+    assert (slid["window_start"] % 900 == 0).all()
+    # the slide-aligned window equal to a tumbling window matches it
+    tum = tumbling_window(events, window_s=3600).to_pandas()
+    merged = tum.merge(
+        slid, on=["user_id", "window_start"], suffixes=("_t", "_s")
+    )
+    assert (merged["n_events_t"] == merged["n_events_s"]).all()
+
+
+def test_sessionize_gaps(events):
+    gap = 1800
+    out = sessionize(events, gap_s=gap).to_pandas()
+    raw = events.to_pandas()
+    raw["es"] = raw["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    assert out["n_events"].sum() == 3000
+    # session bounds: within a user, sessions are disjoint and ordered with
+    # gaps > gap_s between consecutive sessions
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("session_start")
+        assert (g["session_end"] >= g["session_start"]).all()
+        gaps = g["session_start"].to_numpy()[1:] - g["session_end"].to_numpy()[:-1]
+        assert (gaps > gap).all()
