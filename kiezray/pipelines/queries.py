@@ -946,6 +946,141 @@ def q_sliding(sf_dir: str):
     )
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped multi-measure grouped aggregate over lineitem
+    (packed single grouping key; column pruning at the read)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = datetime.datetime(1998, 9, 2)
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        key = pc.binary_join_element_wise(
+            t["l_returnflag"], t["l_linestatus"], "\x1f"
+        )
+        return pa.table(
+            {
+                "grp": key,
+                "qty": pc.cast(t["l_quantity"], pa.float64()),
+                "base": pc.cast(t["l_extendedprice"], pa.float64()),
+                "disc_price": disc,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("grp")
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["grp"], "\x1f")
+        return pa.table(
+            {
+                "l_returnflag": pc.list_element(parts, 0),
+                "l_linestatus": pc.list_element(parts, 1),
+                "sum_qty": pc.round(t["sum_qty"], 2),
+                "sum_base_price": pc.round(t["sum_base_price"], 2),
+                "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_revenue_topk(sf_dir: str):
+    """Hash join (orders x lineitem revenue partials) + global top-k."""
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "revenue": pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+            }
+        )
+
+    per_order = (
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",)
+    )
+    top = joined.sort("revenue", descending=True).limit(10)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "revenue": pc.round(t["revenue"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDER_REVENUE_TOPK = """
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_custkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -978,6 +1113,8 @@ QUERIES = {
     "tumbling_window": q_tumbling,
     "sessionize": q_sessionize,
     "sliding_window": q_sliding,
+    "pricing_summary": q_pricing_summary,
+    "order_revenue_topk": q_order_revenue_topk,
 }
 
 ORACLE_SQL = {
@@ -999,6 +1136,8 @@ ORACLE_SQL = {
     "embed_dup": SQL_EMBED_DUP,
     "tumbling_window": SQL_TUMBLING,
     "sessionize": SQL_SESSIONIZE,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality
