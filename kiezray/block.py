@@ -22,6 +22,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .dedup import _shingle_hashes, _splitmix64
@@ -55,19 +56,28 @@ class BlockKeyer:
         self.text_from_spans = text_from_spans
         self.extra_cols = extra_cols
 
-    def _doc_text(self, row_spans) -> str:
-        parts = []
-        for s in row_spans or []:
-            if s["kind"] == "text":
-                parts.append(s["text"])
-            else:
-                parts.append(s["media_ref"])
-        return " ".join(parts)
+    @staticmethod
+    def _doc_texts_from_spans(col: pa.ChunkedArray | pa.Array) -> list[str]:
+        """Per-doc text: span text for text spans, media_ref otherwise,
+        space-joined in span order — pure Arrow kernels (flatten the
+        list<struct>, if_else on kind, binary_join per list)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values
+        piece = pc.if_else(
+            pc.equal(flat.field("kind"), "text"),
+            flat.field("text"),
+            flat.field("media_ref"),
+        )
+        lst = pa.ListArray.from_arrays(col.offsets, piece)
+        return pc.binary_join(lst, " ").to_pylist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         if self.text_from_spans:
-            texts = [self._doc_text(sp) for sp in batch["spans"].to_pylist()]
+            texts = [
+                t or "" for t in self._doc_texts_from_spans(batch["spans"])
+            ]
         else:
             texts = [t or "" for t in batch["text"].to_pylist()]
         n = len(ids)
