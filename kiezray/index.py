@@ -364,11 +364,26 @@ INDEX_REGISTRY: dict[str, type] = {
     "ivf": IvfIndex,
     "lsh": LshIndex,
 }
+
+
+def register_index(name: str, cls: type) -> None:
+    """User extension point (reference parity: subclassing NNAlgorithm,
+    docs/source/using_your_own.rst:1-30). ``cls`` implements the protocol
+    ``build(ids, vecs)`` / ``search(q, k, exclude_ids=None) ->
+    (dist (n,k) float64 ascending, ids (n,k) int64, -1/NaN padded)`` and
+    is then resolvable by name in ``Kiez(algorithm=name)``."""
+    if not (hasattr(cls, "build") and hasattr(cls, "search")):
+        raise TypeError("index class must define build(...) and search(...)")
+    INDEX_REGISTRY[name.lower()] = cls
 if faiss is not None:  # pragma: no cover
     INDEX_REGISTRY["faiss"] = FaissIndex
 
 
-def make_index(algorithm: str | None, **kwargs):
+def make_index(algorithm, **kwargs):
+    # a class ships through Ray task/actor args (cloudpickle), so custom
+    # indexes work inside workers where the driver-side registry is absent
+    if isinstance(algorithm, type):
+        return algorithm(**kwargs)
     name = (algorithm or "exact").lower()
     if name == "faiss" and faiss is None:
         name = "exact"  # reference fallback semantics (kiez.py:118-122)

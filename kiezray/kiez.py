@@ -77,7 +77,11 @@ _ALGORITHM_ALIASES = {
 
 
 def _resolve_hubness(hubness, hubness_kwargs: dict | None) -> tuple[str, dict]:
+    from .rerank import CUSTOM_KERNELS
+
     kwargs = dict(hubness_kwargs or {})
+    if isinstance(hubness, str) and hubness.lower() in CUSTOM_KERNELS:
+        return hubness.lower(), kwargs
     if isinstance(hubness, str):
         key = hubness.replace("_", "").replace("-", "").lower()
         key = {"mpnormal": "mp_normal", "mpempiric": "mp_empiric"}.get(key, key)
@@ -121,12 +125,14 @@ class RerankStage:
         k: int,
         target_vecs_ref=None,
         dsl_first_phase: bool = False,
+        kernel_fn=None,
     ):
         self.method = method
         self.stats: CalibrationStats = ray.get(stats_ref)
         self.k = k
         self.target_vecs = ray.get(target_vecs_ref) if target_vecs_ref else None
         self.dsl_first_phase = dsl_first_phase
+        self.kernel_fn = kernel_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -149,7 +155,10 @@ class RerankStage:
                     "row_min": pa.array(sec.min(axis=1), pa.float64()),
                 }
             )
-        sec = apply_kernel(self.method, D, I, self.stats)
+        if self.kernel_fn is not None:
+            sec = self.kernel_fn(D, I, self.stats)
+        else:
+            sec = apply_kernel(self.method, D, I, self.stats)
         sec_k, ids_k = topk_sorted(sec, I, self.k)
         return pa.table(
             {
@@ -202,17 +211,31 @@ class Kiez:
         if n_candidates <= 0:
             raise ValueError(f"Expected n_candidates > 0. Got {n_candidates}")
         self.n_candidates = int(n_candidates)
+        from .index import INDEX_REGISTRY
+
         algo_key = (
             algorithm.replace("_", "").lower() if isinstance(algorithm, str) else algorithm
         )
-        if algo_key not in _ALGORITHM_ALIASES:
+        if algo_key in _ALGORITHM_ALIASES:
+            self.algorithm = _ALGORITHM_ALIASES[algo_key]
+        elif isinstance(algorithm, str) and algorithm.lower() in INDEX_REGISTRY:
+            # user-registered index: keep the CLASS so it ships to actors
+            # (the registry is driver-process-local)
+            self.algorithm = INDEX_REGISTRY[algorithm.lower()]
+        elif isinstance(algorithm, type):
+            self.algorithm = algorithm
+        else:
             raise ValueError(f"Unknown algorithm: {algorithm!r}")
-        self.algorithm = _ALGORITHM_ALIASES[algo_key]
         self.algorithm_kwargs = dict(algorithm_kwargs or {})
         self.algorithm_kwargs.pop("n_candidates", None)
         self.algorithm_kwargs.pop("n_jobs", None)
         self.metric = self.algorithm_kwargs.get("metric", "euclidean")
         self.hubness, hk = _resolve_hubness(hubness, hubness_kwargs)
+        from .rerank import CUSTOM_KERNELS
+
+        # custom kernels ship as function objects (driver registry is
+        # process-local; actors can't resolve the name)
+        self._kernel_fn = CUSTOM_KERNELS.get(self.hubness)
         if self.hubness != "none" and self.n_candidates == 1:
             raise ValueError(
                 "Cannot perform hubness reduction with a single candidate per query!"
@@ -467,6 +490,7 @@ class Kiez:
             stats_ref=self._stats_ref,
             k=n_neighbors,
             target_vecs_ref=self._target_vecs_ref if self.hubness == "dsl" else None,
+            kernel_fn=self._kernel_fn,
         )
         reranked = cand.map_batches(
             RerankStage,

@@ -35,6 +35,20 @@ HUBNESS_METHODS = (
     "dsl",
 )
 
+#: user-registered rerank kernels (reference parity: subclassing
+#: HubnessReduction, docs/source/using_your_own.rst). A kernel is a pure
+#: function ``fn(D, I, stats) -> secondary_D`` and receives the full t->s
+#: neighbor lists in ``stats.t2s_ind``/``stats.t2s_dist`` so it can derive
+#: any per-target calibration it needs.
+CUSTOM_KERNELS: dict = {}
+
+
+def register_hubness(name: str, kernel) -> None:
+    key = name.lower()
+    if key in HUBNESS_METHODS:
+        raise ValueError(f"{name!r} is a built-in hubness method")
+    CUSTOM_KERNELS[key] = kernel
+
 
 @dataclass
 class CalibrationStats:
@@ -193,4 +207,6 @@ def apply_kernel(
         return mp_empiric(D, I, stats)
     if method == "dsl":
         return dsl_preshift(D, I, stats, query_vecs, target_vecs)
+    if method in CUSTOM_KERNELS:
+        return CUSTOM_KERNELS[method](D, I, stats)
     raise ValueError(f"Unknown hubness method: {method}")

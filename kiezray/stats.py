@@ -52,7 +52,13 @@ def compute_calibration_stats(
     elif method == "dsl":
         stats.dist_to_centroid = np.full(m, np.nan)
     else:
-        raise ValueError(f"Unknown hubness method: {method}")
+        from .rerank import CUSTOM_KERNELS
+
+        if method not in CUSTOM_KERNELS:
+            raise ValueError(f"Unknown hubness method: {method}")
+        # custom kernels get the full t->s lists (like mp_empiric)
+        stats.t2s_ind = np.full((m, c), -1, dtype=np.int64)
+        stats.t2s_dist = np.full((m, c), np.nan)
 
     for batch in t2s_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -68,7 +74,7 @@ def compute_calibration_stats(
         elif method == "mp_normal":
             stats.mu[q] = np.nanmean(D, axis=1)
             stats.sd[q] = np.nanstd(D, axis=1)
-        elif method == "mp_empiric":
+        elif method == "mp_empiric" or stats.t2s_ind is not None:
             stats.t2s_ind[q] = I
             stats.t2s_dist[q] = D
         elif method == "dsl":
