@@ -1,0 +1,78 @@
+"""Small API-surface tests rounding out reference parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kiezray import Kiez
+from kiezray.analysis import hubness_score
+from kiezray.arrowutil import emb_to_matrix, matrix_to_fsl, matrix_to_list
+from kiezray.metrics import norm_sf, pairwise_distances, truncnorm_third_moment
+
+
+def test_return_distance_false(source_target):
+    source, target = source_target
+    kz = Kiez(n_candidates=6, algorithm="exact")
+    kz.fit(source, target)
+    ind = kz.kneighbors(3, return_distance=False)
+    assert isinstance(ind, np.ndarray) and ind.shape == (20, 3)
+
+
+def test_hubness_score_scalar_returns():
+    rng = np.random.RandomState(0)
+    nn = rng.randint(0, 100, size=(100, 10))
+    for rv in ("k_skewness", "robinhood", "atkinson", "gini", "groupie_ratio"):
+        v = hubness_score(nn, 100, k=10, return_value=rv)
+        assert np.isscalar(v) or isinstance(v, float)
+    hubs = hubness_score(nn, 100, k=10, return_value="hubs")
+    assert isinstance(hubs, np.ndarray)
+    with pytest.raises(ValueError, match="unknown return_value"):
+        hubness_score(nn, 100, return_value="bogus")
+
+
+def test_arrowutil_roundtrip():
+    mat = np.arange(12, dtype=np.float64).reshape(3, 4)
+    fsl = matrix_to_fsl(mat, pa.float64())
+    np.testing.assert_array_equal(emb_to_matrix(fsl), mat)
+    lst = matrix_to_list(mat, pa.float64())
+    assert lst.to_pylist()[1] == [4.0, 5.0, 6.0, 7.0]
+    # variable list column path
+    col = pa.array([[1.0, 2.0], [3.0, 4.0]])
+    np.testing.assert_array_equal(emb_to_matrix(col), [[1, 2], [3, 4]])
+    with pytest.raises(ValueError, match="ragged"):
+        emb_to_matrix(pa.array([[1.0], [1.0, 2.0]]))
+
+
+def test_metrics_edge_cases():
+    q = np.zeros((2, 3))
+    x = np.eye(3)
+    d = pairwise_distances(q, x, "cosine")
+    assert np.isfinite(d).all()  # zero vectors guarded
+    # sf at mu with sd=0 is the degenerate-distribution limit
+    sf = norm_sf(np.array([1.0, 2.0, 3.0]), 2.0, 0.0)
+    np.testing.assert_array_equal(sf, [1.0, 0.5, 0.0])
+    # truncnorm third moment of untruncated normal is ~0
+    assert abs(truncnorm_third_moment(-30, 30)) < 1e-9
+    # chebyshev/manhattan sanity
+    d1 = pairwise_distances(np.array([[0.0, 0.0]]), np.array([[3.0, 4.0]]), "l1")
+    assert d1[0, 0] == 7.0
+    dc = pairwise_distances(
+        np.array([[0.0, 0.0]]), np.array([[3.0, 4.0]]), "chebyshev"
+    )
+    assert dc[0, 0] == 4.0
+    dm = pairwise_distances(
+        np.array([[0.0, 0.0]]), np.array([[3.0, 4.0]]), "minkowski", p=3
+    )
+    assert dm[0, 0] == pytest.approx((3**3 + 4**3) ** (1 / 3))
+
+
+def test_mixed_hubness_kwargs_roundtrip(source_target):
+    """Reference-style names and kwargs resolve identically."""
+    source, target = source_target
+    a = Kiez(n_candidates=6, hubness="LocalScaling", hubness_kwargs={"method": "ls"})
+    b = Kiez(n_candidates=6, hubness="ls")
+    assert a.hubness == b.hubness == "ls"
+    c = Kiez(n_candidates=6, hubness="MutualProximity", hubness_kwargs={"method": "exact"})
+    assert c.hubness == "mp_empiric"
+    with pytest.raises(ValueError, match="not recognized"):
+        Kiez(n_candidates=6, hubness="MutualProximity", hubness_kwargs={"method": "zzz"})
