@@ -60,11 +60,50 @@ class Embedder:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans = batch["spans"].to_pylist()
-        mat = np.empty((len(spans), self.dim), dtype=np.float64)
-        for i, sp in enumerate(spans):
-            text, media = doc_text_and_media(sp or [])
-            mat[i] = embed_text(text, media, self.dim, self.shingle_k)
+        # decompose the list<struct> into flat child arrays once (cheaper
+        # than materializing per-span dicts), then embed the whole batch
+        # with one global bincount over (doc_idx * dim + bucket)
+        col = batch["spans"].combine_chunks()
+        flat = col.values
+        kinds = flat.field("kind").to_pylist()
+        span_texts = flat.field("text").to_pylist()
+        span_media = flat.field("media_ref").to_pylist()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        n = len(col)
+        doc_texts: list[str] = []
+        doc_media: list[list[str]] = []
+        for i in range(n):
+            s, e = offs[i], offs[i + 1]
+            doc_texts.append(
+                " ".join(
+                    span_texts[j] for j in range(s, e) if kinds[j] == "text"
+                )
+            )
+            doc_media.append(
+                [span_media[j] for j in range(s, e) if kinds[j] == "media"]
+            )
+        hash_list = [
+            _shingle_hashes(t, self.shingle_k) for t in doc_texts
+        ]
+        lens = np.array([len(h) for h in hash_list], dtype=np.int64)
+        mat = np.zeros((n, self.dim), dtype=np.float64)
+        if lens.sum():
+            flat_h = np.concatenate([h for h in hash_list if len(h)])
+            buckets = (flat_h % np.uint64(self.dim)).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n), lens)
+            counts = np.bincount(
+                doc_idx * self.dim + buckets, minlength=n * self.dim
+            )
+            mat += counts.reshape(n, self.dim)
+        for i, media in enumerate(doc_media):
+            for m in media:
+                mh = _splitmix64(
+                    np.array([zlib.crc32(m.encode("utf-8"))], dtype=np.uint64)
+                )[0]
+                mat[i, int(mh % np.uint64(self.dim))] += 4.0
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
         return batch.append_column(
             "embedding", matrix_to_fsl(mat.astype(np.float32), pa.float32())
         )

@@ -157,3 +157,20 @@ def test_plain_text_adapter():
     assert "media" in kinds
     offsets = [s["offset"] for s in spans[0]]
     assert offsets == sorted(offsets)
+
+
+def test_stale_tmp_stage_is_ignored(small_docs, tmp_path):
+    """A torn write (leftover .tmp stage dir) must not present a
+    complete-looking stage; rerun recomputes and publishes atomically."""
+    docs, _, _ = small_docs
+    ds = ray.data.from_arrow(docs).repartition(2)
+    ck = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ck, "stage=embed.tmp-999"), exist_ok=True)
+    with open(os.path.join(ck, "stage=embed.tmp-999", "junk"), "w") as f:
+        f.write("torn")
+    cfg = ERConfig(checkpoint_dir=ck)
+    out = run_er(ds, cfg)
+    assert out["clusters"].count() == len(docs)
+    from kiezray.lineage import read_manifests
+
+    assert "embed" in read_manifests(ck)
