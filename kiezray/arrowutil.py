@@ -6,6 +6,19 @@ import numpy as np
 import pyarrow as pa
 
 
+def round_away(x, digits: int):
+    """Round half away from zero — bit-identical to DuckDB's ``round(x, d)``
+    on doubles (verified vs DuckDB on 20k random + boundary values).
+
+    ``np.round`` is round-half-to-even with a scaling algorithm that
+    disagrees with DuckDB on values like 0.12345 at 4 digits; every output
+    that is hash-compared against a DuckDB oracle must use this instead.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+
+
 def emb_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, d) float array from a list/fixed_size_list column. Zero-copy for
     fixed_size_list without nulls; raises on ragged rows."""

@@ -20,7 +20,7 @@ import ray
 import ray.data
 
 from ..analysis import _measures_from_occurrence, k_occurrence_ds
-from ..arrowutil import emb_to_matrix
+from ..arrowutil import emb_to_matrix, round_away
 from ..cluster import connected_components
 from ..evaluate import hits_ds
 from ..kiez import Kiez
@@ -91,7 +91,7 @@ def _explode_neighbors(
                     np.tile(np.arange(1, k + 1, dtype=np.int64), len(q))[keep]
                 ),
                 "target_id": pa.array(ids.ravel()[keep], pa.int64()),
-                dist_name: pa.array(np.round(vals[keep], digits), pa.float64()),
+                dist_name: pa.array(round_away(vals[keep], digits), pa.float64()),
             }
         )
 
@@ -240,8 +240,8 @@ def q_mp_stats(sf_dir: str):
         return pa.table(
             {
                 "target_id": pa.array(q, pa.int64()),
-                "mu": pa.array(np.round(np.nanmean(D, axis=1), 6), pa.float64()),
-                "sd": pa.array(np.round(np.nanstd(D, axis=1), 6), pa.float64()),
+                "mu": pa.array(round_away(np.nanmean(D, axis=1), 6), pa.float64()),
+                "sd": pa.array(round_away(np.nanstd(D, axis=1), 6), pa.float64()),
             }
         )
 
@@ -767,10 +767,10 @@ def q_quality(sf_dir: str):
     out = quality_score(docs)
     return out.map_batches(
         lambda df: df.assign(
-            stopword_ratio=df["stopword_ratio"].round(6),
-            punct_ratio=df["punct_ratio"].round(6),
-            mean_token_len=df["mean_token_len"].round(6),
-            quality=df["quality"].round(6),
+            stopword_ratio=round_away(df["stopword_ratio"], 6),
+            punct_ratio=round_away(df["punct_ratio"], 6),
+            mean_token_len=round_away(df["mean_token_len"], 6),
+            quality=round_away(df["quality"], 6),
         ),
         batch_format="pandas",
     )
@@ -891,7 +891,7 @@ def q_tumbling(sf_dir: str):
     )
     out = tumbling_window(events, window_s=3600)
     return out.map_batches(
-        lambda df: df.assign(sum_value=df["sum_value"].round(4)),
+        lambda df: df.assign(sum_value=round_away(df["sum_value"], 4)),
         batch_format="pandas",
     )
 
@@ -941,7 +941,7 @@ def q_sliding(sf_dir: str):
     )
     out = sliding_window(events, window_s=3600, slide_s=900)
     return out.map_batches(
-        lambda df: df.assign(sum_value=df["sum_value"].round(4)),
+        lambda df: df.assign(sum_value=round_away(df["sum_value"], 4)),
         batch_format="pandas",
     )
 
@@ -996,9 +996,9 @@ def q_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": pc.list_element(parts, 0),
                 "l_linestatus": pc.list_element(parts, 1),
-                "sum_qty": pc.round(t["sum_qty"], 2),
-                "sum_base_price": pc.round(t["sum_base_price"], 2),
-                "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+                "sum_qty": pc.round(t["sum_qty"], 2, round_mode="half_towards_infinity"),
+                "sum_base_price": pc.round(t["sum_base_price"], 2, round_mode="half_towards_infinity"),
+                "sum_disc_price": pc.round(t["sum_disc_price"], 2, round_mode="half_towards_infinity"),
                 "count_order": t["count_order"],
             }
         )
@@ -1064,7 +1064,7 @@ def q_order_revenue_topk(sf_dir: str):
             {
                 "o_orderkey": t["l_orderkey"],
                 "o_custkey": t["o_custkey"],
-                "revenue": pc.round(t["revenue"], 2),
+                "revenue": pc.round(t["revenue"], 2, round_mode="half_towards_infinity"),
             }
         ),
         batch_format="pyarrow",

@@ -170,15 +170,17 @@ def dsl_finalize(hub: np.ndarray, global_min: float, squared: bool) -> np.ndarra
 def topk_sorted(
     dist: np.ndarray, ind: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row ascending top-k of (dist, ind), candidate position tie-break.
+    """Per-row ascending top-k of (dist, ind), target-id tie-break.
 
-    Matches HubnessReduction._sort (base.py:79-87): argpartition over the
-    secondary distance, then take_along_axis on both matrices.
+    Semantics of HubnessReduction._sort (base.py:79-87) — argpartition over
+    the secondary distance — but with a deterministic, shard-invariant
+    tie-break on the neighbor id for exactly-equal secondary distances
+    (the reference's argpartition leaves tie order unspecified; id order
+    matches the SQL oracles' ``ORDER BY hdist, tid``).
     """
     n, c = dist.shape
     k = min(k, c)
-    pos = np.broadcast_to(np.arange(c), (n, c))
-    order = np.lexsort((pos, dist), axis=-1)[:, :k]
+    order = np.lexsort((ind, dist), axis=-1)[:, :k]
     return (
         np.take_along_axis(dist, order, axis=1),
         np.take_along_axis(ind, order, axis=1),

@@ -14,6 +14,8 @@ import zlib
 
 import numpy as np
 import pandas as pd
+
+from .arrowutil import round_away
 import pyarrow as pa
 import ray.data
 
@@ -46,7 +48,7 @@ def text_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
                 "n_chars": batch["text"].fillna("").str.len().astype(np.int64),
                 "n_tokens": n_tokens,
                 "n_unique_tokens": n_unique,
-                "unique_ratio": np.round(
+                "unique_ratio": round_away(
                     n_unique / np.maximum(n_tokens, 1), 6
                 ).astype(np.float64),
             }

@@ -122,7 +122,9 @@ def sort_topk(dist, ind, k):
     out_d = np.empty((n, k))
     out_i = np.empty((n, k), dtype=np.int64)
     for i in range(n):
-        order = sorted(range(c), key=lambda j: (dist[i, j], j))[:k]
+        # id tie-break for equal secondary distances (shard-invariant;
+        # mirrors kiezray.rerank.topk_sorted and the SQL oracles)
+        order = sorted(range(c), key=lambda j: (dist[i, j], ind[i, j]))[:k]
         out_d[i] = dist[i, order]
         out_i[i] = ind[i, order]
     return out_d, out_i

@@ -76,3 +76,33 @@ def test_mixed_hubness_kwargs_roundtrip(source_target):
     assert c.hubness == "mp_empiric"
     with pytest.raises(ValueError, match="not recognized"):
         Kiez(n_candidates=6, hubness="MutualProximity", hubness_kwargs={"method": "zzz"})
+
+
+def test_round_away_matches_duckdb():
+    """round_away must be bit-identical to DuckDB round() (driver hashes)."""
+    import duckdb
+    import numpy as np
+
+    from kiezray.arrowutil import round_away
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.random(5000) * 300 - 150, [0.00025, 0.12345, 100.00005, -0.00025]]
+    )
+    con = duckdb.connect()
+    for d in (2, 4, 6):
+        duck = np.array(
+            con.sql(
+                f"select list_transform($1::DOUBLE[], y -> round(y, {d}))",
+                params=[list(vals)],
+            ).fetchone()[0]
+        )
+        mine = round_away(vals, d)
+        assert (mine == duck).all()
+        # np.round (banker's) is NOT duck-identical — guard against regressing
+        assert (np.round(vals, 4) != np.array(
+            con.sql(
+                "select list_transform($1::DOUBLE[], y -> round(y, 4))",
+                params=[list(vals)],
+            ).fetchone()[0]
+        )).any()
