@@ -40,7 +40,12 @@ from .rerank import (
     dsl_finalize,
     topk_sorted,
 )
-from .search import knn_search, neighbors_to_matrices, shard_refs_from_dataset
+from .search import (
+    ShardGather,
+    knn_search,
+    neighbors_to_matrices,
+    shard_refs_from_dataset,
+)
 from .stats import compute_calibration_stats
 
 _HUBNESS_ALIASES = {
@@ -123,14 +128,16 @@ class RerankStage:
         method: str,
         stats_ref,
         k: int,
-        target_vecs_ref=None,
+        target_shards: list | None = None,
         dsl_first_phase: bool = False,
         kernel_fn=None,
     ):
         self.method = method
         self.stats: CalibrationStats = ray.get(stats_ref)
         self.k = k
-        self.target_vecs = ray.get(target_vecs_ref) if target_vecs_ref else None
+        # dsl gathers candidate target vectors per batch from the broadcast
+        # shards (searchsorted) — no dense (max_id, d) matrix anywhere
+        self.gather = ShardGather(target_shards) if target_shards else None
         self.dsl_first_phase = dsl_first_phase
         self.kernel_fn = kernel_fn
 
@@ -143,7 +150,8 @@ class RerankStage:
         D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
         if self.method == "dsl":
             qv = emb_to_matrix(batch["embedding"]).astype(np.float64)
-            sec = apply_kernel("dsl", D, I, self.stats, qv, self.target_vecs)
+            cand = self.gather.take(I).reshape(len(q), c, -1)
+            sec = apply_kernel("dsl", D, I, self.stats, qv, cand)
             # ranking is invariant under the global shift + sqrt, so top-k
             # happens now; the finalize pass only rewrites the k values
             sec_k, ids_k = topk_sorted(sec, I, self.k)
@@ -165,6 +173,30 @@ class RerankStage:
                 "query_id": pa.array(q, pa.int64()),
                 "neigh_ids": matrix_to_list(ids_k, pa.int64()),
                 "neigh_dists": matrix_to_list(sec_k, pa.float64()),
+            }
+        )
+
+
+class _DslCentroidStage:
+    """t->s batches -> (query_id, d2c): squared distance of each target to
+    the centroid of its source NNs (dis_sim.py:94-107), with the NN vectors
+    gathered per batch from the broadcast source shards."""
+
+    def __init__(self, source_shards: list):
+        self.gather = ShardGather(source_shards)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_col = batch["neigh_ids"].combine_chunks()
+        c = len(ids_col[0]) if len(ids_col) else 0
+        I = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+        tv = emb_to_matrix(batch["embedding"]).astype(np.float64)
+        centroids = self.gather.take(I).reshape(len(q), c, -1).mean(axis=1)
+        diff = tv - centroids
+        return pa.table(
+            {
+                "query_id": pa.array(q, pa.int64()),
+                "d2c": pa.array(np.einsum("nd,nd->n", diff, diff), pa.float64()),
             }
         )
 
@@ -381,41 +413,40 @@ class Kiez:
                 algorithm=self.algorithm,
                 algorithm_kwargs=self.algorithm_kwargs,
                 exclude_self=False,  # reference passes query explicitly here
+                keep_query_embedding=self.hubness == "dsl",
                 batch_size=self.batch_size,
                 concurrency=self.concurrency,
             )
-            if self.hubness == "dsl" and (
-                self._source_vecs is None or len(self._source_vecs) < self._n_index
-            ):
-                self._source_vecs = self._dense_from_shards(
-                    self._source_shards, self._n_index
-                )
-                self._target_vecs = self._dense_from_shards(
-                    self._target_shards, self._m_index
-                )
-            stats = compute_calibration_stats(
-                t2s,
-                self.hubness,
-                n_targets=self._m_index,
-                n_candidates=c,
-                source_vecs=self._source_vecs,
-                target_vecs=self._target_vecs,
-            )
-            self._stats_ref = ray.put(stats)
             if self.hubness == "dsl":
-                self._target_vecs_ref = ray.put(self._target_vecs)
+                # distributed centroid pass: each batch gathers its source-NN
+                # vectors from the broadcast shards; the driver only collects
+                # the O(m) (target_id, dist_to_centroid) scalars
+                d2c = t2s.map_batches(
+                    _DslCentroidStage,
+                    fn_constructor_kwargs={"source_shards": self._source_shards},
+                    batch_format="pyarrow",
+                    batch_size=self.batch_size,
+                    concurrency=self.concurrency or (1, 8),
+                    zero_copy_batch=True,
+                )
+                stats = CalibrationStats(method="dsl", n_candidates=c)
+                stats.dist_to_centroid = np.full(self._m_index, np.nan)
+                for batch in d2c.iter_batches(
+                    batch_size=8192, batch_format="pyarrow"
+                ):
+                    q = batch["query_id"].to_numpy(zero_copy_only=False)
+                    v = batch["d2c"].to_numpy(zero_copy_only=False)
+                    stats.dist_to_centroid[q.astype(np.int64)] = v
+            else:
+                stats = compute_calibration_stats(
+                    t2s,
+                    self.hubness,
+                    n_targets=self._m_index,
+                    n_candidates=c,
+                )
+            self._stats_ref = ray.put(stats)
         self._fitted = True
         return self
-
-    @staticmethod
-    def _dense_from_shards(refs, n_rows: int) -> np.ndarray:
-        first = ray.get(refs[0])
-        d = first[1].shape[1]
-        out = np.empty((n_rows, d))
-        for ref in refs:
-            ids, vecs = ray.get(ref)
-            out[ids] = vecs
-        return out
 
     @staticmethod
     def _check_k(k: int, needed_space: int) -> int:
@@ -489,7 +520,7 @@ class Kiez:
             method=self.hubness,
             stats_ref=self._stats_ref,
             k=n_neighbors,
-            target_vecs_ref=self._target_vecs_ref if self.hubness == "dsl" else None,
+            target_shards=self._target_shards if self.hubness == "dsl" else None,
             kernel_fn=self._kernel_fn,
         )
         reranked = cand.map_batches(

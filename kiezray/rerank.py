@@ -138,16 +138,18 @@ def dsl_preshift(
     I: np.ndarray,
     stats: CalibrationStats,
     query_vecs: np.ndarray,
-    target_vecs: np.ndarray,
+    cand_vecs: np.ndarray,
 ) -> np.ndarray:
     """DisSimLocal secondary distance BEFORE the global non-negative shift.
 
     sqdist(q, t) - ||q - centroid(candidate targets of q)||^2
                  - ||t - centroid(source NNs of t)||^2.
+    ``cand_vecs`` is the (n, c, d) per-batch gather of the candidates'
+    target vectors (ShardGather — no dense id-indexed matrix exists).
     The global min-shift and optional sqrt (dis_sim.py:168-177) are applied
     in a second pass because the minimum is a global aggregate.
     """
-    cand = target_vecs[I]  # (n, c, d)
+    cand = cand_vecs  # (n, c, d)
     q = query_vecs[:, None, :]  # (n, 1, d)
     diff = q - cand
     hub = np.einsum("ncd,ncd->nc", diff, diff)  # exact sq euclidean
@@ -193,7 +195,7 @@ def apply_kernel(
     I: np.ndarray,
     stats: CalibrationStats,
     query_vecs: np.ndarray | None = None,
-    target_vecs: np.ndarray | None = None,
+    cand_vecs: np.ndarray | None = None,
 ) -> np.ndarray:
     if method == "none":
         return D
@@ -208,7 +210,7 @@ def apply_kernel(
     if method == "mp_empiric":
         return mp_empiric(D, I, stats)
     if method == "dsl":
-        return dsl_preshift(D, I, stats, query_vecs, target_vecs)
+        return dsl_preshift(D, I, stats, query_vecs, cand_vecs)
     if method in CUSTOM_KERNELS:
         return CUSTOM_KERNELS[method](D, I, stats)
     raise ValueError(f"Unknown hubness method: {method}")

@@ -84,6 +84,36 @@ def shard_refs_from_dataset(
     return refs, total, max_id
 
 
+class ShardGather:
+    """Vectorized id -> vector gather over the broadcast object-store shards.
+
+    Shards are id-sorted (``shard_refs_from_dataset``), so each lookup is a
+    ``searchsorted`` per shard — no dense (max_id, d) matrix is ever built
+    (the driver-OOM pattern this replaces). The shard arrays live in the
+    object store and are read zero-copy by every actor on a node.
+    """
+
+    def __init__(self, shard_refs: list):
+        self.shards = [ray.get(r) for r in shard_refs]
+        self.dim = self.shards[0][1].shape[1] if self.shards else 0
+
+    def take(self, ids: np.ndarray) -> np.ndarray:
+        """(N,) int64 -> (N, d) float; raises KeyError on unknown ids."""
+        flat = np.ascontiguousarray(ids, dtype=np.int64).ravel()
+        out = np.empty((flat.size, self.dim), dtype=np.float64)
+        found = np.zeros(flat.size, dtype=bool)
+        for sids, vecs in self.shards:
+            pos = np.searchsorted(sids, flat)
+            pos_c = np.minimum(pos, len(sids) - 1)
+            mask = sids[pos_c] == flat
+            out[mask] = vecs[pos_c[mask]]
+            found |= mask
+        if not found.all():
+            missing = flat[~found][:5]
+            raise KeyError(f"ids not present in shards: {missing}")
+        return out
+
+
 class SearchStage:
     """Callable-class stage for ``map_batches``: per-shard index built once
     per actor in ``__init__``, vectorized search + k-way merge per batch."""

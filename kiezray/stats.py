@@ -25,14 +25,13 @@ def compute_calibration_stats(
     method: str,
     n_targets: int,
     n_candidates: int,
-    source_vecs: np.ndarray | None = None,
-    target_vecs: np.ndarray | None = None,
 ) -> CalibrationStats:
     """Reduce the t->s neighbor table into per-target calibration arrays.
 
     t2s_ds rows: (query_id = target row id, neigh_ids = source row ids
-    ascending by distance, neigh_dists). ``source_vecs``/``target_vecs``
-    are dense (rows indexed by row id) and only required for ``dsl``.
+    ascending by distance, neigh_dists). DSL's dist_to_centroid is computed
+    by the distributed ``_DslCentroidStage`` in kiez.py instead (it needs
+    vector gathers, not just the neighbor table).
     """
     m, c = n_targets, n_candidates
     stats = CalibrationStats(method=method, n_candidates=c)
@@ -49,8 +48,6 @@ def compute_calibration_stats(
     elif method == "mp_empiric":
         stats.t2s_ind = np.full((m, c), -1, dtype=np.int64)
         stats.t2s_dist = np.full((m, c), np.nan)
-    elif method == "dsl":
-        stats.dist_to_centroid = np.full(m, np.nan)
     else:
         from .rerank import CUSTOM_KERNELS
 
@@ -77,10 +74,4 @@ def compute_calibration_stats(
         elif method == "mp_empiric" or stats.t2s_ind is not None:
             stats.t2s_ind[q] = I
             stats.t2s_dist[q] = D
-        elif method == "dsl":
-            # centroid of each target's source NNs, then squared distance
-            # target -> centroid (dis_sim.py:94-107)
-            centroids = source_vecs[I].mean(axis=1)
-            diff = target_vecs[q] - centroids
-            stats.dist_to_centroid[q] = np.einsum("nd,nd->n", diff, diff)
     return stats
