@@ -172,50 +172,44 @@ def content_hash_column(texts) -> pa.Array:
 
 
 def dedup_exact(
-    ds: "ray.data.Dataset", content_cols: list[str], id_col: str = "doc_id"
+    ds: "ray.data.Dataset",
+    content_cols: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Keep the minimum-id row of each exact-content group.
 
-    Hash-partition on the content hash (groupby shuffle moves one row per
-    duplicate, not per byte: only id+hash columns shuffle if the caller
-    projects first).
+    One shuffle, no driver state: rows are hash-partitioned on the content
+    hash (a hash can never span two partitions) and each partition keeps
+    its per-hash min-id row with a single vectorized lexsort pass. Coarse
+    partitions — not per-hash groups — because per-group ``map_groups``
+    overhead dominates at high key cardinality.
     """
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def add_keys(t: pa.Table) -> pa.Table:
         parts = [t[c].to_pylist() for c in content_cols]
         joined = ["\x1f".join(str(x) for x in row) for row in zip(*parts)]
-        return t.append_column("__chash", content_hash_column(joined))
+        chash = content_hash_column(joined)
+        part = pa.array(
+            [zlib.crc32(h.encode()) % num_partitions for h in joined],
+            pa.int32(),
+        )
+        return t.append_column("__chash", chash).append_column("__part", part)
 
-    import ray
-    from ray.data.aggregate import Min
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.drop(columns=["__chash", "__part"])
+        ch = g["__chash"].to_numpy(dtype=object)
+        order = np.lexsort((g[id_col].to_numpy(), ch))
+        ch = ch[order]
+        first = np.concatenate(([True], ch[1:] != ch[:-1]))
+        return g.iloc[order[first]].drop(columns=["__chash", "__part"])
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
-    mins = hashed.groupby("__chash").aggregate(Min(id_col, alias_name=id_col))
-    # semi-join back via broadcast of the kept-id set (one id per distinct
-    # content); at corpus scales where even that set outgrows a broadcast,
-    # swap in Dataset.join keyed on (__chash, id)
-    kept_ids = set()
-    for b in mins.iter_batches(batch_format="pyarrow"):
-        kept_ids.update(b[id_col].to_pylist())
-    ref = ray.put(kept_ids)
-
-    class KeepFilter:
-        def __init__(self, ref, id_col):
-            self.keep = ray.get(ref)
-            self.id_col = id_col
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [x in self.keep for x in t[self.id_col].to_pylist()]
-            )
-            return t.filter(mask)
-
-    return hashed.map_batches(
-        KeepFilter,
-        fn_constructor_kwargs={"ref": ref, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    ).drop_columns(["__chash"])
+    return (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(keep_min, batch_format="pandas")
+    )
 
 
 class MinHasher:
@@ -346,70 +340,36 @@ def dedup_minhash_lsh(
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    # pinned once: consumed by the banding explode, the driver-side
-    # signature broadcast, and (via lineage) the CC edge build
-    sig_tbl = (
-        minhash_signatures(ds, text_col, num_perm, shingle_k)
-        .select_columns([id_col, "minhash"])
-        .materialize()
+    sig_tbl = minhash_signatures(ds, text_col, num_perm, shingle_k).select_columns(
+        [id_col, "minhash"]
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:
+        # signatures RIDE the banding explode (one copy per (doc, band)
+        # row) so the verify happens inside the bucket group — no
+        # whole-corpus driver dict, no second shuffle
         ids = t[id_col].to_numpy(zero_copy_only=False)
         col = t["minhash"].combine_chunks()
         S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
-        out_ids = np.repeat(ids, bands)
         band_idx = np.tile(np.arange(bands), len(ids))
-        bh = np.empty(len(ids) * bands, dtype=np.uint64)
         view = S.astype(np.uint64).reshape(len(ids), bands, rows_per_band)
         mix = view[:, :, 0]
         for r in range(1, rows_per_band):
             mix = _splitmix64(mix ^ view[:, :, r])
-        bh = mix.ravel()
-        bucket = [f"{b}:{h:x}" for b, h in zip(band_idx, bh)]
+        bucket = [f"{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
+        rep = np.repeat(np.arange(len(ids)), bands)
+        flat = pa.array(S[rep].astype(np.int64).ravel(), pa.int64())
         return pa.table(
             {
-                id_col: pa.array(out_ids),
+                id_col: pa.array(np.repeat(ids, bands)),
                 "bucket": pa.array(bucket, pa.string()),
+                "minhash": pa.FixedSizeListArray.from_arrays(flat, num_perm),
             }
         )
 
     exploded = sig_tbl.map_batches(explode_bands, batch_format="pyarrow")
-    cand = _candidate_pairs_from_buckets(exploded, id_col)
-
-    # broadcast the signature matrix for the verify kernel (id -> sig);
-    # at extreme scale this becomes a shuffle join keyed on id
-    import ray
-
-    sig_map = {}
-    for b in sig_tbl.iter_batches(batch_format="pyarrow"):
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        col = b["minhash"].combine_chunks()
-        S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
-        for i, sid in enumerate(ids):
-            sig_map[sid] = S[i]
-    sig_ref = ray.put(sig_map)
-
-    class Verify:
-        def __init__(self, sig_ref, threshold):
-            self.sigs = ray.get(sig_ref)
-            self.threshold = threshold
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            if len(a) == 0:
-                return t
-            A = np.stack([self.sigs[x] for x in a])
-            B = np.stack([self.sigs[x] for x in b])
-            jac = (A == B).mean(axis=1)
-            return t.filter(pa.array(jac >= self.threshold))
-
-    edges = cand.map_batches(
-        Verify,
-        fn_constructor_kwargs={"sig_ref": sig_ref, "threshold": threshold},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    edges = _verified_pairs_from_buckets(
+        exploded, id_col, num_perm=num_perm, threshold=threshold
     )
     nodes = ds.select_columns([id_col]).map_batches(
         lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
@@ -417,31 +377,121 @@ def dedup_minhash_lsh(
     return connected_components(edges, extra_nodes_ds=nodes)
 
 
+def _verified_pairs_from_buckets(
+    exploded: "ray.data.Dataset",
+    id_col: str,
+    num_perm: int,
+    threshold: float,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """(bucket, id, minhash) rows -> distinct verified pairs (a < b).
+
+    Pair generation AND signature-jaccard verification run in one pass
+    over each bucket group (the signatures arrived with the banding
+    explode), so the only shuffles are the bucket groupby and the final
+    pair dedup. ``max_bucket`` is the LSH hot-bucket cap.
+    """
+    P = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pa.array(
+            [zlib.crc32(k.encode()) % P for k in t["bucket"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("part", part)
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        buckets = g["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        buckets = buckets[order]
+        ids = g[id_col].to_numpy()[order]
+        S = np.stack(g["minhash"].to_numpy()[order]).astype(np.int64)
+        bounds = np.flatnonzero(
+            np.concatenate(([True], buckets[1:] != buckets[:-1], [True]))
+        )
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sub = np.argsort(ids[s:e])[:max_bucket]
+            mem = ids[s:e][sub]
+            sig = S[s:e][sub]
+            ai, bi = np.triu_indices(len(mem), k=1)
+            jac = (sig[ai] == sig[bi]).mean(axis=1)
+            keep = jac >= threshold
+            if keep.any():
+                out_a.append(mem[ai][keep])
+                out_b.append(mem[bi][keep])
+        if not out_a:
+            return pd.DataFrame({"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0]})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    cand = (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
+    return dedup_pair_rows(cand)
+
+
 class SimHasher:
-    """64-bit simhash over token hashes (weighted bit votes)."""
+    """64-bit simhash over token hashes (weighted bit votes).
+
+    Vectorized across the whole batch like ``batch_minhash``: one flat
+    token-hash array with per-doc offsets, bit unpack + ``add.reduceat``
+    for the votes, and a weights-dot to pack the sign bits — no per-doc
+    Python beyond tokenization.
+    """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.bits = np.arange(64, dtype=np.uint64)
+        self.weights = (np.uint64(1) << self.bits).astype(np.uint64)
 
-    def simhash(self, text: str) -> np.uint64:
-        toks = text.lower().split()
-        if not toks:
-            return np.uint64(0)
-        hs = _splitmix64(
-            np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    def batch_simhash(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return out
+        tok_lists = [(t or "").lower().split() for t in texts]
+        lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return out
+        flat = np.fromiter(
+            (
+                zlib.crc32(tok.encode("utf-8"))
+                for ts in tok_lists
+                for tok in ts
+            ),
+            dtype=np.uint64,
+            count=int(lens.sum()),
         )
-        bits = ((hs[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
+        hs = _splitmix64(flat)
+        # (T, 64) sign votes, reduced per doc in one pass (int32 keeps the
+        # intermediate at 256 B/token and can't overflow below 2^31 tokens)
+        votes = (
+            ((hs[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int32)
+            * 2
+            - 1
+        )
+        ne_lens = lens[nonempty]
+        offsets = np.zeros(len(ne_lens), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=offsets[1:])
+        doc_votes = np.add.reduceat(votes, offsets, axis=0)  # (n_ne, 64)
+        packed = ((doc_votes > 0).astype(np.uint64) * self.weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = packed
         return out
 
+    def simhash(self, text: str) -> np.uint64:
+        return self.batch_simhash([text])[0]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        vals = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        vals = self.batch_simhash(batch[self.text_col].to_pylist())
         return batch.append_column(
             "simhash", pa.array(vals.astype(np.int64), pa.int64())
         )
@@ -553,10 +603,8 @@ def ngram_jaccard_pairs(
     """Exact character-n-gram jaccard over LSH candidate pairs ->
     (a, b, jaccard) rows with jaccard >= threshold.
 
-    LSH bounds the pair universe; the verify recomputes the exact shingle
-    sets per pair inside the stage (texts broadcast via object store)."""
-    import ray
-
+    LSH bounds the pair universe; candidate-pair texts arrive via hash
+    joins keyed on the pair ids (nothing passes through the driver)."""
     sigs = minhash_signatures(ds, text_col, num_perm, shingle_k)
     rows_per_band = num_perm // bands
 
@@ -579,51 +627,52 @@ def ngram_jaccard_pairs(
     )
     cand = _candidate_pairs_from_buckets(exploded, id_col)
 
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            texts[i] = t or ""
-    text_ref = ray.put(texts)
-
-    class Jaccard:
-        def __init__(self, text_ref, k, threshold):
-            self.texts = ray.get(text_ref)
-            self.k = k
-            self.threshold = threshold
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_pylist()
-            b = t["b"].to_pylist()
-            out_a, out_b, out_j = [], [], []
-            for x, y in zip(a, b):
-                sx = set(_shingle_hashes(self.texts[x], self.k).tolist())
-                sy = set(_shingle_hashes(self.texts[y], self.k).tolist())
-                if not sx and not sy:
-                    j = 1.0
-                else:
-                    j = len(sx & sy) / len(sx | sy)
-                if j >= self.threshold:
-                    out_a.append(x)
-                    out_b.append(y)
-                    out_j.append(j)
-            return pa.table(
-                {
-                    "a": pa.array(out_a),
-                    "b": pa.array(out_b),
-                    "jaccard": pa.array(out_j, pa.float64()),
-                }
-            )
-
-    return cand.map_batches(
-        Jaccard,
-        fn_constructor_kwargs={
-            "text_ref": text_ref, "k": shingle_k, "threshold": threshold
-        },
+    # texts reach the verify via two hash joins keyed on the pair ids —
+    # only candidate-pair texts move, and nothing passes through the driver
+    texts = ds.select_columns([id_col, text_col])
+    t_a = texts.map_batches(
+        lambda t: pa.table({"a": t[id_col], "text_a": t[text_col]}),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
+    t_b = texts.map_batches(
+        lambda t: pa.table({"b": t[id_col], "text_b": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    withtext = cand.join(t_a, join_type="inner", num_partitions=8, on=("a",)).join(
+        t_b, join_type="inner", num_partitions=8, on=("b",)
+    )
+
+    def jaccard_batch(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        cache: dict = {}
+
+        def sset(x: str) -> set:
+            s = cache.get(x)
+            if s is None:
+                s = set(_shingle_hashes(x or "", shingle_k).tolist())
+                cache[x] = s
+            return s
+
+        out_a, out_b, out_j = [], [], []
+        for x, y, tx, ty in zip(a, b, ta, tb):
+            sx, sy = sset(tx), sset(ty)
+            j = 1.0 if not sx and not sy else len(sx & sy) / len(sx | sy)
+            if j >= threshold:
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(j)
+        return pa.table(
+            {
+                "a": pa.array(out_a),
+                "b": pa.array(out_b),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return withtext.map_batches(jaccard_batch, batch_format="pyarrow")
 
 
 def dedup_embedding_cosine(

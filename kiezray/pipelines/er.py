@@ -43,9 +43,16 @@ def _shard_lookup(refs):
     if key not in _LOOKUP_CACHE:
         import ray
 
+        from ..arrowutil import emb_to_matrix as _e2m
+
         ids_list, mats = [], []
         for r in refs:
-            i, m = ray.get(r)
+            obj = ray.get(r)
+            if isinstance(obj, tuple):
+                i, m = obj
+            else:  # arrow block from the worker-side normalize stage
+                i = np.asarray(obj["doc_id"].to_pylist(), dtype=object)
+                m = _e2m(obj["embedding"])
             ids_list.append(i)
             mats.append(m)
         index = pd.Index(np.concatenate(ids_list))
@@ -224,16 +231,34 @@ def run_er(
 
         # broadcast the (normalized) embedding matrix shards once; score
         # workers look vectors up by doc_id instead of shuffling 512-dim
-        # rows through the blocking groupby x bands
-        emb_shards = []
-        for b in embedded.select_columns(["doc_id", "embedding"]).iter_batches(
-            batch_size=32768, batch_format="pyarrow"
-        ):
-            ids = np.asarray(b["doc_id"].to_pylist(), dtype=object)
-            mat = emb_to_matrix(b["embedding"]).astype(np.float64)
+        # rows through the blocking groupby x bands. Normalization runs in
+        # WORKER tasks; the driver only collects the materialized block
+        # refs (the round-1 driver-side iter_batches loop was the measured
+        # serial floor in the scaling run).
+        from ..arrowutil import matrix_to_fsl
+
+        def norm_emb(t: pa.Table) -> pa.Table:
+            mat = emb_to_matrix(t["embedding"]).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            emb_shards.append(ray.put((ids, mat / norms)))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "embedding": matrix_to_fsl(mat / norms, pa.float64()),
+                }
+            )
+
+        emb_shards = (
+            embedded.select_columns(["doc_id", "embedding"])
+            .map_batches(
+                norm_emb,
+                batch_size=32768,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
 
         scorer = BlockPairScorer(cfg.n_candidates, cfg.sim_threshold, cfg.hubness)
         # coarse hash partitions: each map_groups call scores MANY whole

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .arrowutil import emb_to_matrix, matrix_to_list
+from .arrowutil import emb_to_matrix, matrix_to_fsl, matrix_to_list
 from .index import make_index
 
 
@@ -48,40 +48,55 @@ def shard_refs_from_dataset(
     data this is the per-block target universe produced by blocking, not
     the whole corpus.
     """
-    refs: list[ray.ObjectRef] = []
-    total = 0
-    max_id = -1
-    buf_ids: list[np.ndarray] = []
-    buf_vecs: list[np.ndarray] = []
-    buffered = 0
+    pa_dtype = pa.from_numpy_dtype(np.dtype(dtype))
 
-    def flush():
-        nonlocal buffered
-        if not buf_ids:
-            return
-        ids = np.concatenate(buf_ids)
-        vecs = np.concatenate(buf_vecs)
-        order = np.argsort(ids, kind="stable")  # id-ordered shards => shard-count
-        refs.append(ray.put((ids[order], vecs[order])))  # invariant tie-breaks
-        buf_ids.clear()
-        buf_vecs.clear()
-        buffered = 0
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = emb_to_matrix(t[emb_col]).astype(dtype)
+        order = np.argsort(ids, kind="stable")  # id-ordered shards =>
+        return pa.table(  # shard-invariant tie-breaks downstream
+            {
+                "ids": pa.array(ids[order], pa.int64()),
+                "vecs": matrix_to_fsl(
+                    np.ascontiguousarray(vecs[order]), pa_dtype
+                ),
+            }
+        )
 
-    for batch in ds.select_columns([id_col, emb_col]).iter_batches(
-        batch_size=rows_per_shard, batch_format="pyarrow"
-    ):
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = emb_to_matrix(batch[emb_col]).astype(dtype)
-        if len(ids):
-            max_id = max(max_id, int(ids.max()))
-        buf_ids.append(ids)
-        buf_vecs.append(vecs)
-        buffered += len(ids)
-        total += len(ids)
-        if buffered >= rows_per_shard:
-            flush()
-    flush()
+    # shard assembly runs in WORKER tasks; the driver only collects the
+    # block refs of the materialized normalized dataset (never the data).
+    # Holding the refs keeps the plasma objects alive; actors read them
+    # zero-copy via shard_arrays().
+    mat = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(
+            norm,
+            batch_size=rows_per_shard,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+    total = mat.count()
+    if total == 0:
+        return [], 0, -1
+    max_id = int(mat.max("ids"))
     return refs, total, max_id
+
+
+def shard_arrays(obj) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize a fetched shard object to ``(ids int64, vecs (s, d))``.
+
+    Accepts the arrow block produced by ``shard_refs_from_dataset`` (read
+    zero-copy from the object store) or a plain ``(ids, vecs)`` tuple for
+    custom callers.
+    """
+    if isinstance(obj, tuple):
+        return obj
+    ids = obj["ids"].to_numpy(zero_copy_only=False)
+    vecs = emb_to_matrix(obj["vecs"])
+    return ids, vecs
 
 
 class ShardGather:
@@ -94,7 +109,7 @@ class ShardGather:
     """
 
     def __init__(self, shard_refs: list):
-        self.shards = [ray.get(r) for r in shard_refs]
+        self.shards = [shard_arrays(ray.get(r)) for r in shard_refs]
         self.dim = self.shards[0][1].shape[1] if self.shards else 0
 
     def take(self, ids: np.ndarray) -> np.ndarray:
@@ -136,7 +151,7 @@ class SearchStage:
         self.keep_query_embedding = keep_query_embedding
         self.indexes = []
         for ref in shard_refs:
-            ids, vecs = ray.get(ref)
+            ids, vecs = shard_arrays(ray.get(ref))
             idx = make_index(algorithm, **(algorithm_kwargs or {}))
             idx.build(ids, vecs)
             self.indexes.append(idx)
