@@ -61,6 +61,36 @@ def _topk_by_id_tiebreak(
     return _pad(out_d, out_i, k)
 
 
+def _scatter_topk(
+    cand_q: np.ndarray,
+    cand_d: np.ndarray,
+    cand_i: np.ndarray,
+    n: int,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (query, dist, id) candidate rows -> per-query ascending top-k.
+
+    One lexsort over all candidates with (query, dist, id) keys, then a
+    vectorized within-group rank; non-finite distances (exclusions) never
+    land in the output. Shared by the batch-vectorized IVF/LSH searches.
+    """
+    out_d = np.full((n, k), np.nan)
+    out_i = np.full((n, k), -1, dtype=np.int64)
+    if len(cand_q) == 0:
+        return out_d, out_i
+    key_d = np.where(np.isfinite(cand_d), cand_d, np.inf)
+    order = np.lexsort((cand_i, key_d, cand_q))
+    cq = cand_q[order]
+    first = np.concatenate(([True], cq[1:] != cq[:-1]))
+    idx = np.arange(len(cq))
+    group_start = idx[first][np.cumsum(first) - 1]
+    rank = idx - group_start
+    sel = (rank < k) & np.isfinite(key_d[order])
+    out_d[cq[sel], rank[sel]] = cand_d[order][sel]
+    out_i[cq[sel], rank[sel]] = cand_i[order][sel]
+    return out_d, out_i
+
+
 class ExactIndex:
     """Brute-force index: one GEMM per (query batch, shard). Conformance
     oracle, equivalent of the reference SklearnNN backend
@@ -229,32 +259,53 @@ class IvfIndex:
     def search(
         self, q: np.ndarray, k: int, exclude_ids: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch-vectorized probe: queries are inverted to per-cell groups
+        so each populated cell runs ONE GEMM over all queries probing it
+        (no per-query Python loop); per-cell top-k candidates then merge
+        with a single lexsort."""
+        q = np.ascontiguousarray(q, dtype=np.float64)
+        n = len(q)
         nlist = len(self.centroids)
         nprobe = min(self.nprobe, nlist)
         cd = pairwise_distances(q, self.centroids, "sqeuclidean")
-        probe = np.argpartition(cd, kth=nprobe - 1, axis=1)[:, :nprobe]
-        n = len(q)
-        out_d = np.full((n, k), np.nan)
-        out_i = np.full((n, k), -1, dtype=np.int64)
-        # group queries by probed-cell signature would be fancier; per-row is
-        # fine because each row still does vectorized GEMM over its cells
-        for i in range(n):
-            segs = [
-                slice(self.cell_bounds[c], self.cell_bounds[c + 1]) for c in probe[i]
-            ]
-            cand_ids = np.concatenate([self.sorted_ids[s] for s in segs])
-            cand_vecs = np.concatenate([self.sorted_vecs[s] for s in segs])
-            if len(cand_ids) == 0:
+        if nprobe < nlist:
+            probe = np.argpartition(cd, kth=nprobe - 1, axis=1)[:, :nprobe]
+        else:
+            probe = np.broadcast_to(np.arange(nlist), (n, nlist))
+        pair_q = np.repeat(np.arange(n), probe.shape[1])
+        pair_c = probe.ravel()
+        order = np.argsort(pair_c, kind="stable")
+        pq, pc = pair_q[order], pair_c[order]
+        cell_starts = np.searchsorted(pc, np.arange(nlist + 1))
+        # +1 margin: the self-exclusion can knock out at most one candidate
+        margin = k + 1 if exclude_ids is not None else k
+        cq_l, cd_l, ci_l = [], [], []
+        for c in range(nlist):
+            s0, e0 = cell_starts[c], cell_starts[c + 1]
+            vs, ve = self.cell_bounds[c], self.cell_bounds[c + 1]
+            sz = ve - vs
+            if e0 == s0 or sz == 0:
                 continue
-            d = pairwise_distances(q[i : i + 1], cand_vecs, self.metric)[0]
-            if exclude_ids is not None:
-                d[cand_ids == exclude_ids[i]] = np.inf
-            dd, ii = _topk_by_id_tiebreak(d[None, :], cand_ids[None, :], k)
-            bad = ~np.isfinite(dd)
-            dd[bad] = np.nan
-            ii[bad] = -1
-            out_d[i], out_i[i] = dd[0], ii[0]
-        return out_d, out_i
+            qs = pq[s0:e0]
+            d = pairwise_distances(q[qs], self.sorted_vecs[vs:ve], self.metric)
+            kk = min(margin, sz)
+            if kk < sz:
+                part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+                dsel = np.take_along_axis(d, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(sz), (len(qs), sz))
+                dsel = d
+            cq_l.append(np.repeat(qs, kk))
+            cd_l.append(dsel.ravel())
+            ci_l.append(self.sorted_ids[vs:ve][part].ravel())
+        if not cq_l:
+            return np.full((n, k), np.nan), np.full((n, k), -1, dtype=np.int64)
+        cand_q = np.concatenate(cq_l)
+        cand_d = np.concatenate(cd_l)
+        cand_i = np.concatenate(ci_l)
+        if exclude_ids is not None:
+            cand_d[cand_i == exclude_ids[cand_q]] = np.inf
+        return _scatter_topk(cand_q, cand_d, cand_i, n, k)
 
 
 class LshIndex:
@@ -282,34 +333,60 @@ class LshIndex:
         order = np.argsort(codes, kind="stable")
         self.sorted_codes = codes[order]
         self.sorted_ids = ids[order]
-        self.sorted_vecs = vecs[order]
+        norms = np.linalg.norm(vecs[order], axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.sorted_vecsn = vecs[order] / norms  # pre-normalized for cosine
 
     def search(
         self, q: np.ndarray, k: int, exclude_ids: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        qcodes = self._codes(np.asarray(q, dtype=np.float64))
+        """Batch-vectorized: (query, probe) pairs are grouped by bucket so
+        each populated bucket runs ONE GEMM over all queries probing it,
+        keeps the per-bucket top-(k+1), and a single lexsort merges — no
+        per-query Python loop, and skewed buckets (a hazard of sign LSH on
+        non-centered data) cost one large GEMM instead of a huge gather."""
+        q = np.asarray(q, dtype=np.float64)
         n = len(q)
-        out_d = np.full((n, k), np.nan)
-        out_i = np.full((n, k), -1, dtype=np.int64)
+        qcodes = self._codes(q)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qnormed = q / qn
         flips = np.concatenate([[0], 1 << np.arange(self.nplanes, dtype=np.int64)])
-        for i in range(n):
-            probes = qcodes[i] ^ flips
-            lo = np.searchsorted(self.sorted_codes, probes, side="left")
-            hi = np.searchsorted(self.sorted_codes, probes, side="right")
-            segs = [slice(a, b) for a, b in zip(lo, hi) if b > a]
-            if not segs:
+        probes = (qcodes[:, None] ^ flips[None, :]).ravel()
+        pair_q = np.repeat(np.arange(n), len(flips))
+        order = np.argsort(probes, kind="stable")
+        sp, pq = probes[order], pair_q[order]
+        starts = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
+        uniq = sp[starts]
+        bounds = np.append(starts, len(sp))
+        lo = np.searchsorted(self.sorted_codes, uniq, side="left")
+        hi = np.searchsorted(self.sorted_codes, uniq, side="right")
+        margin = k + 1 if exclude_ids is not None else k
+        cq_l, cd_l, ci_l = [], [], []
+        for u in range(len(uniq)):
+            sz = hi[u] - lo[u]
+            if sz == 0:
                 continue
-            cand_ids = np.concatenate([self.sorted_ids[s] for s in segs])
-            cand_vecs = np.concatenate([self.sorted_vecs[s] for s in segs])
-            d = pairwise_distances(q[i : i + 1], cand_vecs, "cosine")[0]
-            if exclude_ids is not None:
-                d[cand_ids == exclude_ids[i]] = np.inf
-            dd, ii = _topk_by_id_tiebreak(d[None, :], cand_ids[None, :], k)
-            bad = ~np.isfinite(dd)
-            dd[bad] = np.nan
-            ii[bad] = -1
-            out_d[i], out_i[i] = dd[0], ii[0]
-        return out_d, out_i
+            qs = pq[bounds[u] : bounds[u + 1]]
+            d = 1.0 - qnormed[qs] @ self.sorted_vecsn[lo[u] : hi[u]].T
+            kk = min(margin, sz)
+            if kk < sz:
+                part = np.argpartition(d, kth=kk - 1, axis=1)[:, :kk]
+                dsel = np.take_along_axis(d, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(sz), (len(qs), sz))
+                dsel = d
+            cq_l.append(np.repeat(qs, kk))
+            cd_l.append(dsel.ravel())
+            ci_l.append(self.sorted_ids[lo[u] : hi[u]][part].ravel())
+        if not cq_l:
+            return np.full((n, k), np.nan), np.full((n, k), -1, dtype=np.int64)
+        cand_q = np.concatenate(cq_l)
+        cand_d = np.concatenate(cd_l)
+        cand_i = np.concatenate(ci_l)
+        if exclude_ids is not None:
+            cand_d[cand_i == exclude_ids[cand_q]] = np.inf
+        return _scatter_topk(cand_q, cand_d, cand_i, n, k)
 
 
 class FaissIndex:  # pragma: no cover - faiss absent in sandbox
