@@ -341,11 +341,30 @@ class Kiez:
             ds = ds.repartition(n_blocks)
         return ds
 
+    @staticmethod
+    def _coerce_input(x):
+        """torch.Tensor -> numpy (reference kiez.py:77-91 accepts torch
+        with the Faiss backend; here any backend takes it). Gated on
+        import so the sandbox (no torch) is unaffected."""
+        if x is None or isinstance(x, (np.ndarray, ray.data.Dataset)):
+            return x
+        try:  # pragma: no cover - torch absent in sandbox
+            import torch
+
+            if isinstance(x, torch.Tensor):
+                return x.detach().cpu().numpy()
+        except ImportError:
+            pass
+        return x
+
     def fit(self, source, target=None) -> "Kiez":
         """Build shard indexes over both sides and run the t->s calibration
-        pass. Accepts numpy matrices (reference-compatible) or Ray Datasets
-        with (row_id:int64 dense, embedding:list<float>) columns."""
+        pass. Accepts numpy matrices (reference-compatible), torch tensors
+        (converted), or Ray Datasets with (row_id:int64 dense,
+        embedding:list<float>) columns."""
         self._self_query = target is None
+        source = self._coerce_input(source)
+        target = self._coerce_input(target)
         if isinstance(source, np.ndarray):
             if source.ndim != 2:
                 raise ValueError(f"Expected 2D array, got {source.ndim}D")

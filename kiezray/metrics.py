@@ -54,6 +54,42 @@ def _minkowski(q: np.ndarray, x: np.ndarray, p: float) -> np.ndarray:
     return (diff**p).sum(axis=2) ** (1.0 / p)
 
 
+def _braycurtis(q: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """sum|q - x| / sum|q + x| (scipy convention; 0/0 -> 0)."""
+    diff = np.abs(q[:, None, :] - x[None, :, :]).sum(axis=2)
+    den = np.abs(q[:, None, :] + x[None, :, :]).sum(axis=2)
+    out = np.zeros_like(diff)
+    np.divide(diff, den, out=out, where=den != 0)
+    return out
+
+
+def _canberra(q: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """sum(|q - x| / (|q| + |x|)) with 0/0 terms -> 0 (scipy convention)."""
+    num = np.abs(q[:, None, :] - x[None, :, :])
+    den = np.abs(q)[:, None, :] + np.abs(x)[None, :, :]
+    term = np.zeros_like(num)
+    np.divide(num, den, out=term, where=den != 0)
+    return term.sum(axis=2)
+
+
+def _jensenshannon(q: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Jensen-Shannon distance (sqrt of the base-e divergence) between
+    rows normalized to probability vectors — scipy convention; matches
+    the reference Faiss metric option (faiss.py:70-85)."""
+    qs = q.sum(axis=1, keepdims=True)
+    xs = x.sum(axis=1, keepdims=True)
+    qs[qs == 0] = 1.0
+    xs[xs == 0] = 1.0
+    P = (q / qs)[:, None, :]  # (n, 1, d)
+    Q = (x / xs)[None, :, :]  # (1, m, d)
+    M = 0.5 * (P + Q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(P > 0, P * np.log(P / M), 0.0)
+        t2 = np.where(Q > 0, Q * np.log(Q / M), 0.0)
+    div = 0.5 * (t1 + t2).sum(axis=2)
+    return np.sqrt(np.maximum(div, 0.0))
+
+
 def pairwise_distances(
     q: np.ndarray, x: np.ndarray, metric: str = "euclidean", p: float = 2.0
 ) -> np.ndarray:
@@ -76,6 +112,12 @@ def pairwise_distances(
         if p == 2.0:
             return np.sqrt(_sqeuclidean(q, x))
         return _minkowski(q, x, p)
+    if metric == "braycurtis":
+        return _braycurtis(q, x)
+    if metric == "canberra":
+        return _canberra(q, x)
+    if metric == "jensenshannon":
+        return _jensenshannon(q, x)
     raise ValueError(f"Unknown metric: {metric}")
 
 
@@ -92,6 +134,9 @@ VALID_METRICS = (
     "chebyshev",
     "linf",
     "minkowski",
+    "braycurtis",
+    "canberra",
+    "jensenshannon",
 )
 
 _erfc_ufunc = np.frompyfunc(math.erfc, 1, 1)
