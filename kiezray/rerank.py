@@ -108,6 +108,12 @@ def mp_normal(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarr
     return 1.0 - p1 * p2
 
 
+#: byte budget for mp_empiric's boolean match intermediate; the kernel
+#: chunks the candidate axis to stay under it (c=100 at batch 4096 would
+#: otherwise allocate ~4 GB per batch)
+MP_EMPIRIC_BUDGET = 128 * 1024 * 1024
+
+
 def mp_empiric(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
     """Empirical joint-exceedance MP, vectorized over the batch.
 
@@ -116,21 +122,28 @@ def mp_empiric(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndar
     score = 1 - |{l : D[i, l] > D[i, j] and d_j[l] > D[i, j]}| / c.
     Replicates the double loop at mutual_proximity.py:185-212 including its
     id-space quirk (candidate *target* ids looked up among *source*
-    neighbor ids).
+    neighbor ids). The (n, jc, c2, c) boolean intermediate is chunked over
+    the candidate axis to stay under ``MP_EMPIRIC_BUDGET`` bytes.
     """
     n, c = D.shape
-    t2s_ind = stats.t2s_ind[I]  # (n, c, c2)
-    t2s_dist = stats.t2s_dist[I]  # (n, c, c2)
-    default = t2s_dist[:, :, -1] + 1e-6  # (n, c) kth distance + eps
-    # match[i, j, r, l] = (t2s_ind[i, j, r] == I[i, l])
-    match = t2s_ind[:, :, :, None] == I[:, None, None, :]
-    picked = np.where(match, t2s_dist[:, :, :, None], 0.0).sum(axis=2)
-    found = match.any(axis=2)
-    d_j = np.where(found, picked, default[:, :, None])  # (n, c, l)
+    out = np.empty_like(D)
+    c2 = stats.t2s_ind.shape[1]
+    jc = max(1, min(c, MP_EMPIRIC_BUDGET // max(1, n * c2 * c)))
     d_i = D[:, None, :]  # (n, 1, l)
-    thresh = D[:, :, None]  # (n, j, 1)
-    hits = ((d_i > thresh) & (d_j > thresh)).sum(axis=2)
-    return 1.0 - hits / c
+    for j0 in range(0, c, jc):
+        j1 = min(j0 + jc, c)
+        ti = stats.t2s_ind[I[:, j0:j1]]  # (n, jc, c2)
+        td = stats.t2s_dist[I[:, j0:j1]]  # (n, jc, c2)
+        default = td[:, :, -1] + 1e-6  # kth distance + eps
+        # match[i, j, r, l] = (ti[i, j, r] == I[i, l])
+        match = ti[:, :, :, None] == I[:, None, None, :]
+        picked = np.where(match, td[:, :, :, None], 0.0).sum(axis=2)
+        found = match.any(axis=2)
+        d_j = np.where(found, picked, default[:, :, None])  # (n, jc, l)
+        thresh = D[:, j0:j1, None]  # (n, jc, 1)
+        hits = ((d_i > thresh) & (d_j > thresh)).sum(axis=2)
+        out[:, j0:j1] = 1.0 - hits / c
+    return out
 
 
 def dsl_preshift(

@@ -79,3 +79,28 @@ def test_torch_input_path():
     k.fit(src, tgt)
     dist, ind = k.kneighbors(3)
     assert dist.shape == (30, 3)
+
+
+def test_mp_empiric_chunked_matches_unchunked():
+    """c=64 memory-bounding path: forcing tiny chunks must not change the
+    kernel output (VERDICT item 9)."""
+    from kiezray import rerank
+    from kiezray.rerank import CalibrationStats, mp_empiric
+
+    rng = np.random.RandomState(9)
+    n, c, m = 64, 64, 200
+    D = np.sort(rng.rand(n, c) * 10, axis=1)
+    I = np.stack([rng.choice(m, size=c, replace=False) for _ in range(n)])
+    stats = CalibrationStats(method="mp_empiric", n_candidates=c)
+    stats.t2s_ind = np.stack(
+        [rng.choice(m, size=c, replace=False) for _ in range(m)]
+    )
+    stats.t2s_dist = np.sort(rng.rand(m, c) * 10, axis=1)
+    full = mp_empiric(D, I, stats)
+    old_budget = rerank.MP_EMPIRIC_BUDGET
+    try:
+        rerank.MP_EMPIRIC_BUDGET = 1  # force jc == 1
+        chunked = mp_empiric(D, I, stats)
+    finally:
+        rerank.MP_EMPIRIC_BUDGET = old_budget
+    np.testing.assert_array_equal(full, chunked)
