@@ -389,6 +389,196 @@ class LshIndex:
         return _scatter_topk(cand_q, cand_d, cand_i, n, k)
 
 
+class GraphIndex:
+    """Graph-ANN: beam search over a symmetrized kNN graph (pure numpy).
+
+    The HNSW/NGT regime of the reference's nmslib/nng backends
+    (/root/reference/kiez/neighbors/approximate/nmslib.py:20-163,
+    nng.py:29-267) — greedy routing over neighbor links with a beam —
+    rebuilt batch-first so every hop is vectorized ACROSS queries:
+
+     - build: approximate kNN graph from per-cell GEMMs (IVF assignment),
+       symmetrized (u->v adds v->u) and truncated to ``m_links`` per node;
+       entry points = the member nearest each coarse centroid;
+     - search: all queries advance in lockstep. Each hop expands the
+       ``expand`` best unexpanded pool entries per query, gathers their
+       neighbors, scores them with one fused einsum, and merges by a
+       row-wise (id, dist) dedupe + top-ef truncation. Stops when no query
+       has unexpanded candidates or after ``max_hops``.
+
+    Padding follows the reference's nmslib semantics (ind=-1 / dist=NaN
+    for unreachable slots, nmslib.py:142-149).
+    """
+
+    def __init__(
+        self,
+        metric: str = "euclidean",
+        m_links: int = 24,
+        ef_search: int = 96,
+        max_hops: int = 30,
+        expand: int = 8,
+        nlist: int = 64,
+        seed: int = 42,
+    ):
+        if metric not in (
+            "euclidean", "l2", "sqeuclidean", "minkowski", "cosine",
+            "ip", "innerproduct", "inner_product",
+        ):
+            raise ValueError(
+                f"GraphIndex supports euclidean/sqeuclidean/cosine/ip, not {metric}"
+            )
+        self.metric = metric
+        self.m_links = m_links
+        self.ef_search = ef_search
+        self.max_hops = max_hops
+        self.expand = expand
+        self.nlist = nlist
+        self.seed = seed
+
+    # -- internal rowwise scoring: q (n, d) against gathered X (n, K, d) --
+    def _rowwise(self, qpre: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        X = self.vecs[pos]  # (n, K, d) gather
+        dot = np.einsum("nd,nkd->nk", qpre, X)
+        if self.metric in ("euclidean", "l2", "sqeuclidean", "minkowski"):
+            return self._qn[:, None] - 2.0 * dot + self._xn[pos]
+        if self.metric == "cosine":
+            return 1.0 - dot
+        return -dot  # ip
+
+    def _prep_queries(self, q: np.ndarray) -> np.ndarray:
+        if self.metric in ("euclidean", "l2", "sqeuclidean", "minkowski"):
+            self._qn = np.einsum("ij,ij->i", q, q)
+            return q
+        if self.metric == "cosine":
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            return q / qn
+        return q
+
+    def _finalize_dist(self, d: np.ndarray) -> np.ndarray:
+        if self.metric in ("euclidean", "l2", "minkowski"):
+            return np.sqrt(np.maximum(d, 0.0))
+        return d
+
+    def build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        self.ids = np.ascontiguousarray(ids, dtype=np.int64)
+        vecs = np.ascontiguousarray(vecs, dtype=np.float64)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+        self.vecs = vecs
+        m = len(vecs)
+        self._xn = np.einsum("ij,ij->i", vecs, vecs)
+        # approximate kNN graph via the vectorized IVF (positions, not ids)
+        inner_metric = (
+            "sqeuclidean"
+            if self.metric in ("euclidean", "l2", "sqeuclidean", "minkowski")
+            else self.metric
+        )
+        ivf = IvfIndex(
+            inner_metric,
+            nlist=min(self.nlist, m),
+            nprobe=min(4, min(self.nlist, m)),
+            seed=self.seed,
+        )
+        ivf.build(np.arange(m, dtype=np.int64), vecs)
+        nd, nbr = ivf.search(vecs, self.m_links + 1)
+        # entry points: the member nearest each coarse centroid
+        cd = pairwise_distances(ivf.centroids, vecs, inner_metric)
+        self.entries = np.unique(cd.argmin(axis=1))
+        # symmetrize: every edge u->v also contributes v->u, then per-node
+        # top-m_links by distance (vectorized: flat edge list + lexsort)
+        src = np.repeat(np.arange(m), nbr.shape[1])
+        dst = nbr.ravel()
+        dd = nd.ravel()
+        keep = (dst >= 0) & (dst != src)
+        src, dst, dd = src[keep], dst[keep], dd[keep]
+        u = np.concatenate([src, dst])
+        v = np.concatenate([dst, src])
+        w = np.concatenate([dd, dd])
+        order = np.lexsort((v, w, u))
+        u, v = u[order], v[order]
+        # dedupe (u, v) then rank within u
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+        u, v = u[first], v[first]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        grp = np.cumsum(np.concatenate(([True], u[1:] != u[:-1]))) - 1
+        rank = np.arange(len(u)) - starts[grp]
+        sel = rank < self.m_links
+        self.graph = np.full((m, self.m_links), -1, dtype=np.int64)
+        self.graph[u[sel], rank[sel]] = v[sel]
+
+    def search(
+        self, q: np.ndarray, k: int, exclude_ids: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(q, dtype=np.float64)
+        n = len(q)
+        m = len(self.vecs)
+        qpre = self._prep_queries(q)
+        ef = max(self.ef_search, k + (1 if exclude_ids is not None else 0))
+        # seed pool: nearest entry points per query
+        ent = self.entries
+        d0 = self._rowwise(qpre, np.broadcast_to(ent, (n, len(ent))))
+        s = min(ef, len(ent))
+        seed_order = np.argsort(d0, axis=1, kind="stable")[:, :s]
+        pool_p = np.take_along_axis(
+            np.broadcast_to(ent, (n, len(ent))), seed_order, axis=1
+        ).copy()
+        pool_d = np.take_along_axis(d0, seed_order, axis=1)
+        pool_e = np.zeros_like(pool_p, dtype=bool)  # expanded flags
+        for _ in range(self.max_hops):
+            key = np.where(pool_e | ~np.isfinite(pool_d), np.inf, pool_d)
+            B = min(self.expand, pool_p.shape[1])
+            exp_cols = np.argpartition(key, kth=B - 1, axis=1)[:, :B]
+            exp_key = np.take_along_axis(key, exp_cols, axis=1)
+            any_new = np.isfinite(exp_key).any()
+            if not any_new:
+                break
+            np.put_along_axis(pool_e, exp_cols, True, axis=1)
+            exp_pos = np.take_along_axis(pool_p, exp_cols, axis=1)
+            nb = self.graph[exp_pos].reshape(n, -1)  # (n, B*M)
+            valid = nb >= 0
+            nb_safe = np.where(valid, nb, 0)
+            nd = self._rowwise(qpre, nb_safe)
+            nd = np.where(valid, nd, np.inf)
+            # merge + row-wise dedupe by position, expanded-first so an
+            # already-expanded copy suppresses its fresh duplicate
+            ci = np.concatenate([pool_p, nb_safe], axis=1)
+            cd = np.concatenate([pool_d, nd], axis=1)
+            ce = np.concatenate([pool_e, np.zeros_like(valid)], axis=1)
+            order = np.lexsort(
+                (np.where(ce, 0, 1), np.where(np.isfinite(cd), cd, np.inf), ci),
+                axis=-1,
+            )
+            ci = np.take_along_axis(ci, order, axis=1)
+            cd = np.take_along_axis(cd, order, axis=1)
+            ce = np.take_along_axis(ce, order, axis=1)
+            dup = np.zeros_like(ce)
+            dup[:, 1:] = ci[:, 1:] == ci[:, :-1]
+            cd = np.where(dup, np.inf, cd)
+            # keep best ef by (dist, position)
+            order2 = np.lexsort((ci, cd), axis=-1)[:, :ef]
+            pool_p = np.take_along_axis(ci, order2, axis=1)
+            pool_d = np.take_along_axis(cd, order2, axis=1)
+            pool_e = np.take_along_axis(ce, order2, axis=1)
+        # final top-k by (dist, global id) with exclusion
+        gids = self.ids[pool_p]
+        dist = pool_d.copy()
+        if exclude_ids is not None:
+            dist[gids == exclude_ids[:, None]] = np.inf
+        key = np.where(np.isfinite(dist), dist, np.inf)
+        order = np.lexsort((gids, key), axis=-1)[:, : min(k, key.shape[1])]
+        out_d = np.take_along_axis(dist, order, axis=1)
+        out_i = np.take_along_axis(gids, order, axis=1)
+        out_d = self._finalize_dist(out_d)
+        out_d, out_i = _pad(out_d, out_i, k)
+        bad = ~np.isfinite(out_d)
+        out_d[bad] = np.nan
+        out_i[bad] = -1
+        return out_d, out_i
+
+
 class FaissIndex:  # pragma: no cover - faiss absent in sandbox
     """Faiss-backed index (used when faiss is importable; metric map mirrors
     reference faiss.py:67-85 for l2/ip/cosine)."""
@@ -440,6 +630,8 @@ INDEX_REGISTRY: dict[str, type] = {
     "sklearnnn": ExactIndex,  # reference-name alias
     "ivf": IvfIndex,
     "lsh": LshIndex,
+    "graph": GraphIndex,
+    "hnsw": GraphIndex,
 }
 
 
@@ -464,10 +656,10 @@ def make_index(algorithm, **kwargs):
     name = (algorithm or "exact").lower()
     if name == "faiss" and faiss is None:
         name = "exact"  # reference fallback semantics (kiez.py:118-122)
-    # graph/tree ANN backends of the reference map onto the available
-    # approximate implementation (capability parity, not a port)
-    if name in ("nmslib", "nng", "annoy", "hnsw"):
-        name = "ivf"
+    # graph/tree ANN backends of the reference map onto the graph index
+    # (same greedy-routing regime; capability parity, not a port)
+    if name in ("nmslib", "nng", "annoy"):
+        name = "graph"
     if name not in INDEX_REGISTRY:
         raise ValueError(
             f"Unknown algorithm {algorithm!r}; options: {sorted(INDEX_REGISTRY)}"

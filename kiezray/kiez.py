@@ -73,11 +73,13 @@ _ALGORITHM_ALIASES = {
     "faiss": "faiss",
     "ivf": "ivf",
     "lsh": "lsh",
-    # graph/tree ANN backends of the reference map onto the available
-    # approximate implementations (capability parity, not a port)
-    "nmslib": "ivf",
-    "nng": "ivf",
-    "annoy": "ivf",
+    "graph": "graph",
+    "hnsw": "graph",
+    # graph/tree ANN backends of the reference map onto the graph index
+    # (same greedy-routing regime; capability parity, not a port)
+    "nmslib": "graph",
+    "nng": "graph",
+    "annoy": "graph",
 }
 
 

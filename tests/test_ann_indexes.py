@@ -70,9 +70,13 @@ def test_lsh_rejects_non_cosine():
 
 
 def test_make_index_fallback_and_registry():
+    from kiezray.index import GraphIndex
+
     idx = make_index("faiss")  # faiss absent -> exact fallback
     assert isinstance(idx, ExactIndex)
-    assert isinstance(make_index("NMSLIB".lower()), IvfIndex)
+    # graph/tree reference backends alias to the graph index, not IVF
+    for name in ("nmslib", "nng", "annoy", "hnsw", "graph"):
+        assert isinstance(make_index(name), GraphIndex)
     with pytest.raises(ValueError, match="Unknown algorithm"):
         make_index("bogus")
 
@@ -94,3 +98,60 @@ def test_exact_sqeuclidean_and_ip(data):
     # negated inner product: first hit = max dot product
     dots = q @ x.T
     np.testing.assert_array_equal(i_ip[:, 0], dots.argmax(axis=1))
+
+
+def test_graph_recall_beats_ivf_and_determinism(data):
+    """VERDICT item 7: graph-ANN recall >= IVF at comparable compute."""
+    from kiezray.index import GraphIndex
+
+    x, q = data
+    ids = np.arange(len(x))
+    exact = ExactIndex("euclidean")
+    exact.build(ids, x)
+    _, ei = exact.search(q, 10)
+    g = GraphIndex("euclidean")
+    g.build(ids, x)
+    d1, i1 = g.search(q, 10)
+    ivf = IvfIndex("euclidean", nlist=32, nprobe=8)
+    ivf.build(ids, x)
+    _, ii = ivf.search(q, 10)
+    assert _recall(i1, ei) >= _recall(ii, ei)
+    assert _recall(i1, ei) > 0.8
+    g2 = GraphIndex("euclidean")
+    g2.build(ids, x)
+    _, i2 = g2.search(q, 10)
+    np.testing.assert_array_equal(i1, i2)
+    assert (np.diff(d1, axis=1) >= -1e-12).all()
+
+
+def test_graph_padding_semantics():
+    """Reference nmslib padding: unreachable slots -> ind=-1 / dist=NaN
+    (nmslib.py:142-149)."""
+    from kiezray.index import GraphIndex
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(5, 8)
+    g = GraphIndex("euclidean")
+    g.build(np.arange(5), x)
+    d, i = g.search(rng.rand(4, 8), 10)
+    assert (i[:, 5:] == -1).all()
+    assert np.isnan(d[:, 5:]).all()
+    assert (i[:, :5] >= 0).all()
+    assert np.isfinite(d[:, :5]).all()
+
+
+def test_graph_cosine_and_self_exclusion():
+    from kiezray.index import GraphIndex
+
+    rng = np.random.RandomState(4)
+    x = rng.rand(400, 16)
+    ids = np.arange(400)
+    g = GraphIndex("cosine")
+    g.build(ids, x)
+    d, i = g.search(x[:50], 5, exclude_ids=ids[:50])
+    assert not any((i[r] == r).any() for r in range(50))
+    ex = ExactIndex("cosine")
+    ex.build(ids, x)
+    ed, eii = ex.search(x[:50], 5, exclude_ids=ids[:50])
+    # high recall on self-neighborhoods
+    assert _recall(i, eii) > 0.8
