@@ -758,7 +758,7 @@ FROM documents ORDER BY doc_id
 
 
 def q_quality(sf_dir: str):
-    """Rows-only: heuristic quality features per document."""
+    """Heuristic quality features per document (oracle-checked)."""
     from ..textops import quality_score
 
     docs = ray.data.read_parquet(
@@ -774,6 +774,37 @@ def q_quality(sf_dir: str):
         ),
         batch_format="pandas",
     )
+
+
+SQL_QUALITY = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         coalesce(text, '') AS text,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(toks,
+              t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stopword_ratio,
+         CAST(length(text) - length(regexp_replace(text,
+              '[.,;:!?"''()\\[\\]{}]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         coalesce(list_avg(list_transform(toks,
+              t -> CAST(length(t) AS DOUBLE))), 0.0) AS mean_token_len,
+         CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+           AS length_ok
+  FROM base)
+SELECT doc_id, n_chars,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(0.4 * length_ok + 0.3 * (1.0 - least(greatest(punct_ratio, 0), 1))
+             + 0.3 * (least(greatest(mean_token_len, 0), 10) / 10.0), 6)
+         AS quality
+FROM feat ORDER BY doc_id
+"""
 
 
 def q_fingerprint(sf_dir: str):
@@ -933,7 +964,8 @@ FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
 
 
 def q_sliding(sf_dir: str):
-    """Rows-only: sliding-window aggregate (1h window / 15m slide)."""
+    """Sliding-window aggregate (1h window / 15m slide); oracle-checked
+    via slide fan-out in DuckDB."""
     from ..windows import sliding_window
 
     events = ray.data.read_parquet(
@@ -944,6 +976,18 @@ def q_sliding(sf_dir: str):
         lambda df: df.assign(sum_value=round_away(df["sum_value"], 4)),
         batch_format="pandas",
     )
+
+
+SQL_SLIDING = """
+WITH ev AS (SELECT CAST(user_id AS BIGINT) u,
+                   CAST(floor(epoch(ts)) AS BIGINT) e, value FROM events),
+ex AS (SELECT u, (e // 900) * 900 - r.i * 900 AS window_start, value, e
+       FROM ev CROSS JOIN range(0, 4) r(i)
+       WHERE e - ((e // 900) * 900 - r.i * 900) < 3600)
+SELECT u AS user_id, CAST(window_start AS BIGINT) AS window_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def q_pricing_summary(sf_dir: str):
@@ -1136,6 +1180,8 @@ ORACLE_SQL = {
     "embed_dup": SQL_EMBED_DUP,
     "tumbling_window": SQL_TUMBLING,
     "sessionize": SQL_SESSIONIZE,
+    "sliding_window": SQL_SLIDING,
+    "quality": SQL_QUALITY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /

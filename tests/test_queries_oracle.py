@@ -28,6 +28,8 @@ CHECKED = [
     ("text_stats", 2e-6),
     ("token_counts", 0),
     ("embed_dup", 0),
+    ("sliding_window", 0),
+    ("quality", 0),
 ]
 
 
