@@ -250,9 +250,8 @@ def run_er(
 
         emb_shards = (
             embedded.select_columns(["doc_id", "embedding"])
-            .map_batches(
+            .map_batches(  # per-input-block (no coalescing): parallel tasks
                 norm_emb,
-                batch_size=32768,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )

@@ -78,11 +78,18 @@ def shard_refs_from_dataset(
         .materialize()
     )
     refs = mat.to_arrow_refs()
-    total = mat.count()
+    total = mat.count()  # metadata only, no execution
     if total == 0:
         return [], 0, -1
-    max_id = int(mat.max("ids"))
-    return refs, total, max_id
+    # max id per shard = its last element (id-sorted); tiny parallel tasks
+    # reading the blocks zero-copy — avoids a whole extra aggregate pass
+    maxes = ray.get([_shard_max_id.remote(r) for r in refs])
+    return refs, total, max(maxes)
+
+
+@ray.remote(num_cpus=0)
+def _shard_max_id(block: pa.Table) -> int:
+    return int(block["ids"][-1].as_py()) if len(block) else -1
 
 
 def shard_arrays(obj) -> tuple[np.ndarray, np.ndarray]:
