@@ -491,6 +491,28 @@ def q_ann_cosine(sf_dir: str):
     )
 
 
+def q_ann_graph(sf_dir: str):
+    """Rows-only: graph-ANN (beam search over the symmetrized kNN graph)
+    cosine top-k for the first 10 source rows. Approximate by design, so
+    no SQL oracle; tests assert recall vs the exact search instead."""
+    source, target = _sides(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(target)
+    queries = source.map_batches(
+        lambda t: t.filter(pc.less(t["row_id"], 10)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nds = knn_search(
+        queries, shards, k=N_CAND, algorithm="graph",
+        algorithm_kwargs={"metric": "cosine"},
+    )
+    out = _explode_neighbors(nds, dist_name="cos_sim", digits=6, to_similarity=True)
+    return out.map_batches(
+        lambda t: t.rename_columns(["query_id", "rank", "target_id", "cos_sim"]),
+        batch_format="pyarrow",
+    )
+
+
 SQL_ANN_COSINE = """
 WITH
 q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
@@ -1142,6 +1164,7 @@ QUERIES = {
     "hubness_stats": q_hubness_stats,
     "hits_at_k": q_hits,
     "ann_cosine": q_ann_cosine,
+    "ann_graph": q_ann_graph,
     "components": q_components,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,

@@ -55,3 +55,20 @@ def test_mp_normal_internal_consistency():
     g = t.sort_values(["source_id", "rank"]).groupby("source_id")
     assert (g.size() == Q.TOPK).all()
     assert all((x["dist"].diff().dropna() >= -1e-9).all() for _, x in g)
+
+
+def test_ann_graph_recall_vs_exact():
+    """Rows-only graph-ANN query: shape + recall >= 0.8 vs the exact
+    cosine search on the same slice."""
+    exact = Q.QUERIES["ann_cosine"](SF).to_pandas()
+    graph = Q.QUERIES["ann_graph"](SF).to_pandas()
+    assert list(graph.columns) == ["query_id", "rank", "target_id", "cos_sim"]
+    assert set(graph["query_id"]) == set(exact["query_id"])
+    hits = 0
+    total = 0
+    for q in set(exact["query_id"]):
+        e = set(exact.loc[exact.query_id == q, "target_id"])
+        g = set(graph.loc[graph.query_id == q, "target_id"])
+        hits += len(e & g)
+        total += len(e)
+    assert hits / total >= 0.8
