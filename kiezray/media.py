@@ -87,11 +87,20 @@ class ImageFeatures:
         n = len(col)
         width = col.type.list_size
         pix = col.values.to_numpy(zero_copy_only=False).reshape(n, width // 3, 3)
-        feats = np.empty((n, self.bins * 3), dtype=np.float32)
-        for c in range(3):
-            for i in range(n):
-                h, _ = np.histogram(pix[i, :, c], bins=self.edges)
-                feats[i, c * self.bins : (c + 1) * self.bins] = h
+        # one bincount over the whole batch: code = image*(3*bins) +
+        # channel*bins + pixel_bin (equivalent to the per-channel histogram
+        # with edges linspace(0, 256, bins+1) since pixels are < 256)
+        bin_idx = (pix.astype(np.int64) * self.bins) >> 8
+        code = (
+            np.arange(n, dtype=np.int64)[:, None, None] * (3 * self.bins)
+            + np.arange(3, dtype=np.int64)[None, None, :] * self.bins
+            + bin_idx
+        )
+        feats = (
+            np.bincount(code.ravel(), minlength=n * 3 * self.bins)
+            .reshape(n, 3 * self.bins)
+            .astype(np.float32)
+        )
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
         norms[norms == 0] = 1
         feats /= norms

@@ -936,6 +936,36 @@ def q_hubness_all(sf_dir: str):
     )
 
 
+def q_media_features(sf_dir: str):
+    """Rows-only: multimodal plumbing end-to-end — deterministic synthetic
+    binary media table -> actor-pool fake decode (no codec in sandbox,
+    media.py:6-15) -> vectorized channel-histogram features. Output is
+    deterministic (seeded payloads + crc-seeded decode), so row/shape
+    checks are stable across runs."""
+    import pyarrow.parquet as pq
+
+    from ..media import decode_images, image_features, synth_media_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synth_media_table(n=max(64, n_docs // 4), seed=42)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    feats = image_features(decode_images(ds))
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t["features"].combine_chunks()
+        F = col.values.to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "kind": t["kind"],
+                "f0": pa.array(round_away(F[:, 0].astype(np.float64), 6)),
+                "f_sum": pa.array(round_away(F.sum(axis=1).astype(np.float64), 6)),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_tumbling(sf_dir: str):
     from ..windows import tumbling_window
 
@@ -1165,6 +1195,7 @@ QUERIES = {
     "hits_at_k": q_hits,
     "ann_cosine": q_ann_cosine,
     "ann_graph": q_ann_graph,
+    "media_features": q_media_features,
     "components": q_components,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
