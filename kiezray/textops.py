@@ -158,12 +158,11 @@ def fingerprint(docs_ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Datas
         else:
             view = np.lib.stride_tricks.sliding_window_view(hs, window)
             mins = view.min(axis=1)
-        out = np.uint64(0)
         with np.errstate(over="ignore"):  # wrap-around is the hash
-            for m in np.unique(mins):
-                out ^= (m * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
-                    0xFFFFFFFFFFFFFFFF
-                )
+            mixed = (np.unique(mins) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+                0xFFFFFFFFFFFFFFFF
+            )
+        out = np.bitwise_xor.reduce(mixed)
         return int(out.astype(np.int64))
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
