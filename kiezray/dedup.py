@@ -368,8 +368,10 @@ def dedup_minhash_lsh(
         )
 
     exploded = sig_tbl.map_batches(explode_bands, batch_format="pyarrow")
+    # distinct=False: connected components tolerates duplicate edges
+    # (band-collision repeats), so the pair-dedup shuffle is skipped
     edges = _verified_pairs_from_buckets(
-        exploded, id_col, num_perm=num_perm, threshold=threshold
+        exploded, id_col, num_perm=num_perm, threshold=threshold, distinct=False
     )
     nodes = ds.select_columns([id_col]).map_batches(
         lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
@@ -383,8 +385,10 @@ def _verified_pairs_from_buckets(
     num_perm: int,
     threshold: float,
     max_bucket: int = 200,
+    distinct: bool = True,
 ) -> "ray.data.Dataset":
-    """(bucket, id, minhash) rows -> distinct verified pairs (a < b).
+    """(bucket, id, minhash) rows -> verified pairs (a < b), distinct
+    unless the consumer (connected components) tolerates duplicates.
 
     Pair generation AND signature-jaccard verification run in one pass
     over each bucket group (the signatures arrived with the banding
@@ -400,12 +404,25 @@ def _verified_pairs_from_buckets(
         )
         return t.append_column("part", part)
 
-    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
-        buckets = g["bucket"].to_numpy()
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        # stays Arrow end-to-end: the (n, num_perm) signature matrix is a
+        # zero-copy reshape of the fixed_size_list values (a pandas batch
+        # would box every signature row into a Python object)
+        id_arr = g[id_col].combine_chunks()
+        if pa.types.is_integer(id_arr.type):
+            ids = id_arr.to_numpy(zero_copy_only=False)
+        else:
+            ids = np.asarray(id_arr.to_pylist(), dtype=object)
+        buckets = np.asarray(g["bucket"].to_pylist(), dtype=object)
+        S = (
+            g["minhash"].combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .reshape(len(g), num_perm)
+        )
         order = np.argsort(buckets, kind="stable")
         buckets = buckets[order]
-        ids = g[id_col].to_numpy()[order]
-        S = np.stack(g["minhash"].to_numpy()[order]).astype(np.int64)
+        ids = ids[order]
+        S = S[order]
         bounds = np.flatnonzero(
             np.concatenate(([True], buckets[1:] != buckets[:-1], [True]))
         )
@@ -423,17 +440,20 @@ def _verified_pairs_from_buckets(
                 out_a.append(mem[ai][keep])
                 out_b.append(mem[bi][keep])
         if not out_a:
-            return pd.DataFrame({"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0]})
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            return pa.table({"a": id_arr.slice(0, 0), "b": id_arr.slice(0, 0)})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), id_arr.type),
+                "b": pa.array(np.concatenate(out_b), id_arr.type),
+            }
         )
 
     cand = (
         exploded.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(pairs_partition, batch_format="pandas")
+        .map_groups(pairs_partition, batch_format="pyarrow")
     )
-    return dedup_pair_rows(cand)
+    return dedup_pair_rows(cand) if distinct else cand
 
 
 class SimHasher:
@@ -584,7 +604,7 @@ def dedup_simhash(
         .groupby("part")
         .map_groups(pairs_partition, batch_format="pandas")
     )
-    edges = dedup_pair_rows(cand)
+    edges = cand  # CC tolerates duplicate edges; skip the dedup shuffle
     nodes = ds.select_columns([id_col]).map_batches(
         lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
     )
