@@ -75,6 +75,14 @@ class ERConfig:
     checkpoint_dir: str | None = None
     resume: bool = True
     concurrency: tuple = (1, 8)
+    #: how pair-scoring workers get embeddings:
+    #:  - "broadcast": normalized shards in the object store, per-process
+    #:    lookup cache — fastest while the corpus embedding table fits the
+    #:    cluster object store (it is fetched once per node);
+    #:  - "join": embeddings ride the partition shuffle via a hash join
+    #:    keyed on doc_id (x bands duplication, no whole-corpus broadcast)
+    #:    — the 10^12-doc path where no node can hold the corpus.
+    emb_transport: str = "broadcast"
     extra: dict = field(default_factory=dict)
 
 
@@ -133,14 +141,16 @@ class BlockPairScorer:
         hi = np.maximum(a_ids, b_ids)
         return lo, hi, np.round(sc[keep], 6)
 
-    def __call__(self, part: pa.Table, lookup) -> pa.Table:
+    def __call__(self, part: pa.Table, lookup=None) -> pa.Table:
         """Score ONE COARSE PARTITION holding many whole blocks.
 
         Blocks are tiny (often 1-4 docs), so per-block pandas frames cost
         more than the math; instead groups are delimited with numpy over
         the partition sorted by block_key and each block is scored with
         pure-numpy slices. ``lookup`` = (pd.Index of doc ids, normalized
-        embedding matrix) from the broadcast shards.
+        embedding matrix) from the broadcast shards; ``lookup=None``
+        means the partition carries its own normalized ``embedding``
+        column (emb_transport="join").
         """
         if len(part) == 0:
             return pa.table(
@@ -154,8 +164,15 @@ class BlockPairScorer:
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
         ids = np.asarray(part["doc_id"].to_pylist(), dtype=object)[order]
-        index, all_mat = lookup
-        mat = all_mat[index.get_indexer(ids)]
+        if lookup is None:  # embeddings arrived with the shuffle (join)
+            # binary-packed rows (Arrow's hash join rejects list columns)
+            blobs = part["embedding_bin"].to_pylist()
+            mat = np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(
+                len(blobs), -1
+            )[order]
+        else:
+            index, all_mat = lookup
+            mat = all_mat[index.get_indexer(ids)]
         bounds = np.flatnonzero(
             np.concatenate(([True], keys[1:] != keys[:-1], [True]))
         )
@@ -227,16 +244,12 @@ def run_er(
 
         import ray
 
+        from ..arrowutil import matrix_to_fsl
         from ..dedup import dedup_pair_rows
 
-        # broadcast the (normalized) embedding matrix shards once; score
-        # workers look vectors up by doc_id instead of shuffling 512-dim
-        # rows through the blocking groupby x bands. Normalization runs in
-        # WORKER tasks; the driver only collects the materialized block
-        # refs (the round-1 driver-side iter_batches loop was the measured
-        # serial floor in the scaling run).
-        from ..arrowutil import matrix_to_fsl
-
+        # normalization runs in WORKER tasks; the driver never touches the
+        # data (the round-1 driver-side iter_batches loop was the measured
+        # serial floor in the scaling run)
         def norm_emb(t: pa.Table) -> pa.Table:
             mat = emb_to_matrix(t["embedding"]).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -248,15 +261,10 @@ def run_er(
                 }
             )
 
-        emb_shards = (
-            embedded.select_columns(["doc_id", "embedding"])
-            .map_batches(  # per-input-block (no coalescing): parallel tasks
-                norm_emb,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .materialize()
-            .to_arrow_refs()
+        emb_norm = embedded.select_columns(["doc_id", "embedding"]).map_batches(
+            norm_emb,  # per-input-block (no coalescing): parallel tasks
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
         scorer = BlockPairScorer(cfg.n_candidates, cfg.sim_threshold, cfg.hubness)
@@ -274,13 +282,50 @@ def run_er(
 
         parted = keys.map_batches(add_part, batch_format="pyarrow")
 
-        def score_partition(g: pa.Table) -> pa.Table:
-            lookup = _shard_lookup(emb_shards)
-            return scorer(g, lookup)
+        if cfg.emb_transport == "join":
+            # 10^12-doc path: embeddings ride the partition shuffle via a
+            # hash join on doc_id (x bands duplication) — no node ever
+            # holds the whole corpus embedding table. Rows are packed as
+            # binary (Arrow's hash join rejects list payload columns).
+            def to_bin(t: pa.Table) -> pa.Table:
+                mat = np.ascontiguousarray(emb_to_matrix(t["embedding"]))
+                n, d = mat.shape
+                offsets = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int32)
+                bin_arr = pa.BinaryArray.from_buffers(
+                    pa.binary(),
+                    n,
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(mat.tobytes())],
+                )
+                return pa.table(
+                    {"doc_id": t["doc_id"], "embedding_bin": bin_arr}
+                )
 
-        scored = parted.groupby("part").map_groups(
-            score_partition, batch_format="pyarrow"
-        )
+            emb_bin = emb_norm.map_batches(
+                to_bin, batch_format="pyarrow", zero_copy_batch=True
+            )
+            parted = parted.join(
+                emb_bin, join_type="inner", num_partitions=16, on=("doc_id",)
+            )
+
+            def score_partition_inline(g: pa.Table) -> pa.Table:
+                return scorer(g)
+
+            scored = parted.groupby("part").map_groups(
+                score_partition_inline, batch_format="pyarrow"
+            )
+        else:
+            # broadcast path: normalized shards in the object store, read
+            # zero-copy once per node, per-process lookup cache
+            emb_shards = emb_norm.materialize().to_arrow_refs()
+
+            def score_partition(g: pa.Table) -> pa.Table:
+                lookup = _shard_lookup(emb_shards)
+                return scorer(g, lookup)
+
+            scored = parted.groupby("part").map_groups(
+                score_partition, batch_format="pyarrow"
+            )
         # exact pair dedup keeping the best score (hash-partitioned
         # vectorized unique; multi-key aggregates are slow in this Ray)
         return dedup_pair_rows(scored, score_col="score")

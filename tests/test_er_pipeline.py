@@ -174,3 +174,32 @@ def test_stale_tmp_stage_is_ignored(small_docs, tmp_path):
     from kiezray.lineage import read_manifests
 
     assert "embed" in read_manifests(ck)
+
+
+def test_emb_transport_join_equals_broadcast(tmp_path):
+    """The 10^12-doc shuffle-join embedding transport must produce exactly
+    the same verified pairs and clusters as the broadcast path."""
+    import pandas as pd
+    import ray
+
+    from kiezray.pipelines.er import ERConfig, run_er
+    from kiezray.synth import generate_docs
+
+    docs, _, _ = generate_docs(n_entities=300, seed=7, hub_entities=2, hub_copies=16)
+    ds = ray.data.from_arrow(docs).repartition(8)
+
+    def pairs_of(transport):
+        out = run_er(
+            ds,
+            ERConfig(
+                emb_transport=transport, resume=False, concurrency=(1, 4)
+            ),
+        )
+        p = out["pairs"].to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        c = out["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return p, c
+
+    pb, cb = pairs_of("broadcast")
+    pj, cj = pairs_of("join")
+    pd.testing.assert_frame_equal(pb, pj)
+    pd.testing.assert_frame_equal(cb, cj)
