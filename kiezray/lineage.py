@@ -77,8 +77,25 @@ def run_stage(
     shutil.rmtree(sdir, ignore_errors=True)
     t0 = time.time()
     ds = make_ds()
-    ds.write_parquet(os.path.join(tmp, "data"))
-    rows = ray.data.read_parquet(os.path.join(tmp, "data")).count()
+    tmp_data = os.path.join(tmp, "data")
+    ds.write_parquet(tmp_data)
+    if not os.path.isdir(tmp_data):
+        # Ray writes NO directory for an empty dataset; publish an explicit
+        # empty parquet (with the dataset schema when known) so resume
+        # reads don't crash on a legitimately-empty stage/shard
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(tmp_data, exist_ok=True)
+        try:
+            sch = ds.schema(fetch_if_missing=True)
+            tbl = pa.table(
+                {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+            )
+        except Exception:
+            tbl = pa.table({})
+        pq.write_table(tbl, os.path.join(tmp_data, "empty.parquet"))
+    rows = ray.data.read_parquet(tmp_data).count()
     manifest = {
         "stage": name,
         "fingerprint": fp,
@@ -94,6 +111,40 @@ def run_stage(
         json.dump(manifest, f, indent=1)
     os.replace(tmp, sdir)
     return ray.data.read_parquet(data_dir)
+
+
+def run_stage_sharded(
+    name: str,
+    fp: str,
+    make_shard_ds,
+    n_shards: int,
+    ckpt_dir: str | None,
+    resume: bool = True,
+) -> "ray.data.Dataset":
+    """Per-PARTITION lineage (north-rule resume granularity): each shard
+    writes its own ``stage=<name>.shardNNNN`` directory + manifest and is
+    individually skipped on resume, so a failed run redoes only the
+    unfinished shards. ``make_shard_ds(i)`` must return shard i's rows
+    (a deterministic, disjoint cover of the stage output).
+    """
+    if ckpt_dir is None:
+        parts = [make_shard_ds(i) for i in range(n_shards)]
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        return ds.materialize()
+    outs = []
+    for i in range(n_shards):
+        sub = run_stage(
+            f"{name}.shard{i:04d}",
+            fp,
+            lambda i=i: make_shard_ds(i),
+            ckpt_dir,
+            resume,
+        )
+        if sub.count() > 0:  # parquet metadata only; skip empty shards
+            outs.append(sub)
+    if not outs:
+        return sub  # all empty: any one (empty) shard read is the result
+    return outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
 
 
 def read_manifests(ckpt_dir: str) -> dict[str, dict]:

@@ -28,7 +28,7 @@ from ..arrowutil import emb_to_matrix
 from ..block import blocking_keys, split_oversized_blocks
 from ..cluster import connected_components
 from ..embed import embed_docs
-from ..lineage import fingerprint, run_stage
+from ..lineage import fingerprint, run_stage, run_stage_sharded
 from ..rerank import csls
 
 
@@ -239,13 +239,15 @@ def run_er(
 
     keys = run_stage("block", fingerprint(cfg_fp, "block"), make_keys, ck, cfg.resume)
 
-    def make_pairs():
+    def make_scored(shard: int | None = None, n_shards: int = 1):
+        """Scored candidate pairs; with ``shard`` set, only the coarse
+        partitions with part % n_shards == shard (a disjoint cover — a
+        block never spans partitions, so per-shard scoring is exact)."""
         import zlib
 
         import ray
 
         from ..arrowutil import matrix_to_fsl
-        from ..dedup import dedup_pair_rows
 
         # normalization runs in WORKER tasks; the driver never touches the
         # data (the round-1 driver-side iter_batches loop was the measured
@@ -281,6 +283,15 @@ def run_er(
             return t.append_column("part", part)
 
         parted = keys.map_batches(add_part, batch_format="pyarrow")
+        if shard is not None:
+
+            def shard_filter(t: pa.Table) -> pa.Table:
+                part = t["part"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(part % n_shards == shard))
+
+            parted = parted.map_batches(
+                shard_filter, batch_format="pyarrow", zero_copy_batch=True
+            )
 
         if cfg.emb_transport == "join":
             # 10^12-doc path: embeddings ride the partition shuffle via a
@@ -326,11 +337,40 @@ def run_er(
             scored = parted.groupby("part").map_groups(
                 score_partition, batch_format="pyarrow"
             )
-        # exact pair dedup keeping the best score (hash-partitioned
-        # vectorized unique; multi-key aggregates are slow in this Ray)
-        return dedup_pair_rows(scored, score_col="score")
+        return scored
 
-    pairs = run_stage("pairs", fingerprint(cfg_fp, "pairs"), make_pairs, ck, cfg.resume)
+    from ..dedup import dedup_pair_rows
+
+    if ck is None:
+        pairs = run_stage(
+            "pairs",
+            fingerprint(cfg_fp, "pairs"),
+            # exact pair dedup keeping the best score (hash-partitioned
+            # vectorized unique; multi-key aggregates are slow in this Ray)
+            lambda: dedup_pair_rows(make_scored(), score_col="score"),
+            ck,
+            cfg.resume,
+        )
+    else:
+        # per-PARTITION lineage (north rule): scoring — the expensive
+        # stage — checkpoints in N_SHARDS independently-resumable shards;
+        # the cheap global pair dedup runs over their union
+        N_SHARDS = int(cfg.extra.get("pair_shards", 8))
+        scored_all = run_stage_sharded(
+            "pairs_scored",
+            fingerprint(cfg_fp, "pairs_scored"),
+            lambda i: make_scored(shard=i, n_shards=N_SHARDS),
+            N_SHARDS,
+            ck,
+            cfg.resume,
+        )
+        pairs = run_stage(
+            "pairs",
+            fingerprint(cfg_fp, "pairs"),
+            lambda: dedup_pair_rows(scored_all, score_col="score"),
+            ck,
+            cfg.resume,
+        )
 
     def make_clusters():
         nodes = docs_ds.select_columns(["doc_id"]).map_batches(

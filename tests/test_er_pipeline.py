@@ -118,21 +118,32 @@ def test_checkpoint_resume(small_docs, tmp_path):
     embed_manifest = os.path.join(ck, "stage=embed", "_lineage.json")
     mtime1 = os.path.getmtime(embed_manifest)
 
-    # simulate a crash after stage 2: blow away pairs+clusters, rerun
+    # simulate a crash after stage 2: blow away pairs+clusters AND two of
+    # the per-partition scoring shards, rerun — only those shards recompute
     import shutil
 
+    shard0_manifest = os.path.join(
+        ck, "stage=pairs_scored.shard0000", "_lineage.json"
+    )
+    shard0_mtime = os.path.getmtime(shard0_manifest)
+    shutil.rmtree(os.path.join(ck, "stage=pairs_scored.shard0003"))
+    shutil.rmtree(os.path.join(ck, "stage=pairs_scored.shard0005"))
     shutil.rmtree(os.path.join(ck, "stage=pairs"))
     shutil.rmtree(os.path.join(ck, "stage=clusters"))
     out2 = run_er(ds, cfg)
     c2 = out2["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert os.path.getmtime(embed_manifest) == mtime1  # stage skipped
+    assert os.path.getmtime(shard0_manifest) == shard0_mtime  # shard skipped
     assert c1.equals(c2)
 
     from kiezray.lineage import read_manifests
 
     mans = read_manifests(ck)
-    assert set(mans) == {"embed", "block", "pairs", "clusters"}
-    assert all(m["row_count"] > 0 for m in mans.values())
+    assert set(mans) == {"embed", "block", "pairs", "clusters"} | {
+        f"pairs_scored.shard{i:04d}" for i in range(8)
+    }
+    assert all(m["row_count"] >= 0 for m in mans.values())
+    assert sum(m["row_count"] for k, m in mans.items() if "shard" in k) > 0
 
 
 def test_hub_block_is_split(small_docs):
@@ -203,3 +214,31 @@ def test_emb_transport_join_equals_broadcast(tmp_path):
     pj, cj = pairs_of("join")
     pd.testing.assert_frame_equal(pb, pj)
     pd.testing.assert_frame_equal(cb, cj)
+
+
+def test_run_stage_empty_and_sharded_empty(tmp_path):
+    """A legitimately-empty stage/shard must checkpoint and resume cleanly
+    (Ray writes no directory for an empty dataset)."""
+    import pyarrow as pa
+
+    from kiezray.lineage import run_stage, run_stage_sharded
+
+    ck = str(tmp_path / "ck")
+
+    def make_empty():
+        ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, 3])}))
+        return ds.filter(lambda r: False)
+
+    out = run_stage("empty", "fp1", make_empty, ck, resume=True)
+    assert out.count() == 0
+    out2 = run_stage("empty", "fp1", make_empty, ck, resume=True)  # resume
+    assert out2.count() == 0
+
+    def make_shard(i):
+        ds = ray.data.from_arrow(pa.table({"x": pa.array([i * 10 + 1])}))
+        return ds if i % 2 == 0 else ds.filter(lambda r: False)
+
+    merged = run_stage_sharded("sh", "fp2", make_shard, 4, ck, resume=True)
+    assert sorted(merged.to_pandas()["x"]) == [1, 21]
+    merged2 = run_stage_sharded("sh", "fp2", make_shard, 4, ck, resume=True)
+    assert sorted(merged2.to_pandas()["x"]) == [1, 21]
