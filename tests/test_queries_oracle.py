@@ -43,8 +43,8 @@ def test_contract_shape():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 24
-    assert len(os_) >= 16
+    assert len(qs) >= 31
+    assert len(os_) >= 22
 
 
 def test_mp_normal_internal_consistency():
