@@ -936,6 +936,22 @@ def q_hubness_all(sf_dir: str):
     )
 
 
+def q_ngram_pairs(sf_dir: str):
+    """Rows-only: exact character-n-gram jaccard over LSH candidate pairs
+    (deterministic hashing; not SQL-expressible). Output (a, b, jaccard)."""
+    from ..dedup import ngram_jaccard_pairs
+    from ..arrowutil import round_away
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ngram_jaccard_pairs(docs, shingle_k=5, threshold=0.8)
+    return out.map_batches(
+        lambda df: df.assign(jaccard=round_away(df["jaccard"], 6)),
+        batch_format="pandas",
+    )
+
+
 def q_media_features(sf_dir: str):
     """Rows-only: multimodal plumbing end-to-end — deterministic synthetic
     binary media table -> actor-pool fake decode (no codec in sandbox,
@@ -1196,6 +1212,7 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "ann_graph": q_ann_graph,
     "media_features": q_media_features,
+    "ngram_pairs": q_ngram_pairs,
     "components": q_components,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
