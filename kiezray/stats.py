@@ -57,6 +57,43 @@ def compute_calibration_stats(
         stats.t2s_ind = np.full((m, c), -1, dtype=np.int64)
         stats.t2s_dist = np.full((m, c), np.nan)
 
+    if method in ("csls", "nicdm", "ls", "mp_normal"):
+        # per-row scalars: reduce in WORKERS, driver pulls O(m) floats
+        # instead of the O(m*c) neighbor lists
+        import pyarrow as pa
+
+        def reduce_rows(t: pa.Table) -> pa.Table:
+            q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d_col = t["neigh_dists"].combine_chunks()
+            k = len(d_col[0]) if len(d_col) else 0
+            D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+            cols = {"query_id": pa.array(q, pa.int64())}
+            if method in ("csls", "nicdm"):
+                cols["s1"] = pa.array(D.mean(axis=1), pa.float64())
+            elif method == "ls":
+                cols["s1"] = pa.array(D[:, -1], pa.float64())
+            else:  # mp_normal
+                cols["s1"] = pa.array(np.nanmean(D, axis=1), pa.float64())
+                cols["s2"] = pa.array(np.nanstd(D, axis=1), pa.float64())
+            return pa.table(cols)
+
+        reduced = t2s_ds.map_batches(
+            reduce_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for batch in reduced.iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            q = batch["query_id"].to_numpy(zero_copy_only=False)
+            s1 = batch["s1"].to_numpy(zero_copy_only=False)
+            if method in ("csls", "nicdm"):
+                stats.r_mean[q] = s1
+            elif method == "ls":
+                stats.r_kth[q] = s1
+            else:
+                stats.mu[q] = s1
+                stats.sd[q] = batch["s2"].to_numpy(zero_copy_only=False)
+        return stats
+
     for batch in t2s_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         q = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids_col = batch["neigh_ids"].combine_chunks()
@@ -64,14 +101,7 @@ def compute_calibration_stats(
         k = len(ids_col[0]) if len(ids_col) else 0
         I = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
         D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
-        if method in ("csls", "nicdm"):
-            stats.r_mean[q] = D.mean(axis=1)
-        elif method == "ls":
-            stats.r_kth[q] = D[:, -1]
-        elif method == "mp_normal":
-            stats.mu[q] = np.nanmean(D, axis=1)
-            stats.sd[q] = np.nanstd(D, axis=1)
-        elif method == "mp_empiric" or stats.t2s_ind is not None:
+        if method == "mp_empiric" or stats.t2s_ind is not None:
             stats.t2s_ind[q] = I
             stats.t2s_dist[q] = D
     return stats
