@@ -7,8 +7,25 @@ plus large-scale training-data operators (dedup, ANN search, text
 analysis, multimodal plumbing).
 """
 
+from .hubness import (
+    CSLS,
+    DisSimLocal,
+    HubnessReduction,
+    LocalScaling,
+    MutualProximity,
+    NoHubnessReduction,
+)
 from .kiez import Kiez
 from .rerank import HUBNESS_METHODS
 
-__all__ = ["Kiez", "HUBNESS_METHODS"]
+__all__ = [
+    "Kiez",
+    "HUBNESS_METHODS",
+    "HubnessReduction",
+    "NoHubnessReduction",
+    "CSLS",
+    "LocalScaling",
+    "MutualProximity",
+    "DisSimLocal",
+]
 __version__ = "0.1.0"

@@ -84,9 +84,19 @@ _ALGORITHM_ALIASES = {
 
 
 def _resolve_hubness(hubness, hubness_kwargs: dict | None) -> tuple[str, dict]:
+    from .hubness import HubnessReduction
     from .rerank import CUSTOM_KERNELS
 
     kwargs = dict(hubness_kwargs or {})
+    # reference calling convention: a HubnessReduction class or instance
+    # (kiez.py:103 HintOrType) — instances carry their own kwargs
+    if isinstance(hubness, type) and issubclass(hubness, HubnessReduction):
+        hubness = hubness()
+    if isinstance(hubness, HubnessReduction):
+        merged = dict(hubness.kwargs)
+        merged.update(kwargs)
+        kwargs = merged
+        hubness = hubness.method
     if isinstance(hubness, str) and hubness.lower() in CUSTOM_KERNELS:
         return hubness.lower(), kwargs
     if isinstance(hubness, str):

@@ -106,3 +106,38 @@ def test_round_away_matches_duckdb():
                 params=[list(vals)],
             ).fetchone()[0]
         )).any()
+
+
+def test_class_based_hubness_parity(ray_session):
+    """Reference calling convention: Kiez(hubness=<class or instance>)
+    must behave exactly like the string form (kiez.py:103 HintOrType)."""
+    import numpy as np
+
+    from kiezray import CSLS, DisSimLocal, Kiez, LocalScaling, MutualProximity
+
+    rng = np.random.RandomState(3)
+    src, tgt = rng.rand(40, 8), rng.rand(60, 8)
+    cases = [
+        (CSLS(), "csls", {}),
+        (LocalScaling(method="nicdm"), "localscaling", {"method": "nicdm"}),
+        (MutualProximity(method="empiric"), "mutualproximity", {"method": "empiric"}),
+        (LocalScaling, "localscaling", {}),
+    ]
+    for obj, name, hkw in cases:
+        k1 = Kiez(n_candidates=8, algorithm="exact", hubness=obj)
+        k1.fit(src, tgt)
+        d1, i1 = k1.kneighbors(5)
+        k2 = Kiez(n_candidates=8, algorithm="exact", hubness=name, hubness_kwargs=hkw)
+        k2.fit(src, tgt)
+        d2, i2 = k2.kneighbors(5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2)
+    kd = Kiez(
+        n_candidates=8,
+        algorithm="exact",
+        algorithm_kwargs={"metric": "sqeuclidean"},
+        hubness=DisSimLocal(squared=True),
+    )
+    kd.fit(src, tgt)
+    dd, ii = kd.kneighbors(5)
+    assert dd.shape == (40, 5)
