@@ -116,11 +116,16 @@ def embed_docs(
     batch_size: int = 1024,
     concurrency=(1, 8),
 ) -> "ray.data.Dataset":
+    # the embedder is stateless, so it runs as a TASK pool (reuses warm
+    # Ray workers immediately) rather than paying actor-pool spin-up —
+    # measured as part of the scaling runs' serial floor. A model-backed
+    # embedder with real per-actor setup would pass the CLASS instead.
+    emb = Embedder(dim=dim, shingle_k=shingle_k)
+    cap = max(concurrency) if isinstance(concurrency, tuple) else concurrency
     return docs_ds.map_batches(
-        Embedder,
-        fn_constructor_kwargs={"dim": dim, "shingle_k": shingle_k},
+        emb,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap,
         zero_copy_batch=True,
     )
