@@ -199,24 +199,3 @@ def truncnorm_third_moment(a: float, b: float) -> float:
     m2 = (a2 * pa - b2 * pb) / z + 1.0
     m3 = (a2 * a2 * pa - b2 * b2 * pb) / z + 2.0 * m1
     return m3
-
-
-def sorted_topk(dist_row_major: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row k smallest entries of an (n, m) matrix, ascending.
-
-    Mirrors the reference's argpartition-then-order idiom
-    (kiez/hubness_reduction/base.py:79-87) but returns fully sorted rows,
-    with column index as the deterministic tie-break.
-    """
-    n, m = dist_row_major.shape
-    k = min(k, m)
-    if k < m:
-        part = np.argpartition(dist_row_major, kth=k - 1, axis=1)[:, :k]
-        vals = np.take_along_axis(dist_row_major, part, axis=1)
-    else:
-        part = np.broadcast_to(np.arange(m), (n, m)).copy()
-        vals = dist_row_major.copy()
-    # sort by value with original column index as deterministic tie-break
-    order = np.lexsort((part, vals), axis=-1)
-    idx = np.take_along_axis(part, order, axis=1)
-    return np.take_along_axis(vals, order, axis=1), idx
