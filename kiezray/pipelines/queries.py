@@ -1170,7 +1170,9 @@ def q_order_revenue_topk(sf_dir: str):
     joined = per_order.join(
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",)
     )
-    top = joined.sort("revenue", descending=True).limit(10)
+    top = joined.sort(
+        ["revenue", "l_orderkey"], descending=[True, False]
+    ).limit(10)  # orderkey tie-break matches the oracle's ORDER BY
     return top.map_batches(
         lambda t: pa.table(
             {
