@@ -982,6 +982,46 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over events.user_id (top 10 by count).
+    At this capacity no batch truncates, so counts are exact and the
+    query is oracle-checked; at corpus scale the same operator degrades
+    gracefully to (count - n/capacity) lower bounds."""
+    from ..sketch import heavy_hitters
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(events, "user_id", k=10, capacity=262144)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT CAST(user_id AS VARCHAR) AS value,
+       count(*) AS est_count
+FROM events GROUP BY user_id
+ORDER BY est_count DESC, value LIMIT 10
+"""
+
+
+def q_approx_distinct(sf_dir: str):
+    """Rows-only: HyperLogLog distinct-count estimates (p=12, ~1.6% rel
+    error) for events.user_id and documents.text — deterministic
+    (splitmix64 hashing), error-bound-tested vs exact in pytest."""
+    import pandas as pd
+
+    from ..sketch import approx_distinct
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pd.DataFrame(
+        {
+            "column": ["events.user_id", "documents.text"],
+            "approx_distinct": [
+                int(approx_distinct(events, "user_id")),
+                int(approx_distinct(docs, "text")),
+            ],
+        }
+    )
+
+
 def q_tumbling(sf_dir: str):
     from ..windows import tumbling_window
 
@@ -1215,6 +1255,8 @@ QUERIES = {
     "ann_graph": q_ann_graph,
     "media_features": q_media_features,
     "ngram_pairs": q_ngram_pairs,
+    "heavy_hitters": q_heavy_hitters,
+    "approx_distinct": q_approx_distinct,
     "components": q_components,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1254,6 +1296,7 @@ ORACLE_SQL = {
     "tumbling_window": SQL_TUMBLING,
     "sessionize": SQL_SESSIONIZE,
     "sliding_window": SQL_SLIDING,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "quality": SQL_QUALITY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,

@@ -1,0 +1,175 @@
+"""Approximate-aggregate sketches (training-data pipeline extensions).
+
+The reference has no sketches (SURVEY.md §2.6 "Sketches/approx
+aggregates: none"); at 100 TB they are how you answer "how many distinct
+documents / which values dominate" without a full shuffle:
+
+ - ``approx_distinct``: HyperLogLog. Each batch reduces to one 2^p-byte
+   register row (a combiner partial); partials merge with elementwise max
+   in a two-level grouped reduce, so the driver only ever folds a handful
+   of 4 KiB rows. Standard bias-corrected estimate with the small-range
+   (linear counting) correction.
+ - ``heavy_hitters``: Misra-Gries per batch caps every partial at
+   ``capacity`` counters (undercounts by at most n_batch/capacity), then
+   one small grouped sum + global top-k. The output is a superset-safe
+   frequency ranking without shuffling raw values.
+
+Both are deterministic (splitmix64 hashing) — rows-only driver queries
+with error-bound tests rather than hash-equality oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .dedup import _splitmix64
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hashes of an arbitrary column's values."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _splitmix64(vals)
+    import zlib
+
+    return _splitmix64(
+        np.array(
+            [zlib.crc32(str(v).encode("utf-8")) for v in col.to_pylist()],
+            dtype=np.uint64,
+        )
+    )
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rho = position of the leftmost 1-bit in the remaining bits (1-based)
+    rho = np.ones(len(hashes), dtype=np.int64) * (64 - p + 1)
+    nz = rest != 0
+    if nz.any():
+        # count leading zeros via float64 exponent trick is lossy; use
+        # a 64-step-free vectorized log2 on the top 53 bits instead
+        top = (rest[nz] >> np.uint64(11)).astype(np.float64)  # 53-bit safe
+        lead = 52 - np.floor(np.log2(top)).astype(np.int64)  # zeros in 53b
+        small = rest[nz] < (np.uint64(1) << np.uint64(11))
+        if small.any():  # 1-bit only in the lowest 11 bits
+            low = rest[nz][small].astype(np.float64)
+            lead[small] = 63 - np.floor(np.log2(low)).astype(np.int64)
+        rho_nz = lead + 1
+        rho[nz] = rho_nz
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))  # linear counting
+    return float(est)
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset", col: str, p: int = 12, fanin: int = 64
+) -> float:
+    """HyperLogLog distinct-count estimate of ``ds[col]`` (~1.04/sqrt(2^p)
+    relative error). Two-level reduce: batch partials -> ``fanin`` grouped
+    merges -> one driver fold of ``fanin`` rows."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = _hll_registers(_hash_column(t[col]), p)
+        grp = int(regs.view(np.uint64)[0] % fanin) if m >= 8 else 0
+        return pa.table(
+            {
+                "grp": pa.array([grp], pa.int32()),
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(regs, pa.uint8()), m
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        R = (
+            g["regs"].combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .reshape(len(g), m)
+        )
+        out = R.max(axis=0)
+        return pa.table(
+            {
+                "grp": g["grp"].slice(0, 1),
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(out, pa.uint8()), m
+                ),
+            }
+        )
+
+    level1 = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("grp")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    final = np.zeros(m, dtype=np.uint8)
+    for b in level1.iter_batches(batch_format="pyarrow"):
+        R = (
+            b["regs"].combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .reshape(len(b), m)
+        )
+        np.maximum(final, R.max(axis=0), out=final)
+    return _hll_estimate(final)
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset", col: str, k: int = 10, capacity: int = 4096
+) -> "ray.data.Dataset":
+    """Top-k most frequent values of ``ds[col]`` -> (value, est_count).
+
+    Per-batch Misra-Gries caps every partial at ``capacity`` counters
+    (per-batch undercount <= batch_rows/capacity, so est_count is a lower
+    bound within n_total/capacity of the true count); partials then take
+    one small grouped sum and a global top-k sort.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[col].to_pylist())
+        counts = s.value_counts()
+        if len(counts) > capacity:
+            # Misra-Gries decrement: keep top `capacity`, subtract the
+            # (capacity+1)-th count from the survivors
+            cut = int(counts.iloc[capacity])
+            counts = counts.iloc[:capacity] - cut
+            counts = counts[counts > 0]
+        return pa.table(
+            {
+                "value": pa.array([str(v) for v in counts.index]),
+                "est_count": pa.array(
+                    counts.to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    summed = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .aggregate(Sum("est_count", alias_name="est_count"))
+    )
+    return summed.sort(
+        ["est_count", "value"], descending=[True, False]
+    ).limit(k)

@@ -30,6 +30,7 @@ CHECKED = [
     ("embed_dup", 0),
     ("sliding_window", 0),
     ("quality", 0),
+    ("heavy_hitters", 0),
 ]
 
 
@@ -43,8 +44,8 @@ def test_contract_shape():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 31
-    assert len(os_) >= 22
+    assert len(qs) >= 34
+    assert len(os_) >= 23
 
 
 def test_mp_normal_internal_consistency():
@@ -72,3 +73,21 @@ def test_ann_graph_recall_vs_exact():
         hits += len(e & g)
         total += len(e)
     assert hits / total >= 0.8
+
+
+def test_approx_distinct_vs_exact():
+    """Rows-only sketch query: HLL estimates within 5% of DuckDB exact."""
+    from .oracle_compare import duckdb_oracle
+
+    df = Q.QUERIES["approx_distinct"](SF)
+    exact = {
+        "events.user_id": duckdb_oracle(
+            "SELECT count(DISTINCT user_id) c FROM events", SF
+        )["c"][0],
+        "documents.text": duckdb_oracle(
+            "SELECT count(DISTINCT text) c FROM documents", SF
+        )["c"][0],
+    }
+    for _, row in df.iterrows():
+        want = exact[row["column"]]
+        assert abs(row["approx_distinct"] - want) / max(want, 1) < 0.05
