@@ -389,6 +389,186 @@ class LshIndex:
         return _scatter_topk(cand_q, cand_d, cand_i, n, k)
 
 
+class IvfPqIndex:
+    """IVF-PQ: coarse quantizer + product-quantized residuals, ADC search.
+
+    The memory-compressed regime of Faiss's ``IVFx,PQy`` factory strings
+    (reference faiss.py index_key parsing) rebuilt in pure numpy: each
+    vector stores as ``m_sub`` uint8 codes (e.g. 64x float64 -> 8 bytes,
+    64x compression), and search computes asymmetric distances via
+    per-(query, cell) lookup tables — one small GEMM per subspace per
+    cell, then a table gather per member. This is the tier that holds
+    10^9+ vectors per node when raw vectors cannot.
+
+    Approximation error comes from both the cell probe (like IVF) and the
+    residual quantization; ``refine`` > 0 re-ranks the top
+    ``refine * k`` ADC candidates with exact distances against the kept
+    raw vectors of probed cells (standard IVFPQR pattern).
+    """
+
+    def __init__(
+        self,
+        metric: str = "euclidean",
+        nlist: int = 64,
+        nprobe: int = 16,
+        m_sub: int = 8,
+        ksub: int = 256,
+        iters: int = 8,
+        seed: int = 42,
+        refine: int = 8,
+    ):
+        if metric not in ("euclidean", "l2", "sqeuclidean", "cosine"):
+            raise ValueError(
+                f"IvfPqIndex supports euclidean/sqeuclidean/cosine, not {metric}"
+            )
+        self.metric = metric
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.m_sub = m_sub
+        self.ksub = ksub
+        self.iters = iters
+        self.seed = seed
+        self.refine = refine
+
+    def _kmeans(self, x: np.ndarray, k: int, rng) -> np.ndarray:
+        k = max(1, min(k, len(x)))
+        cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(self.iters):
+            assign = np.argmin(
+                pairwise_distances(x, cent, "sqeuclidean"), axis=1
+            )
+            for c in range(k):
+                sel = assign == c
+                if sel.any():
+                    cent[c] = x[sel].mean(axis=0)
+        return cent
+
+    def build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        vecs = np.ascontiguousarray(vecs, dtype=np.float64)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+        m, d = vecs.shape
+        if d % self.m_sub != 0:
+            # largest divisor of d not above the requested m_sub (Faiss
+            # raises here; adapting keeps small/odd dims usable)
+            self.m_sub = max(
+                s for s in range(1, self.m_sub + 1) if d % s == 0
+            )
+        self.dsub = d // self.m_sub
+        rng = np.random.RandomState(self.seed)
+        nlist = max(1, min(self.nlist, m))
+        self.centroids = self._kmeans(vecs, nlist, rng)
+        assign = np.argmin(
+            pairwise_distances(vecs, self.centroids, "sqeuclidean"), axis=1
+        )
+        order = np.argsort(assign, kind="stable")
+        self.sorted_ids = ids[order]
+        self.cell_bounds = np.searchsorted(
+            assign[order], np.arange(len(self.centroids) + 1)
+        )
+        resid = vecs[order] - self.centroids[assign[order]]
+        # per-subspace codebooks over residuals + uint8 codes
+        ksub_eff = max(1, min(self.ksub, m))
+        self.codebooks = np.empty(
+            (self.m_sub, ksub_eff, self.dsub), dtype=np.float64
+        )
+        self.codes = np.empty((m, self.m_sub), dtype=np.uint8)
+        for s in range(self.m_sub):
+            sub = resid[:, s * self.dsub : (s + 1) * self.dsub]
+            cb = self._kmeans(sub, ksub_eff, rng)
+            self.codebooks[s] = cb
+            self.codes[:, s] = np.argmin(
+                pairwise_distances(sub, cb, "sqeuclidean"), axis=1
+            ).astype(np.uint8)
+        # raw vectors kept only when refine > 0 (cell-sorted)
+        self.sorted_vecs = vecs[order] if self.refine > 0 else None
+
+    def search(
+        self, q: np.ndarray, k: int, exclude_ids: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(q, dtype=np.float64)
+        if self.metric == "cosine":
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            q = q / qn
+        n = len(q)
+        nlist = len(self.centroids)
+        nprobe = min(self.nprobe, nlist)
+        ksub = self.codebooks.shape[1]
+        cd = pairwise_distances(q, self.centroids, "sqeuclidean")
+        if nprobe < nlist:
+            probe = np.argpartition(cd, kth=nprobe - 1, axis=1)[:, :nprobe]
+        else:
+            probe = np.broadcast_to(np.arange(nlist), (n, nlist))
+        pair_q = np.repeat(np.arange(n), probe.shape[1])
+        pair_c = probe.ravel()
+        order = np.argsort(pair_c, kind="stable")
+        pq_, pc_ = pair_q[order], pair_c[order]
+        cell_starts = np.searchsorted(pc_, np.arange(nlist + 1))
+        fetch = max(k, k * self.refine) if self.refine else k
+        margin = fetch + (1 if exclude_ids is not None else 0)
+        cq_l, cd_l, ci_l, cp_l = [], [], [], []
+        for c in range(nlist):
+            s0, e0 = cell_starts[c], cell_starts[c + 1]
+            vs, ve = self.cell_bounds[c], self.cell_bounds[c + 1]
+            sz = ve - vs
+            if e0 == s0 or sz == 0:
+                continue
+            qs = pq_[s0:e0]
+            resid = q[qs] - self.centroids[c]  # (nq, d)
+            # per-subspace LUT: (nq, m_sub, ksub) squared distances
+            lut = np.empty((len(qs), self.m_sub, ksub))
+            for s in range(self.m_sub):
+                lut[:, s, :] = pairwise_distances(
+                    resid[:, s * self.dsub : (s + 1) * self.dsub],
+                    self.codebooks[s],
+                    "sqeuclidean",
+                )
+            codes = self.codes[vs:ve]  # (sz, m_sub) uint8
+            # ADC: d(q, x) ~= sum_s lut[q, s, codes[x, s]]; the gather is
+            # chunked over queries so the (nq, sz, m_sub) intermediate
+            # stays under ~64 MiB
+            flat = lut.reshape(len(qs), self.m_sub * ksub)
+            idx = codes.astype(np.int64) + np.arange(self.m_sub) * ksub
+            qc = max(1, (64 << 20) // max(1, sz * self.m_sub * 8))
+            d_adc = np.empty((len(qs), sz))
+            for a in range(0, len(qs), qc):
+                b = min(a + qc, len(qs))
+                d_adc[a:b] = flat[a:b][:, idx].sum(axis=2)
+            kk = min(margin, sz)
+            if kk < sz:
+                part = np.argpartition(d_adc, kth=kk - 1, axis=1)[:, :kk]
+                dsel = np.take_along_axis(d_adc, part, axis=1)
+            else:
+                part = np.broadcast_to(np.arange(sz), (len(qs), sz))
+                dsel = d_adc
+            cq_l.append(np.repeat(qs, kk))
+            cd_l.append(dsel.ravel())
+            ci_l.append(self.sorted_ids[vs:ve][part].ravel())
+            cp_l.append((part + vs).ravel())
+        if not cq_l:
+            return np.full((n, k), np.nan), np.full((n, k), -1, dtype=np.int64)
+        cand_q = np.concatenate(cq_l)
+        cand_d = np.concatenate(cd_l)
+        cand_i = np.concatenate(ci_l)
+        cand_p = np.concatenate(cp_l)
+        if self.refine and self.sorted_vecs is not None:
+            # exact re-rank of the ADC shortlist against raw vectors
+            diff = q[cand_q] - self.sorted_vecs[cand_p]
+            cand_d = np.einsum("nd,nd->n", diff, diff)
+        if exclude_ids is not None:
+            cand_d[cand_i == exclude_ids[cand_q]] = np.inf
+        out_d, out_i = _scatter_topk(cand_q, cand_d, cand_i, n, k)
+        if self.metric in ("euclidean", "l2"):
+            np.sqrt(out_d, out=out_d)
+        elif self.metric == "cosine":
+            out_d *= 0.5  # normalized vectors: cos_dist = sqdist / 2
+        return out_d, out_i
+
+
 class GraphIndex:
     """Graph-ANN: beam search over a symmetrized kNN graph (pure numpy).
 
@@ -632,6 +812,8 @@ INDEX_REGISTRY: dict[str, type] = {
     "lsh": LshIndex,
     "graph": GraphIndex,
     "hnsw": GraphIndex,
+    "ivfpq": IvfPqIndex,
+    "pq": IvfPqIndex,
 }
 
 

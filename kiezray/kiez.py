@@ -75,6 +75,8 @@ _ALGORITHM_ALIASES = {
     "lsh": "lsh",
     "graph": "graph",
     "hnsw": "graph",
+    "ivfpq": "ivfpq",
+    "pq": "ivfpq",
     # graph/tree ANN backends of the reference map onto the graph index
     # (same greedy-routing regime; capability parity, not a port)
     "nmslib": "graph",

@@ -513,6 +513,28 @@ def q_ann_graph(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """Rows-only: IVF-PQ (product-quantized, exact-refined) cosine top-k
+    for the first 10 source rows — the memory-compressed ANN tier
+    (approximate; recall-tested vs exact in pytest)."""
+    source, target = _sides(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(target)
+    queries = source.map_batches(
+        lambda t: t.filter(pc.less(t["row_id"], 10)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nds = knn_search(
+        queries, shards, k=N_CAND, algorithm="ivfpq",
+        algorithm_kwargs={"metric": "cosine", "nprobe": 32},
+    )
+    out = _explode_neighbors(nds, dist_name="cos_sim", digits=6, to_similarity=True)
+    return out.map_batches(
+        lambda t: t.rename_columns(["query_id", "rank", "target_id", "cos_sim"]),
+        batch_format="pyarrow",
+    )
+
+
 SQL_ANN_COSINE = """
 WITH
 q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
@@ -1253,6 +1275,7 @@ QUERIES = {
     "hits_at_k": q_hits,
     "ann_cosine": q_ann_cosine,
     "ann_graph": q_ann_graph,
+    "ann_pq": q_ann_pq,
     "media_features": q_media_features,
     "ngram_pairs": q_ngram_pairs,
     "heavy_hitters": q_heavy_hitters,

@@ -155,3 +155,54 @@ def test_graph_cosine_and_self_exclusion():
     ed, eii = ex.search(x[:50], 5, exclude_ids=ids[:50])
     # high recall on self-neighborhoods
     assert _recall(i, eii) > 0.8
+
+
+def test_ivfpq_recall_compression_and_determinism(data):
+    """IVF-PQ: 64x compression with useful recall after exact refine;
+    deterministic build/search; ascending rows; uneven dim adapts."""
+    from kiezray.index import IvfPqIndex
+
+    x, q = data
+    ids = np.arange(len(x))
+    exact = ExactIndex("euclidean")
+    exact.build(ids, x)
+    _, ei = exact.search(q, 10)
+    pq = IvfPqIndex("euclidean", nlist=32, nprobe=16, m_sub=8, refine=8)
+    pq.build(ids, x)
+    d1, i1 = pq.search(q, 10)
+    assert _recall(i1, ei) > 0.6
+    assert (np.diff(d1, axis=1) >= -1e-12).all()
+    assert pq.codes.nbytes * 32 <= x.nbytes  # 8 bytes vs 256 bytes/vector
+    pq2 = IvfPqIndex("euclidean", nlist=32, nprobe=16, m_sub=8, refine=8)
+    pq2.build(ids, x)
+    _, i2 = pq2.search(q, 10)
+    np.testing.assert_array_equal(i1, i2)
+    # dim 5 not divisible by 8 -> m_sub adapts instead of raising
+    rng = np.random.RandomState(0)
+    x5 = rng.rand(200, 5)
+    p5 = IvfPqIndex("euclidean", nlist=8, nprobe=8)
+    p5.build(np.arange(200), x5)
+    d5, i5 = p5.search(x5[:10], 3)
+    assert (i5 >= 0).all()
+
+
+def test_ivfpq_cosine_and_exclusion(data):
+    from kiezray.index import IvfPqIndex
+
+    x, q = data
+    ids = np.arange(len(x))
+    pq = IvfPqIndex("cosine", nlist=32, nprobe=32, refine=8)
+    pq.build(ids, x)
+    d, i = pq.search(x[:50], 5, exclude_ids=ids[:50])
+    assert not any((i[r] == r).any() for r in range(50))
+    exact = ExactIndex("cosine")
+    exact.build(ids, x)
+    ed, eii = exact.search(x[:50], 5, exclude_ids=ids[:50])
+    assert _recall(i, eii) > 0.6
+    # refined cosine distances of true hits match exact within fp noise
+    for r in range(10):
+        common = set(i[r]) & set(eii[r])
+        for c in common:
+            dv = d[r][list(i[r]).index(c)]
+            ev = ed[r][list(eii[r]).index(c)]
+            assert abs(dv - ev) < 1e-9
