@@ -60,30 +60,28 @@ class Embedder:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # decompose the list<struct> into flat child arrays once (cheaper
-        # than materializing per-span dicts), then embed the whole batch
-        # with one global bincount over (doc_idx * dim + bucket)
+        # decompose the list<struct> into flat child arrays once; per-doc
+        # text assembly is pure Arrow (filter text spans + binary_join),
+        # media-ref hashing is one flat pass, and the shingle histogram is
+        # one global bincount over (doc_idx * dim + bucket)
+        import pyarrow.compute as pc
+
         col = batch["spans"].combine_chunks()
         flat = col.values
-        kinds = flat.field("kind").to_pylist()
-        span_texts = flat.field("text").to_pylist()
-        span_media = flat.field("media_ref").to_pylist()
         offs = col.offsets.to_numpy(zero_copy_only=False)
         n = len(col)
-        doc_texts: list[str] = []
-        doc_media: list[list[str]] = []
-        for i in range(n):
-            s, e = offs[i], offs[i + 1]
-            doc_texts.append(
-                " ".join(
-                    span_texts[j] for j in range(s, e) if kinds[j] == "text"
-                )
-            )
-            doc_media.append(
-                [span_media[j] for j in range(s, e) if kinds[j] == "media"]
-            )
+        doc_idx_flat = np.repeat(np.arange(n), np.diff(offs))
+        is_text = pc.equal(flat.field("kind"), "text")
+        text_mask = is_text.to_numpy(zero_copy_only=False)
+        text_counts = np.bincount(doc_idx_flat[text_mask], minlength=n)
+        new_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(text_counts, out=new_off[1:])
+        text_lst = pa.ListArray.from_arrays(
+            pa.array(new_off), flat.field("text").filter(is_text)
+        )
+        doc_texts = pc.binary_join(text_lst, " ").to_pylist()
         hash_list = [
-            _shingle_hashes(t, self.shingle_k) for t in doc_texts
+            _shingle_hashes(t or "", self.shingle_k) for t in doc_texts
         ]
         lens = np.array([len(h) for h in hash_list], dtype=np.int64)
         mat = np.zeros((n, self.dim), dtype=np.float64)
@@ -95,12 +93,19 @@ class Embedder:
                 doc_idx * self.dim + buckets, minlength=n * self.dim
             )
             mat += counts.reshape(n, self.dim)
-        for i, media in enumerate(doc_media):
-            for m in media:
-                mh = _splitmix64(
-                    np.array([zlib.crc32(m.encode("utf-8"))], dtype=np.uint64)
-                )[0]
-                mat[i, int(mh % np.uint64(self.dim))] += 4.0
+        is_media = pc.equal(flat.field("kind"), "media")
+        media_mask = is_media.to_numpy(zero_copy_only=False)
+        if media_mask.any():
+            media_docs = doc_idx_flat[media_mask]
+            refs = flat.field("media_ref").filter(is_media).to_pylist()
+            mh = _splitmix64(
+                np.array(
+                    [zlib.crc32((m or "").encode("utf-8")) for m in refs],
+                    dtype=np.uint64,
+                )
+            )
+            mbuckets = (mh % np.uint64(self.dim)).astype(np.int64)
+            np.add.at(mat, (media_docs, mbuckets), 4.0)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat /= norms
