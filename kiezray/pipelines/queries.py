@@ -1195,8 +1195,6 @@ ORDER BY l_returnflag, l_linestatus
 
 def q_order_revenue_topk(sf_dir: str):
     """Hash join (orders x lineitem revenue partials) + global top-k."""
-    from ray.data.aggregate import Sum
-
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -1213,10 +1211,38 @@ def q_order_revenue_topk(sf_dir: str):
             }
         )
 
+    # high-cardinality grouped Sum is pathologically slow in this Ray
+    # version: hash-partition on the key and reduce each partition with
+    # one vectorized sort + add.reduceat pass instead (same combiner
+    # pattern as dedup_pair_rows; a key never spans two partitions)
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["l_orderkey"], pa.scalar(P - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    def sum_partition(g: pa.Table) -> pa.Table:
+        k = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        v = g["revenue"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(k[starts], pa.int64()),
+                "revenue": pa.array(np.add.reduceat(v, starts), pa.float64()),
+            }
+        )
+
     per_order = (
         li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(sum_partition, batch_format="pyarrow")
     )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
@@ -1232,9 +1258,21 @@ def q_order_revenue_topk(sf_dir: str):
     joined = per_order.join(
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",)
     )
-    top = joined.sort(
-        ["revenue", "l_orderkey"], descending=[True, False]
-    ).limit(10)  # orderkey tie-break matches the oracle's ORDER BY
+
+    # global top-k WITHOUT an all-to-all sort: every batch keeps its own
+    # top 10 by (revenue desc, orderkey), the tiny partials coalesce to
+    # one block, and the same kernel finishes the job
+    def partial_topk(t: pa.Table) -> pa.Table:
+        rev = t["revenue"].to_numpy(zero_copy_only=False)
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -rev))[:10]
+        return t.take(pa.array(order))
+
+    top = (
+        joined.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial_topk, batch_format="pyarrow")
+    )
     return top.map_batches(
         lambda t: pa.table(
             {
