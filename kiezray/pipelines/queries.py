@@ -1044,6 +1044,46 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+def q_media_dedup(sf_dir: str):
+    """Rows-only: multimodal near-dup composition — synthetic binary media
+    -> fake decode -> channel-histogram features -> embedding-cosine
+    near-dup clustering (sharded self-search + connected components).
+    Deterministic: duplicates are planted by reusing payload bytes."""
+    import pyarrow.parquet as pq
+
+    from ..dedup import dedup_embedding_cosine
+    from ..media import decode_images, image_features, synth_media_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n = max(64, n_docs // 4)
+    tbl = synth_media_table(n=n, seed=42)
+    # plant exact-payload duplicates: rows n-8.. reuse earlier payloads
+    pay = tbl["payload"].to_pylist()
+    for i in range(8):
+        pay[n - 1 - i] = pay[i]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("payload"), "payload",
+        pa.array(pay, pa.binary()),
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    feats = image_features(decode_images(ds))
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        rid = pa.array(
+            [int(d[1:]) for d in t["doc_id"].to_pylist()], pa.int64()
+        )
+        return pa.table({"row_id": rid, "embedding": t["features"]})
+
+    rows = feats.map_batches(to_rows, batch_format="pyarrow")
+    comp = dedup_embedding_cosine(rows, threshold=0.999)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"media_id": t["node"], "cluster_id": t["component"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_tumbling(sf_dir: str):
     from ..windows import tumbling_window
 
@@ -1315,6 +1355,7 @@ QUERIES = {
     "ann_graph": q_ann_graph,
     "ann_pq": q_ann_pq,
     "media_features": q_media_features,
+    "media_dedup": q_media_dedup,
     "ngram_pairs": q_ngram_pairs,
     "heavy_hitters": q_heavy_hitters,
     "approx_distinct": q_approx_distinct,

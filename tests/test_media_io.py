@@ -117,3 +117,15 @@ def test_read_docs_lance_branch():
     lance.write_dataset(tbl, path, mode="overwrite")
     ds = read_docs(path)
     assert ds.count() == 2
+
+
+def test_media_dedup_query_finds_planted_dups():
+    """Multimodal composition: the 8 planted payload duplicates (and only
+    plausible near-dups) must merge through decode -> features -> cosine
+    near-dup clustering."""
+    from kiezray.pipelines import queries as Q
+
+    df = Q.QUERIES["media_dedup"]("/root/testdata/sf0.001").to_pandas()
+    merged = len(df) - df["cluster_id"].nunique()
+    assert merged >= 8  # all planted exact-payload dups found
+    assert merged <= 12  # and no mass over-merging
