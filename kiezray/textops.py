@@ -64,22 +64,38 @@ def language_id(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     'unknown' when no marker fires. Deterministic; mirrored by SQL_LANG_ID.
     """
 
-    def predict_one(text: str) -> str:
-        toks = _tokens(text.strip().lower())
-        scores = {
-            lang: sum(t in markers for t in toks)
-            for lang, markers in _LANG_MARKERS.items()
-        }
-        if all(v == 0 for v in scores.values()):
-            return "unknown"
-        best = max(_LANG_ORDER, key=lambda lang: (scores[lang], -_LANG_ORDER.index(lang)))
-        return best
+    marker_lists = [sorted(_LANG_MARKERS[lang]) for lang in _LANG_ORDER]
 
     def predict(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: one flat token array for the whole batch, np.isin
+        # per language + add.reduceat per doc, then a priority-first
+        # argmax (np.argmax returns the FIRST max — identical to the
+        # reference scan order over _LANG_ORDER)
+        tok_lists = (
+            batch["text"].fillna("").str.strip().str.lower().str.split()
+        )
+        n = len(batch)
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        scores = np.zeros((n, len(_LANG_ORDER)), dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for ts in tok_lists:
+                flat[pos : pos + len(ts)] = ts
+                pos += len(ts)
+            nonempty = lens > 0
+            offs = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offs[1:])
+            for li, markers in enumerate(marker_lists):
+                hits = np.isin(flat, markers).astype(np.int64)
+                scores[nonempty, li] = np.add.reduceat(hits, offs)
+        best = np.array(_LANG_ORDER, dtype=object)[scores.argmax(axis=1)]
+        best[(scores == 0).all(axis=1)] = "unknown"
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
-                "lang_pred": batch["text"].fillna("").map(predict_one),
+                "lang_pred": best.astype(str),
             }
         )
 
