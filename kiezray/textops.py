@@ -39,15 +39,37 @@ def text_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     unique_ratio) — whitespace tokenization matching the DuckDB oracle."""
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").map(_tokens)
-        n_tokens = toks.map(len).astype(np.int64)
-        n_unique = toks.map(lambda ts: len(set(ts))).astype(np.int64)
+        # vectorized: flat token array + per-doc boundaries; whitespace-only
+        # texts count as one empty token (_tokens("") == [""], matching
+        # the DuckDB string_split_regex semantics)
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.strip().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        n = len(batch)
+        n_tokens = np.maximum(lens, 1)
+        n_unique = np.ones(n, dtype=np.int64)  # empty doc: {""} -> 1
+        total = int(lens.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            doc_idx = np.repeat(np.arange(n), lens)
+            pos = 0
+            for ts in tok_lists:
+                flat[pos : pos + len(ts)] = ts
+                pos += len(ts)
+            order = np.lexsort((flat, doc_idx))
+            sd, sf = doc_idx[order], flat[order]
+            new = np.concatenate(
+                ([True], (sd[1:] != sd[:-1]) | (sf[1:] != sf[:-1]))
+            )
+            counts = np.bincount(sd[new], minlength=n)
+            nonempty = lens > 0
+            n_unique[nonempty] = counts[nonempty]
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
-                "n_chars": batch["text"].fillna("").str.len().astype(np.int64),
-                "n_tokens": n_tokens,
-                "n_unique_tokens": n_unique,
+                "n_chars": texts.str.len().astype(np.int64),
+                "n_tokens": pd.Series(n_tokens, index=batch.index),
+                "n_unique_tokens": pd.Series(n_unique, index=batch.index),
                 "unique_ratio": round_away(
                     n_unique / np.maximum(n_tokens, 1), 6
                 ).astype(np.float64),
@@ -109,15 +131,35 @@ def quality_score(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     punct = set(".,;:!?\"'()[]{}")
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: flat token array + reduceat for stopword counts and
+        # token lengths; regex count for punctuation
         texts = batch["text"].fillna("")
-        toks = texts.map(_tokens)
-        n_tok = toks.map(len).clip(lower=1)
-        stop_ratio = toks.map(lambda ts: sum(t in stop for t in ts)) / n_tok
-        punct_ratio = texts.map(
-            lambda t: sum(c in punct for c in t) / max(len(t), 1)
-        )
-        mean_tok_len = toks.map(
-            lambda ts: float(np.mean([len(t) for t in ts])) if ts else 0.0
+        tok_lists = texts.str.strip().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        n = len(batch)
+        n_tok = pd.Series(np.maximum(lens, 1), index=batch.index)
+        stop_counts = np.zeros(n, dtype=np.int64)
+        tok_len_sums = np.zeros(n, dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for ts in tok_lists:
+                flat[pos : pos + len(ts)] = ts
+                pos += len(ts)
+            nonempty = lens > 0
+            offs = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offs[1:])
+            hits = np.isin(flat, sorted(stop)).astype(np.int64)
+            stop_counts[nonempty] = np.add.reduceat(hits, offs)
+            flens = pd.Series(flat).str.len().to_numpy(dtype=np.int64)
+            tok_len_sums[nonempty] = np.add.reduceat(flens, offs)
+        stop_ratio = pd.Series(stop_counts, index=batch.index) / n_tok
+        punct_re = "[" + "".join("\\" + c for c in sorted(punct)) + "]"
+        punct_ratio = texts.str.count(punct_re) / texts.str.len().clip(lower=1)
+        # _tokens("") == [""] -> mean length 0.0 (empty docs divide by 1)
+        mean_tok_len = pd.Series(
+            tok_len_sums / np.maximum(lens, 1), index=batch.index
         )
         length_ok = ((texts.str.len() >= 50) & (texts.str.len() <= 20000)).astype(
             float
@@ -147,13 +189,16 @@ def token_counts(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def count(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
+        ws = np.maximum(
+            texts.str.strip().str.split().map(len).to_numpy(dtype=np.int64), 1
+        )  # _tokens("") == [""] -> 1
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
-                "ws_tokens": texts.map(lambda t: len(_tokens(t))).astype(np.int64),
-                "subword_tokens": texts.str.lower().map(
-                    lambda t: len(sub.findall(t))
-                ).astype(np.int64),
+                "ws_tokens": pd.Series(ws, index=batch.index),
+                "subword_tokens": texts.str.lower()
+                .str.count(sub)
+                .astype(np.int64),
             }
         )
 
