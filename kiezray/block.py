@@ -91,9 +91,18 @@ class BlockKeyer:
         out_ids = np.repeat(np.array(ids, dtype=object), self.bands)
         band_idx = np.tile(np.arange(self.bands), n)
         keys = [f"b{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
+        # int64 companion key: every downstream partition/group step can
+        # hash/sort 8-byte ints instead of strings (same identity — the
+        # band index rides the top bits, so cross-band collisions of the
+        # 64-bit band hash cannot alias)
+        bhash = (
+            (band_idx.astype(np.uint64) << np.uint64(56))
+            ^ (mix.ravel() >> np.uint64(8))
+        ).astype(np.int64)
         cols = {
             "doc_id": pa.array(out_ids.tolist(), pa.string()),
             "block_key": pa.array(keys, pa.string()),
+            "block_hash": pa.array(bhash, pa.int64()),
         }
         for c in self.extra_cols:
             src = batch[c]
@@ -164,20 +173,44 @@ def split_oversized_blocks(
             self.fanout = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["block_key"].to_pylist()
-            ids = t["doc_id"].to_pylist()
-            new = []
-            for k, d in zip(keys, ids):
-                f = self.fanout.get(k)
-                if f:
-                    new.append(f"{k}#s{zlib.crc32(d.encode()) % f}")
-                else:
-                    new.append(k)
-            return t.set_column(
+            import numpy as np
+
+            from .dedup import _splitmix64
+
+            keys = np.asarray(t["block_key"].to_pylist(), dtype=object)
+            flags = np.array([k in self.fanout for k in keys])
+            if not flags.any():
+                return t
+            # only oversized-block rows pay the per-row work
+            ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)[flags]
+            salts = np.array(
+                [
+                    zlib.crc32(d.encode()) % self.fanout[k]
+                    for k, d in zip(keys[flags], ids)
+                ],
+                dtype=np.uint64,
+            )
+            new = keys.copy()
+            new[flags] = [
+                f"{k}#s{s}" for k, s in zip(keys[flags], salts)
+            ]
+            out = t.set_column(
                 t.schema.get_field_index("block_key"),
                 "block_key",
-                pa.array(new, pa.string()),
+                pa.array(new.tolist(), pa.string()),
             )
+            if "block_hash" in t.column_names:
+                bh = t["block_hash"].to_numpy(zero_copy_only=False).copy()
+                bh[flags] = (
+                    bh[flags].astype(np.uint64)
+                    ^ _splitmix64(salts + np.uint64(1))
+                ).astype(np.int64)
+                out = out.set_column(
+                    out.schema.get_field_index("block_hash"),
+                    "block_hash",
+                    pa.array(bh, pa.int64()),
+                )
+            return out
 
     return keys_ds.map_batches(
         Salt, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",

@@ -161,7 +161,13 @@ class BlockPairScorer:
                     "score": pa.array([], pa.float64()),
                 }
             )
-        keys = np.asarray(part["block_key"].to_pylist(), dtype=object)
+        if "block_hash" in part.column_names:
+            # int64 grouping key: 8-byte sort instead of string sort (the
+            # band index in the top bits makes cross-band aliasing
+            # impossible; residual 56-bit collisions are ~n^2/2^57)
+            keys = part["block_hash"].to_numpy(zero_copy_only=False)
+        else:
+            keys = np.asarray(part["block_key"].to_pylist(), dtype=object)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
         ids = np.asarray(part["doc_id"].to_pylist(), dtype=object)[order]
@@ -277,10 +283,19 @@ def run_er(
         P = 64
 
         def add_part(t: pa.Table) -> pa.Table:
-            part = pa.array(
-                [zlib.crc32(k.encode()) % P for k in t["block_key"].to_pylist()],
-                pa.int32(),
-            )
+            if "block_hash" in t.column_names:  # vectorized int path
+                bh = t["block_hash"].to_numpy(zero_copy_only=False)
+                part = pa.array(
+                    (bh.astype(np.uint64) % P).astype(np.int32), pa.int32()
+                )
+            else:
+                part = pa.array(
+                    [
+                        zlib.crc32(k.encode()) % P
+                        for k in t["block_key"].to_pylist()
+                    ],
+                    pa.int32(),
+                )
             return t.append_column("part", part)
 
         parted = keys.map_batches(add_part, batch_format="pyarrow")
