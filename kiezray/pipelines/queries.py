@@ -1160,6 +1160,60 @@ FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_sample_hash(sf_dir: str):
+    """Deterministic hash-fraction sample of orders (~10% keyed on
+    o_orderkey); stable under any partitioning. Oracle-checked: the Knuth
+    multiplicative priority is replicated exactly in SQL."""
+    from ..sample import hash_sample
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_sample(orders, "o_orderkey", fraction=0.1, seed=7)
+
+
+SQL_SAMPLE_HASH = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey
+FROM orders
+WHERE ((CAST(o_orderkey AS HUGEINT) + 7) % 4294967296) * 2654435761
+      % 4294967296 < 429496729
+ORDER BY o_orderkey
+"""
+
+
+def q_sample_bottomk(sf_dir: str):
+    """Deterministic 100-row uniform-without-replacement sample of orders
+    via bottom-k priorities (per-batch partials, no global sort);
+    oracle-checked with the same priority arithmetic in SQL."""
+    from ..sample import bottomk_sample
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return bottomk_sample(orders, "o_orderkey", n=100, seed=3)
+
+
+SQL_SAMPLE_BOTTOMK = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey
+FROM orders
+ORDER BY ((CAST(o_orderkey AS HUGEINT) + 3) % 4294967296) * 2654435761
+         % 4294967296, o_orderkey
+LIMIT 100
+"""
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped multi-measure grouped aggregate over lineitem
     (packed single grouping key; column pruning at the read)."""
@@ -1376,6 +1430,8 @@ QUERIES = {
     "sliding_window": q_sliding,
     "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
+    "sample_hash": q_sample_hash,
+    "sample_bottomk": q_sample_bottomk,
 }
 
 ORACLE_SQL = {
@@ -1402,6 +1458,8 @@ ORACLE_SQL = {
     "quality": SQL_QUALITY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
+    "sample_hash": SQL_SAMPLE_HASH,
+    "sample_bottomk": SQL_SAMPLE_BOTTOMK,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

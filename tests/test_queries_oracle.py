@@ -31,6 +31,8 @@ CHECKED = [
     ("sliding_window", 0),
     ("quality", 0),
     ("heavy_hitters", 0),
+    ("sample_hash", 0),
+    ("sample_bottomk", 0),
 ]
 
 
@@ -44,8 +46,8 @@ def test_contract_shape():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 34
-    assert len(os_) >= 23
+    assert len(qs) >= 38
+    assert len(os_) >= 25
 
 
 def test_mp_normal_internal_consistency():
