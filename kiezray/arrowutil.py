@@ -16,7 +16,13 @@ def round_away(x, digits: int):
     """
     x = np.asarray(x, dtype=np.float64)
     scale = 10.0 ** digits
-    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+    out = np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+    # normalize -0.0 -> +0.0: a value within half an ulp of zero rounds to
+    # a zero whose SIGN depends on fp noise (e.g. DuckDB's parallel
+    # aggregation makes the DSL min-shift land at ±1 ulp of zero run to
+    # run), and byte-level hash compares see -0.0 != 0.0. The matching
+    # oracle SQL adds `+ 0` for the same reason.
+    return out + 0.0
 
 
 def emb_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

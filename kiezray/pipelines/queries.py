@@ -145,7 +145,7 @@ def q_knn_basic(sf_dir: str):
 SQL_KNN_BASIC = f"""
 WITH {_sql_sides()}
 SELECT sid AS source_id, rn AS rank, tid AS target_id,
-       round(dist, 4) AS dist
+       round(dist, 4) + 0 AS dist
 FROM cand ORDER BY source_id, rank
 """
 
@@ -169,7 +169,7 @@ ranked AS (SELECT sid, tid, hdist,
                   row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
            FROM sec)
 SELECT sid AS source_id, rk AS rank, tid AS target_id,
-       round(hdist, 4) AS dist
+       round(hdist, 4) + 0 AS dist
 FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
 """
 
@@ -194,7 +194,7 @@ ranked AS (SELECT sid, tid, hdist,
                   row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
            FROM sec)
 SELECT sid AS source_id, rk AS rank, tid AS target_id,
-       round(hdist, 6) AS dist
+       round(hdist, 6) + 0 AS dist
 FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
 """
 
@@ -215,7 +215,7 @@ ranked AS (SELECT sid, tid, hdist,
                   row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
            FROM sec)
 SELECT sid AS source_id, rk AS rank, tid AS target_id,
-       round(hdist, 6) AS dist
+       round(hdist, 6) + 0 AS dist
 FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
 """
 
@@ -250,8 +250,8 @@ def q_mp_stats(sf_dir: str):
 
 SQL_MP_STATS = f"""
 WITH {_sql_sides()}
-SELECT tid AS target_id, round(avg(dist), 6) AS mu,
-       round(stddev_pop(dist), 6) AS sd
+SELECT tid AS target_id, round(avg(dist), 6) + 0 AS mu,
+       round(stddev_pop(dist), 6) + 0 AS sd
 FROM tcand GROUP BY tid ORDER BY target_id
 """
 
@@ -327,7 +327,7 @@ ranked AS (SELECT sid, tid, hdist,
                   row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
            FROM shifted)
 SELECT sid AS source_id, rk AS rank, tid AS target_id,
-       round(hdist, 4) AS dist
+       round(hdist, 4) + 0 AS dist
 FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
 """
 
@@ -386,13 +386,13 @@ def q_hubness_stats(sf_dir: str):
     )
     return pa.table(
         {
-            "k_skewness": [round(float(m["k_skewness"]), 6)],
-            "gini": [round(float(m["gini"]), 6)],
-            "robinhood": [round(float(m["robinhood"]), 6)],
-            "atkinson": [round(float(m["atkinson"]), 6)],
-            "antihub_occurrence": [round(float(m["antihub_occurrence"]), 6)],
-            "hub_occurrence": [round(float(m["hub_occurrence"]), 6)],
-            "groupie_ratio": [round(float(m["groupie_ratio"]), 6)],
+            "k_skewness": [float(round_away(float(m["k_skewness"]), 6))],
+            "gini": [float(round_away(float(m["gini"]), 6))],
+            "robinhood": [float(round_away(float(m["robinhood"]), 6))],
+            "atkinson": [float(round_away(float(m["atkinson"]), 6))],
+            "antihub_occurrence": [float(round_away(float(m["antihub_occurrence"]), 6))],
+            "hub_occurrence": [float(round_away(float(m["hub_occurrence"]), 6))],
+            "groupie_ratio": [float(round_away(float(m["groupie_ratio"]), 6))],
         }
     )
 
@@ -423,11 +423,11 @@ vals AS (SELECT
       / {N_CAND} / (SELECT nt FROM n_test) AS hub_occurrence,
   m.mx / (SELECT nt FROM n_test) / {N_CAND} AS groupie_ratio
 FROM moments m, gini_n g)
-SELECT round(k_skewness, 6) AS k_skewness, round(gini, 6) AS gini,
-       round(robinhood, 6) AS robinhood, round(atkinson, 6) AS atkinson,
-       round(antihub_occurrence, 6) AS antihub_occurrence,
-       round(hub_occurrence, 6) AS hub_occurrence,
-       round(groupie_ratio, 6) AS groupie_ratio
+SELECT round(k_skewness, 6) + 0 AS k_skewness, round(gini, 6) + 0 AS gini,
+       round(robinhood, 6) + 0 AS robinhood, round(atkinson, 6) + 0 AS atkinson,
+       round(antihub_occurrence, 6) + 0 AS antihub_occurrence,
+       round(hub_occurrence, 6) + 0 AS hub_occurrence,
+       round(groupie_ratio, 6) + 0 AS groupie_ratio
 FROM vals
 """
 
@@ -462,7 +462,7 @@ ks AS (SELECT unnest([1, 5, 10]) k)
 SELECT CAST(ks.k AS BIGINT) AS k,
        round(sum(CASE WHEN m.rnk IS NOT NULL AND m.rnk <= ks.k
                       THEN 1 ELSE 0 END) / CAST((SELECT count(*) FROM gold)
-                      AS DOUBLE), 6) AS hits
+                      AS DOUBLE), 6) + 0 AS hits
 FROM ks CROSS JOIN matched m GROUP BY ks.k ORDER BY k
 """
 
@@ -548,7 +548,7 @@ ranked AS (SELECT qid, tid, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, tid) rk
            FROM d)
 SELECT qid AS query_id, rk AS rank, tid AS target_id,
-       round(sim, 6) AS cos_sim
+       round(sim, 6) + 0 AS cos_sim
 FROM ranked WHERE rk <= 10 ORDER BY query_id, rank
 """
 
@@ -701,7 +701,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
            AS n_unique_tokens,
        round(CAST(array_length(list_distinct(
                  string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-             / array_length(string_split_regex(trim(text), '\\s+')), 6)
+             / array_length(string_split_regex(trim(text), '\\s+')), 6) + 0
            AS unique_ratio
 FROM documents ORDER BY doc_id
 """
@@ -841,11 +841,11 @@ feat AS (
            AS length_ok
   FROM base)
 SELECT doc_id, n_chars,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(mean_token_len, 6) AS mean_token_len,
+       round(stopword_ratio, 6) + 0 AS stopword_ratio,
+       round(punct_ratio, 6) + 0 AS punct_ratio,
+       round(mean_token_len, 6) + 0 AS mean_token_len,
        round(0.4 * length_ok + 0.3 * (1.0 - least(greatest(punct_ratio, 0), 1))
-             + 0.3 * (least(greatest(mean_token_len, 0), 10) / 10.0), 6)
+             + 0.3 * (least(greatest(mean_token_len, 0), 10) / 10.0), 6) + 0
          AS quality
 FROM feat ORDER BY doc_id
 """
@@ -945,7 +945,7 @@ def q_hubness_all(sf_dir: str):
             ),
             "value": pa.array(
                 [
-                    round(float(m[k]), 6)
+                    float(round_away(float(m[k]), 6))
                     for k in (
                         "k_skewness", "k_skewness_truncnorm", "atkinson",
                         "gini", "robinhood", "antihub_occurrence",
@@ -1101,7 +1101,7 @@ SQL_TUMBLING = """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(sum(value), 4) + 0 AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1155,7 +1155,7 @@ ex AS (SELECT u, (e // 900) * 900 - r.i * 900 AS window_start, value, e
        FROM ev CROSS JOIN range(0, 4) r(i)
        WHERE e - ((e // 900) * 900 - r.i * 900) < 3600)
 SELECT u AS user_id, CAST(window_start AS BIGINT) AS window_start,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
+       count(*) AS n_events, round(sum(value), 4) + 0 AS sum_value
 FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1276,9 +1276,9 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity), 2) + 0 AS sum_qty,
+       round(sum(l_extendedprice), 2) + 0 AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -1382,7 +1382,7 @@ def q_order_revenue_topk(sf_dir: str):
 SQL_ORDER_REVENUE_TOPK = """
 SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o.o_custkey AS BIGINT) AS o_custkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_custkey
 ORDER BY revenue DESC, o_orderkey LIMIT 10
