@@ -158,8 +158,17 @@ def split_oversized_blocks(
     import ray
 
     keys_ds = keys_ds.materialize()
-    hist = block_histogram(keys_ds).to_pandas()
-    over = hist[hist["n_docs"] > max_block]
+    # filter DISTRIBUTED: only the oversized keys (rare by construction)
+    # reach the driver — the full histogram is corpus-sized at 10^12 docs
+    over = (
+        block_histogram(keys_ds)
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n_docs"], max_block)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
     if len(over) == 0:
         return keys_ds
     fanout = {
