@@ -60,6 +60,17 @@ def main(argv=None):
             if "checkpoint_dir" in conf:
                 er_kwargs.setdefault("checkpoint_dir", conf["checkpoint_dir"])
             docs = read_docs(conf["input"])
+            cols = set(docs.schema().names)
+            if "spans" not in cols and "text" in cols:
+                # plain (doc_id, text) table -> interleaved-span schema
+                from .synth import docs_from_plain_text
+
+                def adapt(t):
+                    return docs_from_plain_text(
+                        t.select(["doc_id", "text"])
+                    )
+
+                docs = docs.map_batches(adapt, batch_format="pyarrow")
             out = run_er(docs, ERConfig(**er_kwargs))
             out["clusters"].write_parquet(out_dir)
             print(json.dumps({"status": "ok", "output": out_dir}))

@@ -86,6 +86,11 @@ class ERConfig:
     emb_transport: str = "join"
     extra: dict = field(default_factory=dict)
 
+    def __post_init__(self):
+        # JSON configs can only express lists; Ray requires tuple concurrency
+        if isinstance(self.concurrency, list):
+            self.concurrency = tuple(self.concurrency)
+
 
 class BlockPairScorer:
     """Per-block pair scoring with within-block hubness reduction.
