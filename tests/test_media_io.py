@@ -129,3 +129,45 @@ def test_media_dedup_query_finds_planted_dups():
     merged = len(df) - df["cluster_id"].nunique()
     assert merged >= 8  # all planted exact-payload dups found
     assert merged <= 12  # and no mass over-merging
+
+
+def test_cli_align(tmp_path):
+    """python -m kiezray run with the 'align' pipeline: embeddings parquet
+    in, CSLS-reranked neighbor table out."""
+    import glob
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kiezray.cli import main
+
+    rng = np.random.RandomState(0)
+    for name, n in (("src", 60), ("tgt", 90)):
+        mat = rng.rand(n, 8)
+        flat = pa.array(mat.ravel(), pa.float64())
+        tbl = pa.table(
+            {
+                "row_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(flat, 8),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+    conf = {
+        "pipeline": "align",
+        "input": str(tmp_path / "src.parquet"),
+        "target": str(tmp_path / "tgt.parquet"),
+        "output": str(tmp_path / "out"),
+        "n_candidates": 8,
+        "hubness": "CSLS",
+        "k": 5,
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    main(["run", str(cpath)])
+    rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(str(tmp_path / "out" / "*.parquet"))
+    )
+    assert rows == 60
