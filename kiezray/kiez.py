@@ -4,11 +4,11 @@ API mirrors the reference ``kiez.Kiez`` (/root/reference/kiez/kiez.py:98-223)
 — ``Kiez(n_candidates, algorithm, hubness, ...).fit(source, target)
 .kneighbors(k)`` — but execution is a Ray Data pipeline:
 
-  source/target tables -> object-store shards (indexed side, ray.put once)
-  -> ``map_batches(SearchStage)`` streaming query batches (s->t and the
-  t->s calibration pass) -> per-target calibration stats (one reduction
-  pass, broadcast) -> ``map_batches(RerankStage)`` vectorized hubness
-  kernels + per-row top-k.
+  source/target tables -> object-store shards (worker-built, driver
+  holds only refs) -> ``map_batches(SearchStage)`` streaming query
+  batches (s->t and the t->s calibration pass) -> per-target calibration
+  stats (worker-reduced, broadcast) -> ``map_batches(RerankStage)``
+  vectorized hubness kernels + per-row top-k.
 
 Semantics conformance notes (checked against the reference tests' shapes):
  - the t->s calibration pass passes the query explicitly, so it never

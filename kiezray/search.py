@@ -5,10 +5,11 @@ Replaces the reference's joblib query sharding
 Ray Data's streaming executor, and the single in-process index with a set
 of per-shard indexes:
 
- - the *indexed* side is cut into shards; each shard's ``(ids, vecs)``
-   arrays are placed in the object store ONCE (``ray.put``) and every
-   search actor builds its shard indexes once in ``__init__`` — the
-   broadcast-small-side pattern, no per-batch reshipping;
+ - the *indexed* side is cut into shards built by WORKER tasks and
+   materialized as object-store blocks (the driver only holds the refs);
+   every search actor builds its shard indexes once in ``__init__`` from
+   zero-copy reads — the broadcast-small-side pattern, no per-batch
+   reshipping and no driver-side data pass;
  - the *query* side streams through ``map_batches(SearchStage, ...)`` as
    zero-copy Arrow batches; each batch is searched against every shard and
    the per-shard top-k are merged with a vectorized k-way merge on the raw
