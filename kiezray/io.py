@@ -98,8 +98,9 @@ def openea_to_datasets(emb_dir_path: str, kg_path: str):
 
 
 def read_docs(path: str):
-    """Read an interleaved-doc table: Lance when the reader is available,
-    parquet otherwise (fixtures/tests use parquet)."""
+    """Read a doc table: Lance when the reader is available, JSON/JSONL
+    (the common training-data interchange format), or parquet
+    (fixtures/tests use parquet)."""
     import ray.data
 
     if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
@@ -109,5 +110,7 @@ def read_docs(path: str):
             raise ImportError(
                 "lance reader unavailable in this environment"
             ) from e
+    if path.endswith((".jsonl", ".json", ".ndjson")):
+        return ray.data.read_json(path)
     # only .parquet files: config/manifest files may share the directory
     return ray.data.read_parquet(path, file_extensions=["parquet"])

@@ -171,3 +171,19 @@ def test_cli_align(tmp_path):
         for f in glob.glob(str(tmp_path / "out" / "*.parquet"))
     )
     assert rows == 60
+
+
+def test_read_docs_jsonl(tmp_path):
+    """JSONL input (the common training-data interchange) flows through
+    read_docs and the plain-text CLI adaptation path."""
+    import json
+
+    from kiezray.io import read_docs
+
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"doc_id": i, "text": f"hello world doc {i}"}) + "\n")
+    ds = read_docs(str(p))
+    assert ds.count() == 20
+    assert set(ds.schema().names) >= {"doc_id", "text"}
