@@ -1214,6 +1214,63 @@ LIMIT 100
 """
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-3 orders per customer by total price (the per-key top-k
+    workhorse; hash-partitioned vectorized ranking, no global sort).
+    Oracle-checked vs row_number() OVER (PARTITION BY ...)."""
+    from ..relops import grouped_topk
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_topk(
+        orders, "o_custkey", "o_totalprice", k=3, tie_col="o_orderkey"
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "rank": t["rank"],
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": pc.add(
+                    pc.round(
+                        t["o_totalprice"], 2,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.scalar(0.0),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GROUPED_TOPK = """
+WITH ranked AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank
+  FROM orders)
+SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey,
+       round(o_totalprice, 2) + 0 AS o_totalprice
+FROM ranked WHERE rank <= 3 ORDER BY o_custkey, rank
+"""
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped multi-measure grouped aggregate over lineitem
     (packed single grouping key; column pruning at the read)."""
@@ -1432,6 +1489,7 @@ QUERIES = {
     "order_revenue_topk": q_order_revenue_topk,
     "sample_hash": q_sample_hash,
     "sample_bottomk": q_sample_bottomk,
+    "grouped_topk": q_grouped_topk,
 }
 
 ORACLE_SQL = {
@@ -1460,6 +1518,7 @@ ORACLE_SQL = {
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "sample_hash": SQL_SAMPLE_HASH,
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
+    "grouped_topk": SQL_GROUPED_TOPK,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

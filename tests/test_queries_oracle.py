@@ -33,6 +33,7 @@ CHECKED = [
     ("heavy_hitters", 0),
     ("sample_hash", 0),
     ("sample_bottomk", 0),
+    ("grouped_topk", 0),
 ]
 
 
@@ -46,8 +47,8 @@ def test_contract_shape():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 38
-    assert len(os_) >= 25
+    assert len(qs) >= 39
+    assert len(os_) >= 26
 
 
 def test_mp_normal_internal_consistency():
