@@ -145,20 +145,33 @@ def heavy_hitters(
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        s = pd.Series(t[col].to_pylist())
-        counts = s.value_counts()
-        if len(counts) > capacity:
+        colv = t[col]
+        if pa.types.is_integer(colv.type):  # vectorized, no Python boxing
+            vals = (
+                colv.combine_chunks()
+                if isinstance(colv, pa.ChunkedArray)
+                else colv
+            ).to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(vals, return_counts=True)
+            order = np.argsort(-cnt, kind="stable")
+            uniq, cnt = uniq[order], cnt[order]
+            labels = uniq.astype(str)
+        else:
+            s = pd.Series(colv.to_pylist())
+            counts = s.value_counts()
+            labels = np.array([str(v) for v in counts.index], dtype=object)
+            cnt = counts.to_numpy()
+        if len(cnt) > capacity:
             # Misra-Gries decrement: keep top `capacity`, subtract the
             # (capacity+1)-th count from the survivors
-            cut = int(counts.iloc[capacity])
-            counts = counts.iloc[:capacity] - cut
-            counts = counts[counts > 0]
+            cut = int(cnt[capacity])
+            labels, cnt = labels[:capacity], cnt[:capacity] - cut
+            keep = cnt > 0
+            labels, cnt = labels[keep], cnt[keep]
         return pa.table(
             {
-                "value": pa.array([str(v) for v in counts.index]),
-                "est_count": pa.array(
-                    counts.to_numpy().astype(np.int64), pa.int64()
-                ),
+                "value": pa.array(labels.tolist(), pa.string()),
+                "est_count": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
