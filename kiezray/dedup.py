@@ -89,14 +89,19 @@ def dedup_pair_rows(
     """
 
     def add_part(t: pa.Table) -> pa.Table:
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
+        # partition = deterministic function of the (a, b) pair; pandas'
+        # vectorized siphash replaces the per-row crc32 loop (the dedup
+        # itself keys on the full pair inside the partition)
+        ha = pd.util.hash_array(
+            np.asarray(t["a"].to_pylist(), dtype=object)
+        ).astype(np.uint64)
+        hb = pd.util.hash_array(
+            np.asarray(t["b"].to_pylist(), dtype=object)
+        ).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = _splitmix64(ha * np.uint64(3) + hb)
         part = pa.array(
-            [
-                zlib.crc32(f"{x}\x1f{y}".encode()) % num_partitions
-                for x, y in zip(a, b)
-            ],
-            pa.int32(),
+            (mixed % np.uint64(num_partitions)).astype(np.int32), pa.int32()
         )
         return t.append_column("__part", part)
 
