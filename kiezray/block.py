@@ -156,12 +156,19 @@ def split_oversized_blocks(
     consume it.
     """
     import ray
+    from ray.data.aggregate import Count
 
     keys_ds = keys_ds.materialize()
+    has_hash = "block_hash" in keys_ds.schema().names
     # filter DISTRIBUTED: only the oversized keys (rare by construction)
-    # reach the driver — the full histogram is corpus-sized at 10^12 docs
+    # reach the driver — the full histogram is corpus-sized at 10^12 docs.
+    # The histogram groups on the int64 companion hash when present (8-byte
+    # shuffle instead of strings); a 56-bit band-hash collision between two
+    # distinct keys merely co-salts them — harmless and deterministic.
+    group_col = "block_hash" if has_hash else "block_key"
     over = (
-        block_histogram(keys_ds)
+        keys_ds.groupby(group_col)
+        .aggregate(Count(alias_name="n_docs"))
         .map_batches(
             lambda t: t.filter(pc.greater(t["n_docs"], max_block)),
             batch_format="pyarrow",
@@ -171,53 +178,93 @@ def split_oversized_blocks(
     )
     if len(over) == 0:
         return keys_ds
-    fanout = {
-        k: int(np.ceil(n / max_block))
-        for k, n in zip(over["block_key"], over["n_docs"])
-    }
-    ref = ray.put(fanout)
+    fanouts = np.ceil(over["n_docs"].to_numpy() / max_block).astype(np.int64)
+    if has_hash:
+        hashes = over["block_hash"].to_numpy().astype(np.int64)
+        hs_order = np.argsort(hashes)
+        payload = (hashes[hs_order], fanouts[hs_order])
+    else:
+        payload = (
+            dict(zip(over["block_key"], (int(f) for f in fanouts))),
+        )
+    ref = ray.put(payload)
 
     class Salt:
         def __init__(self, ref):
-            self.fanout = ray.get(ref)
+            p = ray.get(ref)
+            if len(p) == 2:
+                self.hashes, self.fanouts = p  # sorted int64 + aligned fanout
+                self.fanout_map = None
+            else:
+                self.hashes = None
+                self.fanout_map = p[0]
 
         def __call__(self, t: pa.Table) -> pa.Table:
             import numpy as np
 
             from .dedup import _splitmix64
 
-            keys = np.asarray(t["block_key"].to_pylist(), dtype=object)
-            flags = np.array([k in self.fanout for k in keys])
-            if not flags.any():
-                return t
-            # only oversized-block rows pay the per-row work
-            ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)[flags]
-            salts = np.array(
-                [
-                    zlib.crc32(d.encode()) % self.fanout[k]
-                    for k, d in zip(keys[flags], ids)
-                ],
-                dtype=np.uint64,
+            if self.hashes is not None:
+                # vectorized membership: searchsorted over the small sorted
+                # oversized-hash array (no per-row dict probes)
+                bh_all = t["block_hash"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.hashes, bh_all)
+                pos_c = np.minimum(pos, len(self.hashes) - 1)
+                flags = self.hashes[pos_c] == bh_all
+                if not flags.any():
+                    return t
+                fan = self.fanouts[pos_c[flags]]
+            else:
+                keys_all = np.asarray(t["block_key"].to_pylist(), dtype=object)
+                flags = np.array([k in self.fanout_map for k in keys_all])
+                if not flags.any():
+                    return t
+                fan = np.array(
+                    [self.fanout_map[k] for k in keys_all[flags]],
+                    dtype=np.int64,
+                )
+            # only oversized-block rows pay per-row work (rare by
+            # construction); untouched rows never leave Arrow
+            flagnz = pa.array(np.flatnonzero(flags), pa.int64())
+            keys_f = t["block_key"].take(flagnz).to_pylist()
+            ids_f = t["doc_id"].take(flagnz).to_pylist()
+            salts = (
+                np.array(
+                    [zlib.crc32(d.encode()) for d in ids_f], dtype=np.uint64
+                )
+                % fan.astype(np.uint64)
             )
-            new = keys.copy()
-            new[flags] = [
-                f"{k}#s{s}" for k, s in zip(keys[flags], salts)
-            ]
+            mask = pa.array(flags)
+            key_col = t["block_key"].combine_chunks()
+            new_keys = pc.replace_with_mask(
+                key_col,
+                mask,
+                pa.array(
+                    [f"{k}#s{s}" for k, s in zip(keys_f, salts)], pa.string()
+                ),
+            )
             out = t.set_column(
-                t.schema.get_field_index("block_key"),
-                "block_key",
-                pa.array(new.tolist(), pa.string()),
+                t.schema.get_field_index("block_key"), "block_key", new_keys
             )
             if "block_hash" in t.column_names:
-                bh = t["block_hash"].to_numpy(zero_copy_only=False).copy()
-                bh[flags] = (
-                    bh[flags].astype(np.uint64)
-                    ^ _splitmix64(salts + np.uint64(1))
-                ).astype(np.int64)
+                bh_f = (
+                    t["block_hash"].take(flagnz).to_numpy(zero_copy_only=False)
+                )
+                new_bh = pc.replace_with_mask(
+                    t["block_hash"].combine_chunks(),
+                    mask,
+                    pa.array(
+                        (
+                            bh_f.astype(np.uint64)
+                            ^ _splitmix64(salts + np.uint64(1))
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                )
                 out = out.set_column(
                     out.schema.get_field_index("block_hash"),
                     "block_hash",
-                    pa.array(bh, pa.int64()),
+                    new_bh,
                 )
             return out
 

@@ -192,23 +192,45 @@ def dedup_exact(
     """
 
     def add_keys(t: pa.Table) -> pa.Table:
-        parts = [t[c].to_pylist() for c in content_cols]
-        joined = ["\x1f".join(str(x) for x in row) for row in zip(*parts)]
-        chash = content_hash_column(joined)
-        part = pa.array(
-            [zlib.crc32(h.encode()) % num_partitions for h in joined],
-            pa.int32(),
+        # vectorized 128-bit content key: two independent 64-bit hashes
+        # (pandas' C siphash with distinct keys) mixed column-wise — no
+        # per-row string join / sha1 (collision odds over the full pair
+        # space at 10^12 rows are ~2^-48; cryptographic strength is not
+        # required for grouping identity)
+        h1 = np.zeros(len(t), dtype=np.uint64)
+        h2 = np.zeros(len(t), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in content_cols:
+                arr = t[c].to_numpy(zero_copy_only=False)
+                h1 = _splitmix64(
+                    h1 * np.uint64(31)
+                    + pd.util.hash_array(arr).astype(np.uint64)
+                )
+                h2 = _splitmix64(
+                    h2 * np.uint64(31)
+                    + pd.util.hash_array(
+                        arr, hash_key="kiezraydedup2key"
+                    ).astype(np.uint64)
+                )
+        part = (h1 % np.uint64(num_partitions)).astype(np.int32)
+        return (
+            t.append_column("__ch1", pa.array(h1.astype(np.int64), pa.int64()))
+            .append_column("__ch2", pa.array(h2.astype(np.int64), pa.int64()))
+            .append_column("__part", pa.array(part, pa.int32()))
         )
-        return t.append_column("__chash", chash).append_column("__part", part)
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        aux = ["__ch1", "__ch2", "__part"]
         if len(g) == 0:
-            return g.drop(columns=["__chash", "__part"])
-        ch = g["__chash"].to_numpy(dtype=object)
-        order = np.lexsort((g[id_col].to_numpy(), ch))
-        ch = ch[order]
-        first = np.concatenate(([True], ch[1:] != ch[:-1]))
-        return g.iloc[order[first]].drop(columns=["__chash", "__part"])
+            return g.drop(columns=aux)
+        c1 = g["__ch1"].to_numpy()
+        c2 = g["__ch2"].to_numpy()
+        order = np.lexsort((g[id_col].to_numpy(), c2, c1))
+        c1, c2 = c1[order], c2[order]
+        first = np.concatenate(
+            ([True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1]))
+        )
+        return g.iloc[order[first]].drop(columns=aux)
 
     return (
         ds.map_batches(add_keys, batch_format="pyarrow")
@@ -668,32 +690,66 @@ def ngram_jaccard_pairs(
     )
 
     def jaccard_batch(t: pa.Table) -> pa.Table:
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        ta = t["text_a"].to_pylist()
-        tb = t["text_b"].to_pylist()
-        cache: dict = {}
-
-        def sset(x: str) -> set:
-            s = cache.get(x)
-            if s is None:
-                s = set(_shingle_hashes(x or "", shingle_k).tolist())
-                cache[x] = s
-            return s
-
-        out_a, out_b, out_j = [], [], []
-        for x, y, tx, ty in zip(a, b, ta, tb):
-            sx, sy = sset(tx), sset(ty)
-            j = 1.0 if not sx and not sy else len(sx & sy) / len(sx | sy)
-            if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(j)
+        # vectorized exact-jaccard verify: shingle-hash each UNIQUE text
+        # once (the per-side hash sets are unique by construction), then
+        # compute every pair's intersection in ONE lexsort over the flat
+        # (pair_idx, hash) concatenation — a value appearing twice within
+        # a pair is exactly an intersection hit. No per-pair Python sets.
+        n = len(t)
+        empty = pa.table(
+            {
+                "a": pa.array([], t["a"].type),
+                "b": pa.array([], t["b"].type),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        ta = np.asarray(
+            [x or "" for x in t["text_a"].to_pylist()], dtype=object
+        )
+        tb = np.asarray(
+            [x or "" for x in t["text_b"].to_pylist()], dtype=object
+        )
+        uniq, inv = np.unique(np.concatenate([ta, tb]), return_inverse=True)
+        sh = [_shingle_hashes(x, shingle_k) for x in uniq]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat_u = (
+            np.concatenate(sh) if offs[-1] else np.empty(0, dtype=np.uint64)
+        )
+        ia, ib = inv[:n], inv[n:]
+        la, lb = lens[ia], lens[ib]
+        tot = la + lb
+        # gather each pair's (a-hashes, b-hashes) from the unique-text pool
+        starts = np.empty(2 * n, dtype=np.int64)
+        starts[0::2], starts[1::2] = offs[ia], offs[ib]
+        counts = np.empty(2 * n, dtype=np.int64)
+        counts[0::2], counts[1::2] = la, lb
+        total = int(counts.sum())
+        if total:
+            shift = np.repeat(
+                starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+            )
+            H = flat_u[shift + np.arange(total)]
+            P = np.repeat(np.arange(n), tot)
+            order = np.lexsort((H, P))
+            Hs, Ps = H[order], P[order]
+            dup = (Hs[1:] == Hs[:-1]) & (Ps[1:] == Ps[:-1])
+            inter = np.bincount(Ps[1:][dup], minlength=n)
+        else:
+            inter = np.zeros(n, dtype=np.int64)
+        union = tot - inter
+        j = np.where(tot == 0, 1.0, inter / np.maximum(union, 1))
+        keep = j >= threshold
+        if not keep.any():
+            return empty
+        sel = pa.array(np.flatnonzero(keep), pa.int64())
         return pa.table(
             {
-                "a": pa.array(out_a),
-                "b": pa.array(out_b),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "a": t["a"].take(sel),
+                "b": t["b"].take(sel),
+                "jaccard": pa.array(j[keep], pa.float64()),
             }
         )
 

@@ -322,6 +322,14 @@ def run_er(
             def to_bin(t: pa.Table) -> pa.Table:
                 mat = np.ascontiguousarray(emb_to_matrix(t["embedding"]))
                 n, d = mat.shape
+                # int32 BinaryArray offsets silently wrap at 2 GiB — guard
+                # hard (batches are far smaller; a violation means the
+                # batch_size upstream is misconfigured for the dim)
+                assert (n + 1) * d * 8 < 2**31, (
+                    f"embedding batch payload {(n + 1) * d * 8} B overflows "
+                    "int32 binary offsets; lower batch_size or use "
+                    "large_binary"
+                )
                 offsets = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int32)
                 bin_arr = pa.BinaryArray.from_buffers(
                     pa.binary(),

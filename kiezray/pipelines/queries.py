@@ -1184,8 +1184,8 @@ SQL_SAMPLE_HASH = """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS o_custkey
 FROM orders
-WHERE ((CAST(o_orderkey AS HUGEINT) + 7) % 4294967296) * 2654435761
-      % 4294967296 < 429496729
+WHERE ((CAST(o_orderkey AS HUGEINT) + 7) * 11400714819323198485)
+      % 18446744073709551616 < 1844674407370955264
 ORDER BY o_orderkey
 """
 
@@ -1208,8 +1208,8 @@ def q_sample_bottomk(sf_dir: str):
 SQL_SAMPLE_BOTTOMK = """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey
 FROM orders
-ORDER BY ((CAST(o_orderkey AS HUGEINT) + 3) % 4294967296) * 2654435761
-         % 4294967296, o_orderkey
+ORDER BY ((CAST(o_orderkey AS HUGEINT) + 3) * 11400714819323198485)
+         % 18446744073709551616, o_orderkey
 LIMIT 100
 """
 

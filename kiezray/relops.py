@@ -28,10 +28,13 @@ def grouped_topk(
 ) -> "ray.data.Dataset":
     """Top-``k`` rows per ``key_col`` ranked by ``order_col``.
 
-    Ties on ``order_col`` break by ``tie_col`` ascending (defaults to
-    ``key_col``'s companion ``order_col`` order being stable) — pass an
-    explicit unique column for deterministic, oracle-matching output.
-    Adds a ``rank`` column (1-based within the key).
+    Ties on ``order_col`` break by ``tie_col`` ascending. **WARNING:
+    without ``tie_col`` the tie-break falls back to intra-partition row
+    position, which is NOT stable under re-partitioning — tied outputs
+    can differ run to run.** Pass a unique ``tie_col`` (e.g. the row's
+    primary key) whenever deterministic, oracle-matching output matters;
+    every oracle-checked caller in this repo does. Adds a ``rank``
+    column (1-based within the key).
     """
 
     def add_part(t: pa.Table) -> pa.Table:

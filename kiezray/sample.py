@@ -3,10 +3,16 @@
 The reference has no sampling (SURVEY.md §2.6); a 100 TB pipeline needs
 reproducible subsets that don't depend on partitioning or scan order.
 Both operators key off a Knuth multiplicative hash of a column —
-``priority(v) = (v * 2654435761) mod 2^32`` — chosen over splitmix64
-because the identical arithmetic is expressible in DuckDB (HUGEINT
-product, no wrapping-overflow games), so both are byte-exact
-oracle-checkable:
+``priority(v) = ((v + seed) * 11400714819323198485) mod 2^64`` (the
+64-bit golden-ratio multiplier; products wrap even for tiny keys) —
+chosen over splitmix64 because the identical arithmetic is expressible
+in DuckDB (HUGEINT product stays < 2^127, then
+``% 18446744073709551616``), so both are byte-exact oracle-checkable.
+The full 64-bit modulus means ids >= 2^32 get distinct priorities (no
+low-word twin collisions, the round-2 bias). Keys MUST be non-negative
+int64: the engine wraps negatives through uint64 while DuckDB's HUGEINT
+``%`` keeps the dividend's sign, so negative keys would diverge from
+the oracle (asserted below).
 
  - ``hash_sample``: keep rows with priority < fraction * 2^32 — a
    stateless per-batch filter; every worker makes the same decision for
@@ -22,22 +28,30 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-_KNUTH = np.uint64(2654435761)
-_MOD32 = np.uint64(1 << 32)
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)  # 11400714819323198485
+_MOD64 = float(1 << 64)
 
 
 def _priority(vals: np.ndarray, seed: int) -> np.ndarray:
-    """(v + seed) * 2654435761 mod 2^32 — uint64 arithmetic, no overflow
-    (inputs are masked to 32 bits first, so products stay < 2^64)."""
-    v = (vals.astype(np.uint64) + np.uint64(seed)) % _MOD32
-    return (v * _KNUTH) % _MOD32
+    """((v + seed) * 11400714819323198485) mod 2^64 — uint64 wraparound.
+
+    Requires non-negative int64 keys (DuckDB-oracle parity; see module
+    docstring)."""
+    if vals.size and int(vals.min()) < 0:
+        raise ValueError(
+            "sampling keys must be non-negative int64 (negative keys wrap "
+            "differently in the engine vs the DuckDB HUGEINT oracle)"
+        )
+    v = vals.astype(np.uint64) + np.uint64(seed)
+    with np.errstate(over="ignore"):
+        return v * _KNUTH
 
 
 def hash_sample(
     ds: "ray.data.Dataset", col: str, fraction: float, seed: int = 0
 ) -> "ray.data.Dataset":
     """Deterministic ~``fraction`` sample keyed on an integer column."""
-    threshold = np.uint64(int(fraction * float(_MOD32)))
+    threshold = np.uint64(int(fraction * _MOD64))
 
     def keep(t: pa.Table) -> pa.Table:
         vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -82,28 +82,41 @@ def shard_refs_from_dataset(
     total = mat.count()  # metadata only, no execution
     if total == 0:
         return [], 0, -1
-    # max id per shard = its last element (id-sorted); tiny parallel tasks
-    # reading the blocks zero-copy — avoids a whole extra aggregate pass
+    # max id per shard via pc.max — NOT the last element: Ray's output
+    # buffer may coalesce several per-batch-sorted tables into one block,
+    # so a block is not guaranteed globally id-sorted (shard_arrays
+    # re-sorts on load for the same reason). Tiny parallel zero-copy tasks.
     maxes = ray.get([_shard_max_id.remote(r) for r in refs])
     return refs, total, max(maxes)
 
 
 @ray.remote(num_cpus=0)
 def _shard_max_id(block: pa.Table) -> int:
-    return int(block["ids"][-1].as_py()) if len(block) else -1
+    import pyarrow.compute as pc
+
+    return int(pc.max(block["ids"]).as_py()) if len(block) else -1
 
 
 def shard_arrays(obj) -> tuple[np.ndarray, np.ndarray]:
-    """Normalize a fetched shard object to ``(ids int64, vecs (s, d))``.
+    """Normalize a fetched shard object to sorted ``(ids int64, vecs (s, d))``.
 
     Accepts the arrow block produced by ``shard_refs_from_dataset`` (read
     zero-copy from the object store) or a plain ``(ids, vecs)`` tuple for
-    custom callers.
+    custom callers. Ray's output buffer can coalesce multiple
+    per-batch-sorted tables into one block, so global id order within a
+    block is NOT guaranteed; downstream consumers (``ShardGather.take``'s
+    searchsorted, id tie-breaks) require it, so sortedness is checked
+    (O(s)) and restored here when violated.
     """
     if isinstance(obj, tuple):
-        return obj
-    ids = obj["ids"].to_numpy(zero_copy_only=False)
-    vecs = emb_to_matrix(obj["vecs"])
+        ids, vecs = obj
+    else:
+        ids = obj["ids"].to_numpy(zero_copy_only=False)
+        vecs = emb_to_matrix(obj["vecs"])
+    if len(ids) > 1 and not np.all(ids[:-1] <= ids[1:]):
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.ascontiguousarray(vecs[order])
     return ids, vecs
 
 

@@ -55,15 +55,17 @@ def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
     nz = rest != 0
     if nz.any():
         # count leading zeros via float64 exponent trick is lossy; use
-        # a 64-step-free vectorized log2 on the top 53 bits instead
+        # a 64-step-free vectorized log2 on the top 53 bits instead.
+        # log2 is only ever evaluated on the masked nonzero subsets
+        # (no log2(0) RuntimeWarnings / garbage intermediates).
         top = (rest[nz] >> np.uint64(11)).astype(np.float64)  # 53-bit safe
-        lead = 52 - np.floor(np.log2(top)).astype(np.int64)  # zeros in 53b
-        small = rest[nz] < (np.uint64(1) << np.uint64(11))
-        if small.any():  # 1-bit only in the lowest 11 bits
+        small = top == 0  # 1-bit only in the lowest 11 bits
+        lead = np.empty(len(top), dtype=np.int64)
+        lead[~small] = 52 - np.floor(np.log2(top[~small])).astype(np.int64)
+        if small.any():
             low = rest[nz][small].astype(np.float64)
             lead[small] = 63 - np.floor(np.log2(low)).astype(np.int64)
-        rho_nz = lead + 1
-        rho[nz] = rho_nz
+        rho[nz] = lead + 1
     np.maximum.at(regs, idx, rho.astype(np.uint8))
     return regs
 

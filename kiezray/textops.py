@@ -206,31 +206,73 @@ def token_counts(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def fingerprint(docs_ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Dataset":
-    """Winnowing-style rolling-hash document fingerprint: min crc32 over
-    each window of token hashes, xor-folded to one int64 per doc."""
-
-    def fp_one(text: str) -> int:
-        toks = _tokens(text.lower())
-        if not toks:
-            return 0
-        hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-        if len(hs) <= window:
-            mins = np.array([hs.min()], dtype=np.uint64)
-        else:
-            view = np.lib.stride_tricks.sliding_window_view(hs, window)
-            mins = view.min(axis=1)
-        with np.errstate(over="ignore"):  # wrap-around is the hash
-            mixed = (np.unique(mins) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
-                0xFFFFFFFFFFFFFFFF
-            )
-        out = np.bitwise_xor.reduce(mixed)
-        return int(out.astype(np.int64))
+    """Winnowing-style rolling-hash document fingerprint: min token-hash
+    over each window, distinct mins mixed and xor-folded to one int64 per
+    doc. Fully batch-vectorized (flat token-hash array + per-doc offsets
+    + one sliding-window min + segmented xor-reduce — the
+    ``SimHasher.batch_simhash`` pattern, no per-row Python). Empty /
+    whitespace-only docs fingerprint to 0."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        n = len(batch)
+        out = np.zeros(n, dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for ts in tok_lists:
+                flat[pos : pos + len(ts)] = ts
+                pos += len(ts)
+            h = pd.util.hash_array(flat).astype(np.uint64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            # per-doc rolling mins: docs shorter than the window use their
+            # whole-doc min; longer docs slice the batch-wide window-min
+            # array (windows never cross doc boundaries by construction)
+            ne = np.flatnonzero(lens > 0)
+            doc_min = np.minimum.reduceat(h, offs[ne])
+            big = np.flatnonzero(lens > window)
+            if len(big):
+                wmin = np.lib.stride_tricks.sliding_window_view(
+                    h, window
+                ).min(axis=1)
+                counts_b = lens[big] - window + 1
+                tot_b = int(counts_b.sum())
+                shift = np.repeat(
+                    offs[big]
+                    - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
+                    counts_b,
+                )
+                mins = np.concatenate(
+                    [wmin[shift + np.arange(tot_b)], doc_min[lens[ne] <= window]]
+                )
+                docs = np.concatenate(
+                    [np.repeat(big, counts_b), ne[lens[ne] <= window]]
+                )
+            else:
+                mins, docs = doc_min, ne
+            # distinct mins per doc, golden-ratio mix, xor fold — one
+            # lexsort + reduceat instead of a per-doc loop
+            order = np.lexsort((mins, docs))
+            ms, ds_ = mins[order], docs[order]
+            keep = np.concatenate(
+                ([True], (ds_[1:] != ds_[:-1]) | (ms[1:] != ms[:-1]))
+            )
+            mu, du = ms[keep], ds_[keep]
+            with np.errstate(over="ignore"):  # wrap-around is the hash
+                mixed = mu * np.uint64(0x9E3779B97F4A7C15)
+            firsts = np.flatnonzero(
+                np.concatenate(([True], du[1:] != du[:-1]))
+            )
+            out[du[firsts]] = np.bitwise_xor.reduceat(mixed, firsts).astype(
+                np.int64
+            )
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "fingerprint": batch["text"].fillna("").map(fp_one).astype(np.int64),
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "fingerprint": out,
             }
         )
 

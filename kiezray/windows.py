@@ -20,6 +20,46 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .dedup import _splitmix64
+
+
+def _grouped_window_sum(
+    parts: "ray.data.Dataset", key_col: str, num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """Exact (key, window_start) sum of per-batch partials.
+
+    Overflow-safe replacement for the old packed ``k*2^40 + w%2^40`` int64
+    key (which silently wrapped for keys >= 2^23 and could merge distinct
+    (key, window) sums): rows are hash-partitioned on a mixed 64-bit hash
+    of (key, window) — a pair never spans two partitions — and each
+    partition runs an exact in-partition pandas groupby on the real pair.
+    Same coarse-partition pattern as ``relops.grouped_topk``.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            mixed = _splitmix64(
+                _splitmix64(k.astype(np.uint64)) ^ w.astype(np.uint64)
+            )
+        part = (mixed % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def sum_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            return g
+        return g.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    return (
+        parts.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sum_partition, batch_format="pandas")
+    )
+
 
 def tumbling_window(
     events: "ray.data.Dataset",
@@ -31,7 +71,6 @@ def tumbling_window(
     """(key, window_start, n_events, sum_value) via pre-aggregated partials:
     each batch emits one row per (key, window) it contains, then a small
     grouped sum — the combiner pattern, no raw-row shuffle."""
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     def partials(t: pa.Table) -> pa.Table:
         df = t.select([key_col, ts_col, value_col]).to_pandas()
@@ -45,26 +84,7 @@ def tumbling_window(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = events.map_batches(partials, batch_format="pyarrow")
-    # single-key groupby (multi-key aggregates are slow in this Ray):
-    # pack (key, window) into one int64 — window fits in 32 bits of days
-    def pack(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column(
-            "__kw", pa.array(k * (2**40) + (w % (2**40)), pa.int64())
-        )
-
-    agg = (
-        parts.map_batches(pack, batch_format="pyarrow")
-        .groupby("__kw")
-        .aggregate(
-            Min(key_col, alias_name=key_col),
-            Min("window_start", alias_name="window_start"),
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
-    )
-    return agg.drop_columns(["__kw"])
+    return _grouped_window_sum(parts, key_col)
 
 
 def sliding_window(
@@ -80,7 +100,6 @@ def sliding_window(
     same packed grouped sum as tumbling."""
     assert window_s % slide_s == 0
     fan = window_s // slide_s
-    from ray.data.aggregate import Min, Sum
 
     def explode(t: pa.Table) -> pa.Table:
         df = t.select([key_col, ts_col, value_col]).to_pandas()
@@ -102,25 +121,7 @@ def sliding_window(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = events.map_batches(explode, batch_format="pyarrow")
-
-    def pack(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = t["window_start"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column(
-            "__kw", pa.array(k * (2**40) + (w % (2**40)), pa.int64())
-        )
-
-    return (
-        parts.map_batches(pack, batch_format="pyarrow")
-        .groupby("__kw")
-        .aggregate(
-            Min(key_col, alias_name=key_col),
-            Min("window_start", alias_name="window_start"),
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
-        .drop_columns(["__kw"])
-    )
+    return _grouped_window_sum(parts, key_col)
 
 
 def sessionize(

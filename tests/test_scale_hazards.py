@@ -1,0 +1,163 @@
+"""Regression tests for scale-correctness hazards found in round-2 review:
+
+ - shard blocks not globally id-sorted when Ray's output buffer coalesces
+   several per-batch-sorted tables into one block (search.py)
+ - windowed-aggregate packed-key int64 overflow for keys >= 2^23
+   (windows.py — replaced by hash-partition + exact in-partition groupby)
+ - 32-bit sampling priority twin collisions for ids >= 2^32 (sample.py —
+   widened to the full 64-bit modulus, DuckDB-HUGEINT-expressible)
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from kiezray.search import ShardGather, shard_arrays, shard_refs_from_dataset
+
+
+def _unsorted_shard_table():
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(1000).astype(np.int64)
+    vecs = rng.rand(1000, 4)
+    from kiezray.arrowutil import matrix_to_fsl
+
+    return pa.table(
+        {
+            "ids": pa.array(ids, pa.int64()),
+            "vecs": matrix_to_fsl(vecs, pa.float64()),
+        }
+    ), ids, vecs
+
+
+def test_shard_arrays_resorts_unsorted_block():
+    tbl, ids, vecs = _unsorted_shard_table()
+    out_ids, out_vecs = shard_arrays(tbl)
+    assert np.all(out_ids[:-1] <= out_ids[1:])
+    order = np.argsort(ids, kind="stable")
+    np.testing.assert_array_equal(out_ids, ids[order])
+    np.testing.assert_array_equal(out_vecs, vecs[order])
+
+
+def test_shard_gather_and_max_id_survive_coalesced_blocks(ray_session):
+    # one big input block + rows_per_shard smaller than the block: Ray's
+    # output buffer coalesces several sorted batches into one block, so
+    # the materialized block is NOT globally sorted — the round-2 hazard.
+    rng = np.random.RandomState(3)
+    n, d = 20000, 8
+    ids = rng.permutation(n).astype(np.int64)
+    vecs = rng.rand(n, d)
+    from kiezray.arrowutil import matrix_to_fsl
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "row_id": pa.array(ids, pa.int64()),
+                "embedding": matrix_to_fsl(vecs, pa.float64()),
+            }
+        )
+    )
+    refs, total, max_id = shard_refs_from_dataset(ds, rows_per_shard=4096)
+    assert total == n
+    assert max_id == n - 1  # pc.max, not last-element-of-sorted-prefix
+    g = ShardGather(refs)
+    probe = np.array([0, 19999, 19972, 7, 12345], dtype=np.int64)
+    got = g.take(probe)  # raises KeyError on unsorted shards
+    want = vecs[np.argsort(ids)][probe]
+    np.testing.assert_allclose(got, want)
+
+
+def test_tumbling_window_big_keys_match_pandas(ray_session):
+    # keys far beyond 2^23 — the old packed k*2^40 key wrapped int64 here
+    from kiezray.windows import sliding_window, tumbling_window
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    keys = rng.choice(
+        np.array(
+            [5, 2**23 + 1, 2**40 + 17, 2**55 + 3, 2**62 + 9], dtype=np.int64
+        ),
+        n,
+    )
+    ts = rng.randint(0, 86400, n).astype("datetime64[s]")
+    vals = rng.rand(n)
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(keys),
+                "ts": pa.array(ts),
+                "value": pa.array(vals),
+            }
+        )
+    ).repartition(4)
+
+    df = pd.DataFrame(
+        {"user_id": keys, "es": ts.astype(np.int64), "value": vals}
+    )
+    df["window_start"] = (df["es"] // 3600) * 3600
+    want = (
+        df.groupby(["user_id", "window_start"], as_index=False)
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    got = (
+        tumbling_window(events, window_s=3600)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # distinct (key, window) pairs must never merge
+    assert len(got) == len(want)
+
+    slid = sliding_window(events, window_s=3600, slide_s=1800).to_pandas()
+    assert slid["n_events"].sum() == 2 * n  # every event in exactly 2
+
+
+def test_sampling_priority_64bit_vs_duckdb(ray_session):
+    import duckdb
+
+    from kiezray.sample import _priority, bottomk_sample, hash_sample
+
+    # ids straddling 2^32: low-word twins (x and x + 2^32) must get
+    # DIFFERENT priorities now that the modulus is 2^64
+    base = np.array([1, 5, 123456789], dtype=np.int64)
+    twins = base + (1 << 32)
+    p_base = _priority(base, seed=7)
+    p_twin = _priority(twins, seed=7)
+    assert not np.any(p_base == p_twin)
+
+    rng = np.random.RandomState(5)
+    ids = np.unique(
+        np.concatenate(
+            [
+                rng.randint(0, 2**31, 3000).astype(np.int64),
+                rng.randint(2**32, 2**62, 3000).astype(np.int64),
+            ]
+        )
+    )
+    tbl = pa.table({"id": pa.array(ids, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want_hash = con.execute(
+        "SELECT id FROM t WHERE ((CAST(id AS HUGEINT) + 7) * 11400714819323198485) "
+        "% 18446744073709551616 < 1844674407370955264 ORDER BY id"
+    ).fetchdf()["id"].to_numpy()
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got_hash = np.sort(
+        hash_sample(ds, "id", 0.1, seed=7).to_pandas()["id"].to_numpy()
+    )
+    np.testing.assert_array_equal(got_hash, want_hash)
+
+    want_bk = con.execute(
+        "SELECT id FROM t ORDER BY ((CAST(id AS HUGEINT) + 3) * 11400714819323198485) "
+        "% 18446744073709551616, id LIMIT 50"
+    ).fetchdf()["id"].to_numpy()
+    got_bk = bottomk_sample(ds, "id", 50, seed=3).to_pandas()["id"].to_numpy()
+    np.testing.assert_array_equal(np.sort(got_bk), np.sort(want_bk))
+
+    with pytest.raises(ValueError, match="non-negative"):
+        _priority(np.array([-1], dtype=np.int64), seed=0)
