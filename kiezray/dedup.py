@@ -762,16 +762,23 @@ def dedup_embedding_cosine(
     emb_col: str = "embedding",
     threshold: float = 0.95,
     n_candidates: int = 10,
+    rows_per_shard: int = 65536,
+    route_groups: int | None = None,
 ) -> "ray.data.Dataset":
     """Embedding near-dup: sharded cosine self-search, edges where
-    similarity >= threshold, connected components."""
+    similarity >= threshold, connected components. ``route_groups``
+    engages the routed search tier (each search actor holds only 1/g of
+    the index shards — the path for an indexed side too big for one
+    node)."""
     from .search import knn_search, shard_refs_from_dataset
 
-    shards, _, _ = shard_refs_from_dataset(ds, id_col=id_col, emb_col=emb_col)
+    shards, _, _ = shard_refs_from_dataset(
+        ds, id_col=id_col, emb_col=emb_col, rows_per_shard=rows_per_shard
+    )
     nds = knn_search(
         ds, shards, k=n_candidates, algorithm="exact",
         algorithm_kwargs={"metric": "cosine"}, id_col=id_col, emb_col=emb_col,
-        exclude_self=True,
+        exclude_self=True, route_groups=route_groups,
     )
 
     def to_edges(t: pa.Table) -> pa.Table:

@@ -248,6 +248,8 @@ class Kiez:
         batch_size: int = 4096,
         rows_per_shard: int = 65536,
         concurrency=None,
+        shards_per_actor: int | None = None,
+        route_groups: int | None = None,
     ):
         if not np.issubdtype(type(n_candidates), np.integer):
             raise TypeError(
@@ -306,6 +308,11 @@ class Kiez:
         self.batch_size = batch_size
         self.rows_per_shard = rows_per_shard
         self.concurrency = concurrency
+        # routed search tier: each search actor holds only this many index
+        # shards (None = broadcast all shards into every actor);
+        # route_groups splits shards into a fixed number of stage groups
+        self.shards_per_actor = shards_per_actor
+        self.route_groups = route_groups
         self._fitted = False
 
     @classmethod
@@ -449,6 +456,8 @@ class Kiez:
                 keep_query_embedding=self.hubness == "dsl",
                 batch_size=self.batch_size,
                 concurrency=self.concurrency,
+                shards_per_actor=self.shards_per_actor,
+                route_groups=self.route_groups,
             )
             if self.hubness == "dsl":
                 # distributed centroid pass: each batch gathers its source-NN
@@ -535,6 +544,8 @@ class Kiez:
                 exclude_self=self._self_query,
                 batch_size=self.batch_size,
                 concurrency=self.concurrency,
+                shards_per_actor=self.shards_per_actor,
+                route_groups=self.route_groups,
             )
         n_neighbors = self._set_k_if_needed(k)
         c = self._check_k(self.n_candidates, self._m)
@@ -548,6 +559,8 @@ class Kiez:
             keep_query_embedding=self.hubness == "dsl",
             batch_size=self.batch_size,
             concurrency=self.concurrency,
+            shards_per_actor=self.shards_per_actor,
+            route_groups=self.route_groups,
         )
         fn_kwargs = dict(
             method=self.hubness,

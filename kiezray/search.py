@@ -152,7 +152,16 @@ class ShardGather:
 
 class SearchStage:
     """Callable-class stage for ``map_batches``: per-shard index built once
-    per actor in ``__init__``, vectorized search + k-way merge per batch."""
+    per actor in ``__init__``, vectorized search + k-way merge per batch.
+
+    In **routed mode** (``knn_search(..., shards_per_actor=...)``) each
+    stage instance holds only a SUBSET of the shards, and incoming
+    ``neigh_ids``/``neigh_dists`` columns (the running top-k from earlier
+    stages in the chain) join the merge — the final global top-k is the
+    k-way merge of per-shard top-ks, so truncating to k between stages is
+    lossless. Merging happens on the raw primary distance BEFORE any
+    hubness transform, preserving the reference's candidates-then-
+    transform order (kiez/hubness_reduction/base.py:89-105)."""
 
     def __init__(
         self,
@@ -164,12 +173,14 @@ class SearchStage:
         emb_col: str = "embedding",
         exclude_self: bool = False,
         keep_query_embedding: bool = False,
+        chain_output: bool = False,
     ):
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
         self.exclude_self = exclude_self
         self.keep_query_embedding = keep_query_embedding
+        self.chain_output = chain_output
         self.indexes = []
         for ref in shard_refs:
             ids, vecs = shard_arrays(ray.get(ref))
@@ -183,11 +194,21 @@ class SearchStage:
         excl = q_ids if self.exclude_self else None
         dists = []
         idss = []
+        if "neigh_ids" in batch.column_names:  # routed: running top-k in
+            ic = batch["neigh_ids"].combine_chunks()
+            dc = batch["neigh_dists"].combine_chunks()
+            kk = len(ic[0]) if len(ic) else 0
+            idss.append(
+                ic.values.to_numpy(zero_copy_only=False).reshape(len(q_ids), kk)
+            )
+            dists.append(
+                dc.values.to_numpy(zero_copy_only=False).reshape(len(q_ids), kk)
+            )
         for idx in self.indexes:
             d, i = idx.search(q, self.k, exclude_ids=excl)
             dists.append(d)
             idss.append(i)
-        if len(self.indexes) == 1:
+        if len(dists) == 1:
             dist, ids = dists[0], idss[0]
         else:
             alld = np.concatenate(dists, axis=1)
@@ -197,17 +218,30 @@ class SearchStage:
             order = np.lexsort((alli, key), axis=-1)[:, : self.k]
             dist = np.take_along_axis(alld, order, axis=1)
             ids = np.take_along_axis(alli, order, axis=1)
+        if self.chain_output or self.keep_query_embedding:
+            emb_out = (
+                batch[self.emb_col].combine_chunks()
+                if isinstance(batch[self.emb_col], pa.ChunkedArray)
+                else batch[self.emb_col]
+            )
+        if self.chain_output:
+            # intermediate routed stage: emit under the INPUT column names
+            # so the next SearchStage in the chain reads them directly
+            return pa.table(
+                {
+                    self.id_col: pa.array(q_ids, type=pa.int64()),
+                    self.emb_col: emb_out,
+                    "neigh_ids": matrix_to_list(ids, pa.int64()),
+                    "neigh_dists": matrix_to_list(dist, pa.float64()),
+                }
+            )
         cols = {
             "query_id": pa.array(q_ids, type=pa.int64()),
             "neigh_ids": matrix_to_list(ids, pa.int64()),
             "neigh_dists": matrix_to_list(dist, pa.float64()),
         }
         if self.keep_query_embedding:
-            cols["embedding"] = (
-                batch[self.emb_col].combine_chunks()
-                if isinstance(batch[self.emb_col], pa.ChunkedArray)
-                else batch[self.emb_col]
-            )
+            cols["embedding"] = emb_out
         return pa.table(cols)
 
 
@@ -223,27 +257,71 @@ def knn_search(
     keep_query_embedding: bool = False,
     batch_size: int = 4096,
     concurrency: int | tuple | None = None,
+    shards_per_actor: int | None = None,
+    route_groups: int | None = None,
 ) -> "ray.data.Dataset":
-    """query Dataset -> (query_id, neigh_ids, neigh_dists[, embedding])."""
+    """query Dataset -> (query_id, neigh_ids, neigh_dists[, embedding]).
+
+    ``shards_per_actor=None`` (default) broadcasts every shard into every
+    search actor — right when the indexed side fits one node (e.g. the
+    blocking-bounded ER universe). **Routed mode** (``shards_per_actor=g``)
+    chains one ``map_batches`` stage per group of ``g`` shards; each
+    stage's actors hold ONLY their group (per-actor residency = g/S of
+    the index), queries stream past every stage carrying their running
+    top-k, and the merge on raw primary distance is identical to the
+    broadcast path — so results are byte-identical while no single actor
+    ever materializes the whole indexed side. This is the 100-TB path for
+    a global (unblocked) search; stages pipeline, so wall-clock stays
+    GEMM-dominated.
+
+    ``route_groups=g`` is the scale-stable alternative: split the shard
+    list into exactly ``g`` stage groups (per-actor residency = 1/g of
+    the index) regardless of shard count, so the chain length — and the
+    per-stage actor-pool overhead — stays constant as the corpus grows.
+    Takes precedence over ``shards_per_actor``.
+    """
     fn_kwargs = dict(
-        shard_refs=shard_refs,
         k=k,
         algorithm=algorithm,
         algorithm_kwargs=algorithm_kwargs,
         id_col=id_col,
         emb_col=emb_col,
         exclude_self=exclude_self,
-        keep_query_embedding=keep_query_embedding,
     )
-    cols = [id_col, emb_col]
-    return query_ds.select_columns(cols).map_batches(
-        SearchStage,
-        fn_constructor_kwargs=fn_kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
-        zero_copy_batch=True,
-    )
+    if route_groups is not None and route_groups > 1:
+        g = min(route_groups, len(shard_refs))
+        bounds = np.linspace(0, len(shard_refs), g + 1).astype(int)
+        groups = [
+            list(shard_refs[a:b]) for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+        ]
+    elif (
+        shards_per_actor is None
+        or shards_per_actor <= 0
+        or shards_per_actor >= len(shard_refs)
+    ):
+        groups = [list(shard_refs)]
+    else:
+        groups = [
+            list(shard_refs[i : i + shards_per_actor])
+            for i in range(0, len(shard_refs), shards_per_actor)
+        ]
+    out = query_ds.select_columns([id_col, emb_col])
+    for gi, group in enumerate(groups):
+        last = gi == len(groups) - 1
+        out = out.map_batches(
+            SearchStage,
+            fn_constructor_kwargs=dict(
+                fn_kwargs,
+                shard_refs=group,
+                keep_query_embedding=keep_query_embedding,
+                chain_output=not last,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 8),
+            zero_copy_batch=True,
+        )
+    return out
 
 
 def neighbors_to_matrices(
