@@ -2,12 +2,14 @@
 frame-sample as actor-pool ``map_batches`` stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata (kind,
-media_ref). The image/audio codecs are NOT in this container, so the
-decode kernels are stubbed: ``strict=True`` raises NotImplementedError at
-the decode call (the documented production hook), ``strict=False``
-produces a deterministic fake decode derived from the payload bytes so
-the Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and testable end to end.
+media_ref). The IMAGE decode path is REAL: a pure-numpy uncompressed
+24-bit BMP codec (``decode_bmp``/``encode_bmp``) plus nearest-neighbor
+resize, executed end-to-end on the synthetic BMP payloads produced by
+``synth_media_table``. Compressed formats (PNG/JPEG) route through PIL
+when installed (import-gated; absent in this sandbox). Payloads that no
+available codec can read raise under ``strict=True`` or fall back to a
+deterministic payload-seeded fake under ``strict=False`` (used by the
+VIDEO path, whose codecs stay stubbed).
 
 Scale notes: media rows are wide; stages default to small ``batch_size``
 and ``batch_format='pyarrow'`` so binary buffers never convert to Python
@@ -16,6 +18,7 @@ objects; pools are sized by the caller.
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
@@ -26,6 +29,59 @@ try:  # gate: not installed in this sandbox
     from PIL import Image  # type: ignore
 except ImportError:  # pragma: no cover
     Image = None
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP bytes.
+
+    Standard BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded to 4 bytes,
+    BGR channel order — readable by any image viewer."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8 RGB")
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    img_size = stride * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = pixels[::-1, :, ::-1].reshape(h, row_bytes)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (h, w, 3) uint8 RGB. Pure numpy
+    (frombuffer + stride reshape); handles bottom-up and top-down rows."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, offset=offset, count=stride * h)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure fancy indexing)."""
+    ih, iw = img.shape[:2]
+    yi = np.arange(h) * ih // h
+    xi = np.arange(w) * iw // w
+    return img[yi][:, xi]
 
 
 def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
@@ -39,8 +95,9 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
 class ImageDecode:
     """binary 'payload' -> fixed-size uint8 RGB tensor column 'pixels'.
 
-    Production: swap the body of ``_decode`` for PIL/libvips (loaded once
-    per actor in __init__ — the stateful-stage pattern).
+    Decode ladder (per payload): real pure-numpy BMP codec -> PIL (when
+    installed, loaded once per actor — the stateful-stage pattern) ->
+    strict error / deterministic fake.
     """
 
     def __init__(self, height: int = 32, width: int = 32, strict: bool = False):
@@ -50,6 +107,8 @@ class ImageDecode:
         self.codec = Image  # loaded once per actor when available
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            return resize_nearest(decode_bmp(payload), self.h, self.w)
         if self.codec is not None:  # pragma: no cover - codec absent here
             import io
 
@@ -58,8 +117,9 @@ class ImageDecode:
             return np.asarray(img, dtype=np.uint8)
         if self.strict:
             raise NotImplementedError(
-                "image codec not available in this environment; install "
-                "Pillow or run with strict=False for the deterministic stub"
+                "no codec can read this payload (not BMP; Pillow not "
+                "installed); run with strict=False for the deterministic "
+                "fallback"
             )
         return _fake_pixels(payload, self.h, self.w)
 
@@ -191,11 +251,24 @@ def sample_frames(
 
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic opaque-binary media table for tests/benches."""
+    """Deterministic binary media table for tests/benches.
+
+    Image rows carry REAL uncompressed 24-bit BMP payloads (random dims
+    6..24 px), so the decode stage exercises an actual byte-format codec
+    end to end; video rows carry opaque bytes for the (stubbed)
+    frame-sampling path."""
     rng = np.random.RandomState(seed)
     ids = [f"m{i:05d}" for i in range(n)]
-    payloads = [rng.bytes(rng.randint(256, 4096)) for _ in range(n)]
     kinds = [["image", "video"][i % 2] for i in range(n)]
+    payloads = []
+    for i in range(n):
+        if kinds[i] == "image":
+            h = int(rng.randint(6, 25))
+            w = int(rng.randint(6, 25))
+            pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payloads.append(encode_bmp(pix))
+        else:
+            payloads.append(rng.bytes(int(rng.randint(256, 4096))))
     return pa.table(
         {
             "doc_id": pa.array(ids),

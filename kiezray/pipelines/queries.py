@@ -989,11 +989,12 @@ def q_ngram_pairs(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Rows-only: multimodal plumbing end-to-end — deterministic synthetic
-    binary media table -> actor-pool fake decode (no codec in sandbox,
-    media.py:6-15) -> vectorized channel-histogram features. Output is
-    deterministic (seeded payloads + crc-seeded decode), so row/shape
-    checks are stable across runs."""
+    """Rows-only: multimodal pipeline end-to-end — synthetic table whose
+    image rows are REAL uncompressed 24-bit BMP payloads -> actor-pool
+    pure-numpy BMP decode + nearest resize (video rows use the
+    deterministic fallback; no video codec in sandbox) -> vectorized
+    channel-histogram features. Fully deterministic, so row/shape checks
+    are stable across runs."""
     import pyarrow.parquet as pq
 
     from ..media import decode_images, image_features, synth_media_table
@@ -1059,10 +1060,11 @@ def q_approx_distinct(sf_dir: str):
 
 
 def q_media_dedup(sf_dir: str):
-    """Rows-only: multimodal near-dup composition — synthetic binary media
-    -> fake decode -> channel-histogram features -> embedding-cosine
-    near-dup clustering (sharded self-search + connected components).
-    Deterministic: duplicates are planted by reusing payload bytes."""
+    """Rows-only: multimodal near-dup composition — synthetic media (image
+    rows = real BMP payloads) -> pure-numpy BMP decode -> channel-histogram
+    features -> embedding-cosine near-dup clustering (sharded self-search +
+    connected components). Deterministic: duplicates are planted by reusing
+    payload bytes."""
     import pyarrow.parquet as pq
 
     from ..dedup import dedup_embedding_cosine
