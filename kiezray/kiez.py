@@ -84,6 +84,69 @@ _ALGORITHM_ALIASES = {
     "annoy": "graph",
 }
 
+# Reference parameter-surface fidelity: the aliased backends accept the
+# reference's own kwarg names (nmslib.py:59-69 M/ef_construction/
+# post_processing, nng.py:89-99 edge sizes, random_projection_trees.py:66-75
+# n_trees/search_k) and translate them onto the closest GraphIndex knobs —
+# a reference-config user's algorithm_kwargs must construct, not TypeError.
+# value None = accepted and dropped (no GraphIndex analog).
+_BACKEND_KWARG_MAP = {
+    "nmslib": {
+        "M": "m_links",
+        "ef_construction": "ef_search",
+        "efConstruction": "ef_search",
+        "post": None,
+        "post_processing": None,
+        "verbose": None,
+    },
+    "nng": {
+        "edge_size_for_creation": "m_links",
+        "edge_size_for_search": "ef_search",
+        "epsilon": None,
+        "index_dir": None,
+        "verbose": None,
+    },
+    "annoy": {
+        "n_trees": "nlist",
+        "search_k": "ef_search",
+        "mmap_dir": None,
+        "verbose": None,
+    },
+}
+
+
+def _translate_backend_kwargs(algo_name, kwargs: dict) -> dict:
+    """Map reference backend kwargs onto GraphIndex's parameter names.
+
+    Explicit GraphIndex-native keys win over translated ones; nmslib's
+    ``method`` must be 'hnsw' (the only method the reference supports,
+    nmslib.py:71-77)."""
+    key = algo_name.replace("_", "").lower() if isinstance(algo_name, str) else None
+    # the map keys intentionally keep underscores (reference spelling)
+    name = algo_name.lower() if isinstance(algo_name, str) else ""
+    table = _BACKEND_KWARG_MAP.get(name) or _BACKEND_KWARG_MAP.get(key or "")
+    if table is None:
+        return kwargs
+    native = {k: v for k, v in kwargs.items() if k not in table and k != "method"}
+    out = {}
+    for k, v in kwargs.items():
+        if k == "method":
+            if str(v).lower() != "hnsw":
+                raise ValueError(
+                    f"nmslib backend only supports method='hnsw', got {v!r}"
+                )
+            continue
+        if k in table:
+            tgt = table[k]
+            if tgt is None or v is None:
+                continue
+            if k == "search_k" and int(v) <= 0:
+                continue  # reference sentinel default (-1)
+            if tgt not in native:
+                out[tgt] = v
+    out.update(native)
+    return out
+
 
 def _resolve_hubness(hubness, hubness_kwargs: dict | None) -> tuple[str, dict]:
     from .hubness import HubnessReduction
@@ -274,7 +337,9 @@ class Kiez:
             self.algorithm = algorithm
         else:
             raise ValueError(f"Unknown algorithm: {algorithm!r}")
-        self.algorithm_kwargs = dict(algorithm_kwargs or {})
+        self.algorithm_kwargs = _translate_backend_kwargs(
+            algorithm, dict(algorithm_kwargs or {})
+        )
         self.algorithm_kwargs.pop("n_candidates", None)
         self.algorithm_kwargs.pop("n_jobs", None)
         self.metric = self.algorithm_kwargs.get("metric", "euclidean")
