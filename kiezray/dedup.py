@@ -685,9 +685,17 @@ def ngram_jaccard_pairs(
         lambda t: pa.table({"b": t[id_col], "text_b": t[text_col]}),
         batch_format="pyarrow",
     )
-    withtext = cand.join(t_a, join_type="inner", num_partitions=8, on=("a",)).join(
-        t_b, join_type="inner", num_partitions=8, on=("b",)
-    )
+    # join partitions sized to the cluster: each hash-join partition runs
+    # an aggregator actor, and two chained joins plus the bucket/dedup
+    # groupbys can starve a small CPU budget into a scheduling deadlock
+    # (observed at num_cpus=4 with 8+8 partitions)
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    nparts = max(2, min(8, cpus // 2))
+    withtext = cand.join(
+        t_a, join_type="inner", num_partitions=nparts, on=("a",)
+    ).join(t_b, join_type="inner", num_partitions=nparts, on=("b",))
 
     def jaccard_batch(t: pa.Table) -> pa.Table:
         # vectorized exact-jaccard verify: shingle-hash each UNIQUE text
@@ -753,7 +761,12 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return withtext.map_batches(jaccard_batch, batch_format="pyarrow")
+    out = withtext.map_batches(jaccard_batch, batch_format="pyarrow")
+    # distinct output rows: unlike the CC-bound dedup paths (duplicate
+    # edges tolerated), this op EMITS pair rows, and a pair found by
+    # several bands would otherwise appear once per band. Deduping the
+    # (tiny) verified output keeps the join pipeline shape unchanged.
+    return dedup_pair_rows(out, score_col="jaccard")
 
 
 def dedup_embedding_cosine(

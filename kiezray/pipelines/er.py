@@ -220,11 +220,20 @@ def run_er(
 ) -> dict:
     """Run the full pipeline; returns dict with 'clusters' (doc_id,
     cluster_id), 'pairs' (a, b, score), and 'embedded' Datasets."""
+    import time as _time
+
     cfg = config or ERConfig()
     cfg_fp = fingerprint(asdict(cfg))
     ck = cfg.checkpoint_dir
+    stage_seconds: dict[str, float] = {}
 
-    embedded = run_stage(
+    def _timed(name, fn):
+        t0 = _time.time()
+        out = fn()
+        stage_seconds[name] = round(_time.time() - t0, 3)
+        return out
+
+    embedded = _timed("embed", lambda: run_stage(
         "embed",
         fingerprint(cfg_fp, "embed"),
         lambda: embed_docs(
@@ -232,7 +241,7 @@ def run_er(
         ),
         ck,
         cfg.resume,
-    )
+    ))
 
     def make_keys():
         # keys stay (doc_id, block_key) ONLY — embeddings do NOT ride the
@@ -249,7 +258,9 @@ def run_er(
         )
         return split_oversized_blocks(keys, max_block=cfg.max_block)
 
-    keys = run_stage("block", fingerprint(cfg_fp, "block"), make_keys, ck, cfg.resume)
+    keys = _timed("block", lambda: run_stage(
+        "block", fingerprint(cfg_fp, "block"), make_keys, ck, cfg.resume
+    ))
 
     def make_scored(shard: int | None = None, n_shards: int = 1):
         """Scored candidate pairs; with ``shard`` set, only the coarse
@@ -371,7 +382,7 @@ def run_er(
     from ..dedup import dedup_pair_rows
 
     if ck is None:
-        pairs = run_stage(
+        pairs = _timed("score_pairs", lambda: run_stage(
             "pairs",
             fingerprint(cfg_fp, "pairs"),
             # exact pair dedup keeping the best score (hash-partitioned
@@ -379,27 +390,27 @@ def run_er(
             lambda: dedup_pair_rows(make_scored(), score_col="score"),
             ck,
             cfg.resume,
-        )
+        ))
     else:
         # per-PARTITION lineage (north rule): scoring — the expensive
         # stage — checkpoints in N_SHARDS independently-resumable shards;
         # the cheap global pair dedup runs over their union
         N_SHARDS = int(cfg.extra.get("pair_shards", 8))
-        scored_all = run_stage_sharded(
+        scored_all = _timed("score", lambda: run_stage_sharded(
             "pairs_scored",
             fingerprint(cfg_fp, "pairs_scored"),
             lambda i: make_scored(shard=i, n_shards=N_SHARDS),
             N_SHARDS,
             ck,
             cfg.resume,
-        )
-        pairs = run_stage(
+        ))
+        pairs = _timed("pair_dedup", lambda: run_stage(
             "pairs",
             fingerprint(cfg_fp, "pairs"),
             lambda: dedup_pair_rows(scored_all, score_col="score"),
             ck,
             cfg.resume,
-        )
+        ))
 
     def make_clusters():
         nodes = docs_ds.select_columns(["doc_id"]).map_batches(
@@ -413,11 +424,16 @@ def run_er(
             batch_format="pyarrow",
         )
 
-    clusters = run_stage(
+    clusters = _timed("cluster", lambda: run_stage(
         "clusters", fingerprint(cfg_fp, "clusters"), make_clusters, ck, cfg.resume
-    )
+    ))
 
-    return {"embedded": embedded, "pairs": pairs, "clusters": clusters}
+    return {
+        "embedded": embedded,
+        "pairs": pairs,
+        "clusters": clusters,
+        "stage_seconds": stage_seconds,
+    }
 
 
 def oracle_clusters(

@@ -973,19 +973,49 @@ def q_hubness_all(sf_dir: str):
 
 
 def q_ngram_pairs(sf_dir: str):
-    """Rows-only: exact character-n-gram jaccard over LSH candidate pairs
-    (deterministic hashing; not SQL-expressible). Output (a, b, jaccard)."""
+    """Oracle-checked: exact character-5-gram jaccard over LSH candidate
+    pairs, (a, b, jaccard) where jaccard >= 0.8. The shingle hash is a
+    bijection of the packed 5 bytes (k <= 8, splitmix64), so the engine's
+    hash-set jaccard EQUALS the string-set jaccard the SQL computes; 16
+    bands of 4 rows put LSH miss probability below 2.2e-4 per pair at
+    j = 0.8 (and ~1e-9 at the j >= 0.92 pairs this corpus actually has),
+    and the exact verify filters false candidates — so the LSH path
+    returns exactly the all-pairs answer (asserted against the SQL)."""
     from ..dedup import ngram_jaccard_pairs
     from ..arrowutil import round_away
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = ngram_jaccard_pairs(docs, shingle_k=5, threshold=0.8)
+    docs = docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = ngram_jaccard_pairs(
+        docs, shingle_k=5, threshold=0.8, num_perm=64, bands=16
+    )
     return out.map_batches(
         lambda df: df.assign(jaccard=round_away(df["jaccard"], 6)),
         batch_format="pandas",
     )
+
+
+SQL_NGRAM_PAIRS = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) id, lower(text) t FROM documents),
+p AS (SELECT id, CASE WHEN length(t) < 5 THEN t || repeat(' ', 5 - length(t))
+                      ELSE t END AS t FROM d),
+sh AS (SELECT id, list_distinct(list_transform(
+           generate_series(1, length(t) - 4), i -> substr(t, i, 5))) s
+       FROM p),
+pairs AS (SELECT a.id ai, b.id bi,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) j
+          FROM sh a JOIN sh b ON a.id < b.id)
+SELECT ai AS a, bi AS b, round(j, 6) + 0 AS jaccard
+FROM pairs WHERE j >= 0.8 ORDER BY a, b
+"""
 
 
 def q_media_features(sf_dir: str):
@@ -1535,6 +1565,7 @@ ORACLE_SQL = {
     "sample_hash": SQL_SAMPLE_HASH,
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
     "grouped_topk": SQL_GROUPED_TOPK,
+    "ngram_pairs": SQL_NGRAM_PAIRS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

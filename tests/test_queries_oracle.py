@@ -34,6 +34,7 @@ CHECKED = [
     ("sample_hash", 0),
     ("sample_bottomk", 0),
     ("grouped_topk", 0),
+    ("ngram_pairs", 0),
 ]
 
 
