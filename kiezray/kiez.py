@@ -298,6 +298,109 @@ class _DslFinalize:
         )
 
 
+def _pack_t2s_batch(t: pa.Table) -> pa.Table:
+    """t->s result rows -> (target_id, t2s_bin) with each target's
+    neighbor list packed as c2 int64 ids + c2 float64 dists in one binary
+    blob — Arrow's hash join rejects list payload columns, and the packed
+    row decodes zero-copy with np.frombuffer on the rerank side."""
+    q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_col = t["neigh_ids"].combine_chunks()
+    d_col = t["neigh_dists"].combine_chunks()
+    n = len(q)
+    c2 = len(ids_col[0]) if n else 0
+    I = ids_col.values.to_numpy(zero_copy_only=False).reshape(n, c2)
+    D = d_col.values.to_numpy(zero_copy_only=False).reshape(n, c2)
+    payload = np.concatenate(
+        [
+            np.ascontiguousarray(I.astype(np.int64))
+            .view(np.uint8)
+            .reshape(n, c2 * 8),
+            np.ascontiguousarray(D.astype(np.float64))
+            .view(np.uint8)
+            .reshape(n, c2 * 8),
+        ],
+        axis=1,
+    )
+    row_bytes = payload.shape[1]
+    assert (n + 1) * row_bytes < 2**31, "t2s batch overflows int32 offsets"
+    offsets = np.arange(0, (n + 1) * row_bytes, row_bytes, dtype=np.int32)
+    bin_arr = pa.BinaryArray.from_buffers(
+        pa.binary(),
+        n,
+        [
+            None,
+            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(np.ascontiguousarray(payload).tobytes()),
+        ],
+    )
+    return pa.table(
+        {"target_id": pa.array(q, pa.int64()), "t2s_bin": bin_arr}
+    )
+
+
+class _EmpiricJoinRerank:
+    """map_groups kernel for one coarse partition of exploded candidate
+    rows carrying their joined t->s blobs: reassemble per-query (c,) and
+    (c, c2) arrays with one lexsort, run the vectorized MP-empiric row
+    kernel, emit per-query top-k."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.__name__ = "empiric_join_rerank"  # map_groups display name
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .rerank import mp_empiric_rows
+
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neigh_ids": pa.array([], pa.list_(pa.int64())),
+                    "neigh_dists": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        tid = t["target_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = t["dist"].to_numpy(zero_copy_only=False)
+        blobs = np.asarray(t["t2s_bin"].to_pylist(), dtype=object)
+        order = np.lexsort((pos, q))
+        qs = q[order]
+        firsts = np.concatenate(([True], qs[1:] != qs[:-1]))
+        counts = np.diff(np.append(np.flatnonzero(firsts), len(qs)))
+        c = int(counts[0])
+        # the t2s table covers every target, so the inner join drops
+        # nothing and every query keeps exactly c candidate rows
+        assert (counts == c).all(), "candidate rows lost in the t2s join"
+        n = len(counts)
+        Q = qs[firsts]
+        I = tid[order].reshape(n, c)
+        D = dist[order].reshape(n, c)
+        buf = np.frombuffer(
+            b"".join(blobs[order].tolist()), dtype=np.uint8
+        ).reshape(n * c, -1)
+        c2 = buf.shape[1] // 16
+        TI = (
+            np.ascontiguousarray(buf[:, : c2 * 8])
+            .view(np.int64)
+            .reshape(n, c, c2)
+        )
+        TD = (
+            np.ascontiguousarray(buf[:, c2 * 8 :])
+            .view(np.float64)
+            .reshape(n, c, c2)
+        )
+        sec = mp_empiric_rows(D, I, TI, TD)
+        sec_k, ids_k = topk_sorted(sec, I, self.k)
+        return pa.table(
+            {
+                "query_id": pa.array(Q, pa.int64()),
+                "neigh_ids": matrix_to_list(ids_k, pa.int64()),
+                "neigh_dists": matrix_to_list(sec_k, pa.float64()),
+            }
+        )
+
+
 class Kiez:
     """Hubness-reduced kNN search facade (reference-compatible surface)."""
 
@@ -313,6 +416,7 @@ class Kiez:
         concurrency=None,
         shards_per_actor: int | None = None,
         route_groups: int | None = None,
+        empiric_transport: str = "join",
     ):
         if not np.issubdtype(type(n_candidates), np.integer):
             raise TypeError(
@@ -378,6 +482,19 @@ class Kiez:
         # route_groups splits shards into a fixed number of stage groups
         self.shards_per_actor = shards_per_actor
         self.route_groups = route_groups
+        #: MP-empiric t->s neighbor-list transport: "join" (default) ships
+        #: each candidate's list to the rerank via a shuffle join keyed on
+        #: target_id — no O(m*c) broadcast state, the block-unbounded-m
+        #: path (SURVEY C8); "broadcast" keeps the reference-shaped dense
+        #: arrays (required when the candidate matrix can contain -1
+        #: padding, e.g. graph-ANN unreachable slots).
+        if empiric_transport not in ("join", "broadcast"):
+            raise ValueError(
+                f"empiric_transport must be 'join' or 'broadcast', got"
+                f" {empiric_transport!r}"
+            )
+        self.empiric_transport = empiric_transport
+        self._t2s_packed = None
         self._fitted = False
 
     @classmethod
@@ -544,6 +661,20 @@ class Kiez:
                     q = batch["query_id"].to_numpy(zero_copy_only=False)
                     v = batch["d2c"].to_numpy(zero_copy_only=False)
                     stats.dist_to_centroid[q.astype(np.int64)] = v
+            elif (
+                self.hubness == "mp_empiric"
+                and self.empiric_transport == "join"
+                and self._kernel_fn is None
+            ):
+                # join transport: pack each target's t->s neighbor list as
+                # one binary row and PIN the table — the rerank joins on
+                # target_id; the driver never assembles (m, c) arrays
+                self._t2s_packed = t2s.map_batches(
+                    _pack_t2s_batch,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).materialize()
+                stats = CalibrationStats(method="mp_empiric", n_candidates=c)
             else:
                 stats = compute_calibration_stats(
                     t2s,
@@ -554,6 +685,76 @@ class Kiez:
             self._stats_ref = ray.put(stats)
         self._fitted = True
         return self
+
+    def _empiric_join_kneighbors(
+        self, cand: "ray.data.Dataset", k: int
+    ) -> "ray.data.Dataset":
+        """MP-empiric rerank via shuffle-join transport (SURVEY C8).
+
+        Candidates explode to (query_id, pos, target_id, dist) rows, each
+        row picks up its candidate's packed t->s list by an inner hash
+        join on target_id, and a coarse hash-partitioned map_groups
+        reassembles per-query arrays for the vectorized kernel. No O(m*c)
+        arrays exist on the driver or in broadcast state, so m (the
+        indexed side) is unbounded by any single node's memory.
+        """
+        from .dedup import _splitmix64
+
+        def explode(t: pa.Table) -> pa.Table:
+            q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_col = t["neigh_ids"].combine_chunks()
+            d_col = t["neigh_dists"].combine_chunks()
+            c = len(ids_col[0]) if len(t) else 0
+            I = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+            D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+            if (I < 0).any():
+                raise ValueError(
+                    "padded candidates (ind=-1) are not supported by the "
+                    "join transport; construct Kiez with "
+                    "empiric_transport='broadcast'"
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.repeat(q, c), pa.int64()),
+                    "pos": pa.array(
+                        np.tile(np.arange(c, dtype=np.int32), len(q)),
+                        pa.int32(),
+                    ),
+                    "target_id": pa.array(I.ravel(), pa.int64()),
+                    "dist": pa.array(D.ravel(), pa.float64()),
+                }
+            )
+
+        ex = cand.map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
+        )
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        nparts = max(2, min(8, cpus // 2))
+        joined = ex.join(
+            self._t2s_packed,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("target_id",),
+        )
+        P = 32
+
+        def add_part(t: pa.Table) -> pa.Table:
+            q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = (_splitmix64(q) % np.uint64(P)).astype(np.int32)
+            return t.append_column("__part", pa.array(part, pa.int32()))
+
+        return (
+            joined.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(
+                _EmpiricJoinRerank(k),
+                batch_format="pyarrow",
+            )
+        )
 
     @staticmethod
     def _check_k(k: int, needed_space: int) -> int:
@@ -627,6 +828,12 @@ class Kiez:
             shards_per_actor=self.shards_per_actor,
             route_groups=self.route_groups,
         )
+        if (
+            self.hubness == "mp_empiric"
+            and self._t2s_packed is not None
+            and self._kernel_fn is None
+        ):
+            return self._empiric_join_kneighbors(cand, n_neighbors)
         fn_kwargs = dict(
             method=self.hubness,
             stats_ref=self._stats_ref,

@@ -114,6 +114,26 @@ def mp_normal(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarr
 MP_EMPIRIC_BUDGET = 128 * 1024 * 1024
 
 
+def _mp_empiric_chunk(
+    D: np.ndarray, I: np.ndarray, ti: np.ndarray, td: np.ndarray,
+    j0: int, j1: int,
+) -> np.ndarray:
+    """One candidate-axis chunk of the empirical joint-exceedance MP.
+
+    ti/td: (n, j1-j0, c2) — the t->s neighbor lists of candidates j0..j1.
+    """
+    c = D.shape[1]
+    default = td[:, :, -1] + 1e-6  # kth distance + eps
+    # match[i, j, r, l] = (ti[i, j, r] == I[i, l])
+    match = ti[:, :, :, None] == I[:, None, None, :]
+    picked = np.where(match, td[:, :, :, None], 0.0).sum(axis=2)
+    found = match.any(axis=2)
+    d_j = np.where(found, picked, default[:, :, None])  # (n, jc, l)
+    thresh = D[:, j0:j1, None]  # (n, jc, 1)
+    hits = ((D[:, None, :] > thresh) & (d_j > thresh)).sum(axis=2)
+    return 1.0 - hits / c
+
+
 def mp_empiric(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
     """Empirical joint-exceedance MP, vectorized over the batch.
 
@@ -124,25 +144,42 @@ def mp_empiric(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndar
     id-space quirk (candidate *target* ids looked up among *source*
     neighbor ids). The (n, jc, c2, c) boolean intermediate is chunked over
     the candidate axis to stay under ``MP_EMPIRIC_BUDGET`` bytes.
+
+    This is the BROADCAST transport (t2s lists gathered from the O(m*c)
+    stats arrays); ``mp_empiric_rows`` is the shuffle-join transport where
+    each row carries its candidates' lists.
     """
     n, c = D.shape
     out = np.empty_like(D)
     c2 = stats.t2s_ind.shape[1]
     jc = max(1, min(c, MP_EMPIRIC_BUDGET // max(1, n * c2 * c)))
-    d_i = D[:, None, :]  # (n, 1, l)
     for j0 in range(0, c, jc):
         j1 = min(j0 + jc, c)
         ti = stats.t2s_ind[I[:, j0:j1]]  # (n, jc, c2)
         td = stats.t2s_dist[I[:, j0:j1]]  # (n, jc, c2)
-        default = td[:, :, -1] + 1e-6  # kth distance + eps
-        # match[i, j, r, l] = (ti[i, j, r] == I[i, l])
-        match = ti[:, :, :, None] == I[:, None, None, :]
-        picked = np.where(match, td[:, :, :, None], 0.0).sum(axis=2)
-        found = match.any(axis=2)
-        d_j = np.where(found, picked, default[:, :, None])  # (n, jc, l)
-        thresh = D[:, j0:j1, None]  # (n, jc, 1)
-        hits = ((d_i > thresh) & (d_j > thresh)).sum(axis=2)
-        out[:, j0:j1] = 1.0 - hits / c
+        out[:, j0:j1] = _mp_empiric_chunk(D, I, ti, td, j0, j1)
+    return out
+
+
+def mp_empiric_rows(
+    D: np.ndarray, I: np.ndarray, TI: np.ndarray, TD: np.ndarray
+) -> np.ndarray:
+    """MP-empiric with per-row candidate neighbor lists (join transport).
+
+    TI/TD (n, c, c2): candidate j of query i carries its own t->s list —
+    arrived by a shuffle join keyed on target_id, so no O(m*c) broadcast
+    state exists anywhere (SURVEY C8's scale design for block-unbounded
+    m). Same math as ``mp_empiric``, chunked under MP_EMPIRIC_BUDGET.
+    """
+    n, c = D.shape
+    out = np.empty_like(D)
+    c2 = TI.shape[2]
+    jc = max(1, min(c, MP_EMPIRIC_BUDGET // max(1, n * c2 * c)))
+    for j0 in range(0, c, jc):
+        j1 = min(j0 + jc, c)
+        out[:, j0:j1] = _mp_empiric_chunk(
+            D, I, TI[:, j0:j1], TD[:, j0:j1], j0, j1
+        )
     return out
 
 
