@@ -292,6 +292,40 @@ def minhash_signatures(
     )
 
 
+def _bucket_partition_column(t: pa.Table, P: int) -> pa.Array:
+    """Partition id per (bucket) row: splitmix on the int64 packed bucket
+    (fast path — no Python strings anywhere), vectorized siphash fallback
+    for string buckets from custom callers."""
+    col = t["bucket"]
+    if pa.types.is_integer(col.type):
+        h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix64(h) % np.uint64(P)).astype(np.int32)
+    else:
+        part = (
+            pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object)) % P
+        ).astype(np.int32)
+    return pa.array(part, pa.int32())
+
+
+def _bucket_sort_keys(g) -> np.ndarray:
+    col = g["bucket"]
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False)
+    return np.asarray(col.to_pylist(), dtype=object)
+
+
+def _pack_bucket(band_idx: np.ndarray, mix: np.ndarray) -> pa.Array:
+    """(band, 64-bit band hash) -> one int64 bucket key: band index in the
+    top 8 bits, hash in the low 56 — the identity of the old 'b:hash'
+    strings with zero string formatting and 8-byte instead of string
+    shuffles."""
+    packed = (
+        (band_idx.astype(np.uint64) << np.uint64(56))
+        ^ (mix.astype(np.uint64) >> np.uint64(8))
+    ).astype(np.int64)
+    return pa.array(packed, pa.int64())
+
+
 def _candidate_pairs_from_buckets(
     exploded: "ray.data.Dataset", id_col: str, max_bucket: int = 200
 ) -> "ray.data.Dataset":
@@ -311,11 +345,7 @@ def _candidate_pairs_from_buckets(
     P = 64
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = pa.array(
-            [zlib.crc32(k.encode()) % P for k in t["bucket"].to_pylist()],
-            pa.int32(),
-        )
-        return t.append_column("part", part)
+        return t.append_column("part", _bucket_partition_column(t, P))
 
     def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
         buckets = g["bucket"].to_numpy()
@@ -383,13 +413,12 @@ def dedup_minhash_lsh(
         mix = view[:, :, 0]
         for r in range(1, rows_per_band):
             mix = _splitmix64(mix ^ view[:, :, r])
-        bucket = [f"{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
         rep = np.repeat(np.arange(len(ids)), bands)
         flat = pa.array(S[rep].astype(np.int64).ravel(), pa.int64())
         return pa.table(
             {
                 id_col: pa.array(np.repeat(ids, bands)),
-                "bucket": pa.array(bucket, pa.string()),
+                "bucket": _pack_bucket(band_idx, mix.ravel()),
                 "minhash": pa.FixedSizeListArray.from_arrays(flat, num_perm),
             }
         )
@@ -425,11 +454,7 @@ def _verified_pairs_from_buckets(
     P = 64
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = pa.array(
-            [zlib.crc32(k.encode()) % P for k in t["bucket"].to_pylist()],
-            pa.int32(),
-        )
-        return t.append_column("part", part)
+        return t.append_column("part", _bucket_partition_column(t, P))
 
     def pairs_partition(g: pa.Table) -> pa.Table:
         # stays Arrow end-to-end: the (n, num_perm) signature matrix is a
@@ -440,7 +465,7 @@ def _verified_pairs_from_buckets(
             ids = id_arr.to_numpy(zero_copy_only=False)
         else:
             ids = np.asarray(id_arr.to_pylist(), dtype=object)
-        buckets = np.asarray(g["bucket"].to_pylist(), dtype=object)
+        buckets = _bucket_sort_keys(g)
         S = (
             g["minhash"].combine_chunks()
             .values.to_numpy(zero_copy_only=False)
@@ -570,11 +595,15 @@ def dedup_simhash(
             [(h >> np.uint64(b * width)) & np.uint64((1 << width) - 1) for b in range(bands)],
             axis=1,
         ).ravel()
-        bucket = [f"{b}:{c:x}" for b, c in zip(band_idx, chunks)]
+        # chunks are < 2^(64/bands) <= 2^32 bits wide, so they pack
+        # losslessly under the band index (no >>8 truncation needed)
+        packed = (
+            (band_idx.astype(np.uint64) << np.uint64(56)) ^ chunks
+        ).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array(out_ids),
-                "bucket": pa.array(bucket, pa.string()),
+                "bucket": pa.array(packed, pa.int64()),
                 "simhash": pa.array(
                     np.repeat(h, bands).astype(np.int64), pa.int64()
                 ),
@@ -588,11 +617,7 @@ def dedup_simhash(
     P = 64
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = pa.array(
-            [zlib.crc32(k.encode()) % P for k in t["bucket"].to_pylist()],
-            pa.int32(),
-        )
-        return t.append_column("part", part)
+        return t.append_column("part", _bucket_partition_column(t, P))
 
     def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
         buckets = g["bucket"].to_numpy()
@@ -664,9 +689,11 @@ def ngram_jaccard_pairs(
         for r in range(1, rows_per_band):
             mix = _splitmix64(mix ^ view[:, :, r])
         band_idx = np.tile(np.arange(bands), len(ids))
-        bucket = [f"{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
         return pa.table(
-            {id_col: pa.array(np.repeat(ids, bands)), "bucket": pa.array(bucket)}
+            {
+                id_col: pa.array(np.repeat(ids, bands)),
+                "bucket": _pack_bucket(band_idx, mix.ravel()),
+            }
         )
 
     exploded = sigs.select_columns([id_col, "minhash"]).map_batches(

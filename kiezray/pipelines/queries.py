@@ -723,14 +723,19 @@ def q_er_pipeline(sf_dir: str):
     """Flagship (rows-only): full blocking -> hubness-reranked pair scoring
     -> transitive clustering over the documents table adapted to the
     interleaved-span schema. Returns (doc_id, cluster_id)."""
-    import pyarrow.parquet as pq
-
     from ..pipelines.er import ERConfig, run_er
     from ..synth import docs_from_plain_text
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs = docs_from_plain_text(tbl)
-    ds = ray.data.from_arrow(docs).repartition(8)
+    # schema adaptation runs as a batch transform in WORKERS — the driver
+    # never reads the table (a pq.read_table here would be the first OOM
+    # at a big sf)
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(docs_from_plain_text, batch_format="pyarrow")
+        .repartition(8)
+    )
     out = run_er(ds, ERConfig())
     return out["clusters"]
 
