@@ -1265,6 +1265,38 @@ LIMIT 100
 """
 
 
+def q_quantiles(sf_dir: str):
+    """Exact order statistics without a global sort: iterative histogram
+    refinement (external selection), 3 streaming passes + a tiny collect —
+    vs the oracle's full-column quantile_disc. num_bins/collect_threshold
+    forced small so the refinement rounds actually engage at test sf."""
+    from ..quantile import exact_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return exact_quantiles(
+        li,
+        "l_extendedprice",
+        qs=(0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
+        num_bins=256,
+        collect_threshold=2048,
+    )
+
+
+SQL_QUANTILES = """
+WITH agg AS (
+  SELECT quantile_disc(l_extendedprice,
+         [CAST(0.01 AS DOUBLE), 0.25, 0.5, 0.75, 0.9, 0.99]) AS vs
+  FROM lineitem),
+qs AS (SELECT
+         unnest([CAST(0.01 AS DOUBLE), 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+         generate_subscripts(
+           [CAST(0.01 AS DOUBLE), 0.25, 0.5, 0.75, 0.9, 0.99], 1) AS i)
+SELECT q, vs[i] AS value FROM qs CROSS JOIN agg ORDER BY q
+"""
+
+
 def q_grouped_topk(sf_dir: str):
     """Top-3 orders per customer by total price (the per-key top-k
     workhorse; hash-partitioned vectorized ranking, no global sort).
@@ -1541,6 +1573,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "sample_bottomk": q_sample_bottomk,
     "grouped_topk": q_grouped_topk,
+    "quantiles": q_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1571,6 +1604,7 @@ ORACLE_SQL = {
     "sample_bottomk": SQL_SAMPLE_BOTTOMK,
     "grouped_topk": SQL_GROUPED_TOPK,
     "ngram_pairs": SQL_NGRAM_PAIRS,
+    "quantiles": SQL_QUANTILES,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

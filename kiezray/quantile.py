@@ -1,0 +1,211 @@
+"""Exact distributed order statistics WITHOUT a global sort.
+
+``exact_quantiles`` finds the exact rank-``ceil(q*n)-1`` element (DuckDB
+``quantile_disc`` semantics, verified empirically) of a numeric column by
+iterative histogram refinement — the classic external-selection algorithm
+re-expressed as Ray Data passes:
+
+ 1. one aggregate pass: (count, min, max) per column;
+ 2. refinement rounds: ONE ``map_batches`` pass per round computes, for
+    every still-open quantile, a ``num_bins`` histogram of its current
+    candidate interval (per-batch partials are tiny int64 arrays; the
+    driver folds ``n_quantiles x num_bins`` ints and walks the counts to
+    pick the bin holding the target rank). Every round shrinks each
+    candidate set by ~``num_bins``x, so 10^12 rows need 3 rounds at
+    2048 bins before
+ 3. a final collect pass filters the (now tiny) candidate intervals and
+    the driver selects the exact rank within the sorted remainder.
+
+Every pass is a streaming scan with O(n_quantiles * num_bins) transfer —
+no shuffle, no sort, no materialization. Contrast with a global
+``ds.sort``: an all-to-all exchange of the full column.
+
+Intervals are half-open ``[lo, hi)`` except at the tracked maximum
+(inclusive), so a value equal to a bin's upper edge is counted exactly
+once across rounds — the rank bookkeeping is exact, and a final assert
+cross-checks collected row counts against the tracked interval counts.
+
+The reference has no order statistics (SURVEY.md §2.6); this is a
+training-data-pipeline extension (distribution cutoffs for quality
+filtering, length caps, score calibration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _column_f64(t: pa.Table, col: str) -> np.ndarray:
+    v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return v[~np.isnan(v)]  # SQL aggregates ignore NULLs
+
+
+def _select(v: np.ndarray, lo: float, hi: float, hi_inc: bool) -> np.ndarray:
+    if hi_inc:
+        return v[(v >= lo) & (v <= hi)]
+    return v[(v >= lo) & (v < hi)]
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    num_bins: int = 2048,
+    collect_threshold: int = 65536,
+    max_rounds: int = 8,
+) -> "pa.Table":
+    """Exact ``quantile_disc``-semantics quantiles of ``ds[col]``.
+
+    Returns a small driver-side table (q, value) — order statistics are
+    scalars, so the result is intentionally not a Dataset.
+    """
+    base = ds.select_columns([col])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        v = _column_f64(t, col)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "lo": pa.array([np.inf]),
+                    "hi": pa.array([-np.inf]),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "lo": pa.array([float(v.min())]),
+                "hi": pa.array([float(v.max())]),
+            }
+        )
+
+    parts = base.map_batches(
+        minmax_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one tiny row per block
+    n_total = int(parts["n"].sum())
+    if n_total == 0:
+        return pa.table(
+            {
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array([None] * len(qs), pa.float64()),
+            }
+        )
+    glo, ghi = float(parts["lo"].min()), float(parts["hi"].max())
+
+    # per-quantile state: candidate interval [lo, hi) (hi_inc marks the
+    # inclusive top at the tracked max), rank to select WITHIN the
+    # interval, and the interval's tracked row count
+    state = [
+        {
+            "lo": glo,
+            "hi": ghi,
+            "hi_inc": True,
+            "rank": max(int(np.ceil(q * n_total)) - 1, 0),
+            "count": n_total,
+            "done": False,
+        }
+        for q in qs
+    ]
+
+    for _ in range(max_rounds):
+        open_idx = [
+            i
+            for i, s in enumerate(state)
+            if not s["done"]
+            and s["count"] > collect_threshold
+            and s["lo"] < s["hi"]
+        ]
+        if not open_idx:
+            break
+        intervals = tuple(
+            (state[i]["lo"], state[i]["hi"], state[i]["hi_inc"])
+            for i in open_idx
+        )
+
+        def hist_partial(t: pa.Table, iv=intervals, nb=num_bins) -> pa.Table:
+            v = _column_f64(t, col)
+            rows = []
+            for lo, hi, hi_inc in iv:
+                edges = np.linspace(lo, hi, nb + 1)
+                sel = _select(v, lo, hi, hi_inc)
+                # searchsorted('right')-1 puts v == edges[b] into bin b;
+                # v == hi (inclusive top only) clips into the last bin
+                b = np.clip(
+                    np.searchsorted(edges, sel, side="right") - 1, 0, nb - 1
+                )
+                rows.append(np.bincount(b, minlength=nb))
+            h = np.stack(rows) if rows else np.zeros((0, nb), np.int64)
+            return pa.table(
+                {
+                    "iv": pa.array(np.arange(len(iv), dtype=np.int64)),
+                    "hist": pa.FixedSizeListArray.from_arrays(
+                        pa.array(h.astype(np.int64).ravel(), pa.int64()), nb
+                    ),
+                }
+            )
+
+        hp = base.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        # fold: sum per interval index (driver holds n_iv x nb ints only)
+        folded = np.zeros((len(open_idx), num_bins), dtype=np.int64)
+        for iv_idx, hist in zip(hp["iv"], hp["hist"]):
+            folded[int(iv_idx)] += np.asarray(hist, dtype=np.int64)
+        for pos, i in enumerate(open_idx):
+            s = state[i]
+            counts = folded[pos]
+            assert int(counts.sum()) == s["count"], "histogram count drift"
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s["rank"] + 1))
+            edges = np.linspace(s["lo"], s["hi"], num_bins + 1)
+            new_lo = float(edges[b])
+            last = b == num_bins - 1
+            new_hi = s["hi"] if last else float(edges[b + 1])
+            new_hi_inc = s["hi_inc"] if last else False
+            new_count = int(counts[b])
+            if new_count == s["count"] and new_lo == s["lo"] and (
+                new_hi == s["hi"] and new_hi_inc == s["hi_inc"]
+            ):
+                # no shrink (float plateau / heavy duplicates): collect
+                s["done"] = True
+                continue
+            s["rank"] -= int(cum[b - 1]) if b > 0 else 0
+            s["lo"], s["hi"], s["hi_inc"] = new_lo, new_hi, new_hi_inc
+            s["count"] = new_count
+
+    # final collect: one filtering pass over ALL remaining intervals; the
+    # candidate sets are small by construction (or flagged plateaus)
+    intervals = tuple((s["lo"], s["hi"], s["hi_inc"]) for s in state)
+
+    def collect_partial(t: pa.Table, iv=intervals) -> pa.Table:
+        v = _column_f64(t, col)
+        out_iv, out_v = [], []
+        for j, (lo, hi, hi_inc) in enumerate(iv):
+            sel = _select(v, lo, hi, hi_inc)
+            out_iv.append(np.full(len(sel), j, dtype=np.int64))
+            out_v.append(sel)
+        return pa.table(
+            {
+                "iv": pa.array(np.concatenate(out_iv), pa.int64()),
+                "v": pa.array(np.concatenate(out_v), pa.float64()),
+            }
+        )
+
+    coll = base.map_batches(
+        collect_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    values = []
+    for j, s in enumerate(state):
+        vals = np.sort(coll.loc[coll["iv"] == j, "v"].to_numpy())
+        assert len(vals) == s["count"], (
+            f"interval {j}: collected {len(vals)} != tracked {s['count']}"
+        )
+        values.append(float(vals[s["rank"]]))
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array(values, pa.float64()),
+        }
+    )

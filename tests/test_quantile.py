@@ -1,0 +1,55 @@
+"""Exact distributed quantiles (histogram-refinement selection)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from kiezray.quantile import exact_quantiles
+
+
+def _oracle(x: np.ndarray, q: float) -> float:
+    s = np.sort(x)
+    return float(s[max(int(np.ceil(q * len(x))) - 1, 0)])
+
+
+def _run(x, qs, parts=7, **kw):
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(x, pa.float64())})
+    ).repartition(parts)
+    t = exact_quantiles(ds, "v", qs=qs, **kw)
+    return dict(zip(t["q"].to_pylist(), t["value"].to_pylist()))
+
+
+def test_exact_quantiles_matches_rank_formula(ray_session):
+    rng = np.random.RandomState(0)
+    x = np.concatenate(
+        [
+            rng.randn(20000) * 100,          # negatives + spread
+            rng.randint(0, 50, 5000).astype(float),  # heavy duplicates
+        ]
+    )
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    # tiny bins/threshold force several refinement rounds
+    got = _run(x, qs, num_bins=16, collect_threshold=128)
+    for q in qs:
+        assert got[q] == _oracle(x, q), q
+
+
+def test_exact_quantiles_partition_invariant(ray_session):
+    rng = np.random.RandomState(3)
+    x = rng.rand(30000) * 1e6
+    a = _run(x, (0.5, 0.9), parts=3, num_bins=32, collect_threshold=256)
+    b = _run(x, (0.5, 0.9), parts=17, num_bins=32, collect_threshold=256)
+    assert a == b
+    assert a[0.5] == _oracle(x, 0.5)
+
+
+def test_exact_quantiles_plateau_and_tiny(ray_session):
+    # all-equal column: every interval is a zero-width plateau
+    x = np.full(5000, 42.5)
+    got = _run(x, (0.1, 0.5, 0.9), num_bins=8, collect_threshold=64)
+    assert set(got.values()) == {42.5}
+    # n smaller than collect threshold: pure collect path
+    y = np.array([5.0, 1.0, 3.0])
+    got = _run(y, (0.5,), parts=2)
+    assert got[0.5] == 3.0

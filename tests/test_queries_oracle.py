@@ -35,6 +35,7 @@ CHECKED = [
     ("sample_bottomk", 0),
     ("grouped_topk", 0),
     ("ngram_pairs", 0),
+    ("quantiles", 0),
 ]
 
 
