@@ -44,6 +44,7 @@ class BlockKeyer:
         seed: int = 42,
         text_from_spans: bool = True,
         extra_cols: tuple = (),
+        emit_string_keys: bool = True,
     ):
         num_perm = bands * rows_per_band
         rng = np.random.RandomState(seed)
@@ -55,6 +56,9 @@ class BlockKeyer:
         self.shingle_k = shingle_k
         self.text_from_spans = text_from_spans
         self.extra_cols = extra_cols
+        # the int64 block_hash is the partition/group identity everywhere;
+        # the human-readable string key is optional (per-row f-string cost)
+        self.emit_string_keys = emit_string_keys
 
     @staticmethod
     def _doc_texts_from_spans(col: pa.ChunkedArray | pa.Array) -> list[str]:
@@ -90,20 +94,19 @@ class BlockKeyer:
             mix = _splitmix64(mix ^ view[:, :, r])
         out_ids = np.repeat(np.array(ids, dtype=object), self.bands)
         band_idx = np.tile(np.arange(self.bands), n)
-        keys = [f"b{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
-        # int64 companion key: every downstream partition/group step can
-        # hash/sort 8-byte ints instead of strings (same identity — the
-        # band index rides the top bits, so cross-band collisions of the
-        # 64-bit band hash cannot alias)
+        # int64 key: every downstream partition/group step hashes/sorts
+        # 8-byte ints instead of strings (same identity — the band index
+        # rides the top bits, so cross-band collisions of the 64-bit band
+        # hash cannot alias)
         bhash = (
             (band_idx.astype(np.uint64) << np.uint64(56))
             ^ (mix.ravel() >> np.uint64(8))
         ).astype(np.int64)
-        cols = {
-            "doc_id": pa.array(out_ids.tolist(), pa.string()),
-            "block_key": pa.array(keys, pa.string()),
-            "block_hash": pa.array(bhash, pa.int64()),
-        }
+        cols = {"doc_id": pa.array(out_ids.tolist(), pa.string())}
+        if self.emit_string_keys:
+            keys = [f"b{b}:{h:x}" for b, h in zip(band_idx, mix.ravel())]
+            cols["block_key"] = pa.array(keys, pa.string())
+        cols["block_hash"] = pa.array(bhash, pa.int64())
         for c in self.extra_cols:
             src = batch[c]
             idx = np.repeat(np.arange(n), self.bands)
@@ -120,6 +123,7 @@ def blocking_keys(
     text_from_spans: bool = True,
     carry_cols: tuple = ("embedding",),
     concurrency=(1, 8),
+    emit_string_keys: bool = True,
 ) -> "ray.data.Dataset":
     return docs_ds.map_batches(
         BlockKeyer,
@@ -130,6 +134,7 @@ def blocking_keys(
             seed=seed,
             text_from_spans=text_from_spans,
             extra_cols=tuple(carry_cols),
+            emit_string_keys=emit_string_keys,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -226,7 +231,6 @@ def split_oversized_blocks(
             # only oversized-block rows pay per-row work (rare by
             # construction); untouched rows never leave Arrow
             flagnz = pa.array(np.flatnonzero(flags), pa.int64())
-            keys_f = t["block_key"].take(flagnz).to_pylist()
             ids_f = t["doc_id"].take(flagnz).to_pylist()
             salts = (
                 np.array(
@@ -235,17 +239,22 @@ def split_oversized_blocks(
                 % fan.astype(np.uint64)
             )
             mask = pa.array(flags)
-            key_col = t["block_key"].combine_chunks()
-            new_keys = pc.replace_with_mask(
-                key_col,
-                mask,
-                pa.array(
-                    [f"{k}#s{s}" for k, s in zip(keys_f, salts)], pa.string()
-                ),
-            )
-            out = t.set_column(
-                t.schema.get_field_index("block_key"), "block_key", new_keys
-            )
+            out = t
+            if "block_key" in t.column_names:
+                keys_f = t["block_key"].take(flagnz).to_pylist()
+                new_keys = pc.replace_with_mask(
+                    t["block_key"].combine_chunks(),
+                    mask,
+                    pa.array(
+                        [f"{k}#s{s}" for k, s in zip(keys_f, salts)],
+                        pa.string(),
+                    ),
+                )
+                out = t.set_column(
+                    t.schema.get_field_index("block_key"),
+                    "block_key",
+                    new_keys,
+                )
             if "block_hash" in t.column_names:
                 bh_f = (
                     t["block_hash"].take(flagnz).to_numpy(zero_copy_only=False)

@@ -255,6 +255,10 @@ def run_er(
             seed=cfg.seed,
             carry_cols=(),
             concurrency=cfg.concurrency,
+            # int64 block_hash is the pipeline's partition identity;
+            # skipping the human-readable string keys drops the per-row
+            # f-string pass and shrinks the blocking shuffle
+            emit_string_keys=False,
         )
         return split_oversized_blocks(keys, max_block=cfg.max_block)
 
