@@ -170,17 +170,53 @@ def split_oversized_blocks(
     # The histogram groups on the int64 companion hash when present (8-byte
     # shuffle instead of strings); a 56-bit band-hash collision between two
     # distinct keys merely co-salts them — harmless and deterministic.
-    group_col = "block_hash" if has_hash else "block_key"
-    over = (
-        keys_ds.groupby(group_col)
-        .aggregate(Count(alias_name="n_docs"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["n_docs"], max_block)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    if has_hash:
+        # coarse-partition histogram: 64 hash partitions, one np.unique
+        # per partition (Ray's sort-based per-key aggregate is the slow
+        # path at high key cardinality on this version)
+        HP = 64
+
+        def add_hist_part(t: pa.Table) -> pa.Table:
+            bh = t["block_hash"].to_numpy(zero_copy_only=False)
+            part = (
+                _splitmix64(bh.astype(np.uint64)) % np.uint64(HP)
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    "block_hash": t["block_hash"],
+                    "__part": pa.array(part, pa.int32()),
+                }
+            )
+
+        def over_partition(g: pd.DataFrame) -> pd.DataFrame:
+            vals, counts = np.unique(
+                g["block_hash"].to_numpy(), return_counts=True
+            )
+            keep = counts > max_block
+            return pd.DataFrame(
+                {
+                    "block_hash": vals[keep],
+                    "n_docs": counts[keep].astype(np.int64),
+                }
+            )
+
+        over = (
+            keys_ds.map_batches(add_hist_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(over_partition, batch_format="pandas")
+            .to_pandas()
         )
-        .to_pandas()
-    )
+    else:
+        over = (
+            keys_ds.groupby("block_key")
+            .aggregate(Count(alias_name="n_docs"))
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["n_docs"], max_block)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+        )
     if len(over) == 0:
         return keys_ds
     fanouts = np.ceil(over["n_docs"].to_numpy() / max_block).astype(np.int64)
