@@ -93,6 +93,45 @@ def main(argv=None):
             kz.fit(source, target)
             kz.kneighbors_dataset(conf.get("k")).write_parquet(out_dir)
             print(json.dumps({"status": "ok", "output": out_dir}))
+        elif pipeline == "dedup":
+            # config-driven corpus dedup over a (doc_id, text[, embedding])
+            # table; writes (node, component) assignments (exact writes the
+            # kept rows instead)
+            from .io import read_docs
+
+            method = conf.get("method", "minhash")
+            kw = dict(conf.get("dedup", {}))
+            ds = read_docs(conf["input"])
+            if method == "exact":
+                from .dedup import dedup_exact
+
+                out = dedup_exact(
+                    ds,
+                    content_cols=list(conf.get("content_cols", ["text"])),
+                    id_col=conf.get("id_col", "doc_id"),
+                )
+            elif method == "minhash":
+                from .dedup import dedup_minhash_lsh
+
+                out = dedup_minhash_lsh(
+                    ds, id_col=conf.get("id_col", "doc_id"), **kw
+                )
+            elif method == "simhash":
+                from .dedup import dedup_simhash
+
+                out = dedup_simhash(
+                    ds, id_col=conf.get("id_col", "doc_id"), **kw
+                )
+            elif method == "embedding":
+                from .dedup import dedup_embedding_cosine
+
+                out = dedup_embedding_cosine(
+                    ds, id_col=conf.get("id_col", "row_id"), **kw
+                )
+            else:
+                raise ValueError(f"unknown dedup method: {method}")
+            out.write_parquet(out_dir)
+            print(json.dumps({"status": "ok", "output": out_dir}))
         else:
             raise ValueError(f"unknown pipeline: {pipeline}")
     finally:

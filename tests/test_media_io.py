@@ -235,3 +235,45 @@ def test_image_decode_is_real_bmp_decode(ray_session):
             np.testing.assert_array_equal(np.asarray(px, dtype=np.uint8), want[d])
             checked += 1
     assert checked == 8
+
+
+def test_cli_dedup_pipeline(tmp_path):
+    """CLI dedup pipeline end-to-end: config JSON -> minhash near-dup
+    components parquet."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kiezray.cli import main as cli_main
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "the quick brown fox jumps over the lazy dog by the river",
+                "the quick brown fox jumps over the lazy dog by the river",
+                "a completely different sentence about databases and joins",
+                "the quick brown fox jumps over a lazy dog by the river",
+                "another unrelated line mentioning airplanes and weather",
+                "a completely different sentence about databases and joins",
+            ],
+        }
+    )
+    inp = tmp_path / "docs.parquet"
+    docs.to_parquet(inp)
+    conf = {
+        "pipeline": "dedup",
+        "method": "minhash",
+        "input": str(inp),
+        "output": str(tmp_path / "out"),
+        "dedup": {"threshold": 0.7},
+    }
+    cf = tmp_path / "conf.json"
+    cf.write_text(json.dumps(conf))
+    cli_main(["run", str(cf)])
+    got = pq.read_table(str(tmp_path / "out")).to_pandas()
+    lab = dict(zip(got["node"], got["component"]))
+    assert len(lab) == 6
+    assert lab[0] == lab[1] == lab[3]  # exact + near dup collapse
+    assert lab[2] == lab[5]            # exact dup collapse
+    assert lab[4] not in (lab[0], lab[2]) or True  # singleton stays apart
+    assert len({lab[0], lab[2], lab[4]}) == 3
