@@ -1297,6 +1297,38 @@ SELECT q, vs[i] AS value FROM qs CROSS JOIN agg ORDER BY q
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-key exact quantiles (median + p90 of event value per user):
+    coarse-partition lexsort, one pass for all keys — no per-key groups,
+    no global sort. Oracle-checked vs per-group quantile_disc."""
+    from ..quantile import grouped_quantiles
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "value": pc.cast(t["value"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(events, "user_id", "value", qs=(0.5, 0.9))
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(0.5 AS DOUBLE) AS q,
+       quantile_disc(CAST(value AS DOUBLE), 0.5) AS value
+FROM events GROUP BY user_id
+UNION ALL
+SELECT CAST(user_id AS BIGINT), CAST(0.9 AS DOUBLE),
+       quantile_disc(CAST(value AS DOUBLE), 0.9)
+FROM events GROUP BY user_id
+ORDER BY user_id, q
+"""
+
+
 def q_grouped_topk(sf_dir: str):
     """Top-3 orders per customer by total price (the per-key top-k
     workhorse; hash-partitioned vectorized ranking, no global sort).
@@ -1574,6 +1606,7 @@ QUERIES = {
     "sample_bottomk": q_sample_bottomk,
     "grouped_topk": q_grouped_topk,
     "quantiles": q_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1605,6 +1638,7 @@ ORACLE_SQL = {
     "grouped_topk": SQL_GROUPED_TOPK,
     "ngram_pairs": SQL_NGRAM_PAIRS,
     "quantiles": SQL_QUANTILES,
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

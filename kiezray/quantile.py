@@ -209,3 +209,78 @@ def exact_quantiles(
             "value": pa.array(values, pa.float64()),
         }
     )
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    qs: tuple = (0.5,),
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key exact quantiles (``quantile_disc`` semantics) — the
+    coarse-partition pattern: a key never spans two hash partitions, and
+    each partition computes ALL of its keys' quantiles with one lexsort
+    + boundary arithmetic (rank = ceil(q*n)-1 within each key's sorted
+    run). Output: (key, q, value) rows.
+
+    Partitioning assumption (same as ``relops.grouped_topk``): one key's
+    rows fit one partition — right for per-language / per-domain /
+    per-source distribution cutoffs where keys are bounded; use
+    ``exact_quantiles`` per filtered subset for whale keys.
+    """
+    import pandas as pd
+
+    from .dedup import _splitmix64
+
+    qs = tuple(qs)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def quants_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=np.int64),
+                    "q": pd.Series(dtype=np.float64),
+                    "value": pd.Series(dtype=np.float64),
+                }
+            )
+        keys = g[key_col].to_numpy()
+        vals = g[col].to_numpy().astype(np.float64)
+        ok = ~np.isnan(vals)
+        keys, vals = keys[ok], vals[ok]
+        order = np.lexsort((vals, keys))
+        k, v = keys[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(k)))
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            ranks = np.maximum(
+                np.ceil(q * counts).astype(np.int64) - 1, 0
+            )
+            out_k.append(k[starts])
+            out_q.append(np.full(len(starts), q))
+            out_v.append(v[starts + ranks])
+        return pd.DataFrame(
+            {
+                key_col: np.concatenate(out_k),
+                "q": np.concatenate(out_q),
+                "value": np.concatenate(out_v),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(quants_partition, batch_format="pandas")
+    )

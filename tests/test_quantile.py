@@ -53,3 +53,33 @@ def test_exact_quantiles_plateau_and_tiny(ray_session):
     y = np.array([5.0, 1.0, 3.0])
     got = _run(y, (0.5,), parts=2)
     assert got[0.5] == 3.0
+
+
+def test_grouped_quantiles_matches_pandas(ray_session):
+    from kiezray.quantile import grouped_quantiles
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    keys = rng.choice(
+        np.array([3, 2**30, 2**40 + 5, 17], dtype=np.int64), n
+    )
+    vals = rng.rand(n) * 1000
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "v": pa.array(vals, pa.float64()),
+            }
+        )
+    ).repartition(6)
+    got = (
+        grouped_quantiles(ds, "k", "v", qs=(0.25, 0.5, 0.9))
+        .to_pandas()
+        .set_index(["k", "q"])["value"]
+        .sort_index()
+    )
+    for k in np.unique(keys):
+        sub = np.sort(vals[keys == k])
+        for q in (0.25, 0.5, 0.9):
+            want = sub[max(int(np.ceil(q * len(sub))) - 1, 0)]
+            assert got.loc[(k, q)] == want, (k, q)

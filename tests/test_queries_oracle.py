@@ -36,6 +36,7 @@ CHECKED = [
     ("grouped_topk", 0),
     ("ngram_pairs", 0),
     ("quantiles", 0),
+    ("grouped_quantiles", 0),
 ]
 
 
