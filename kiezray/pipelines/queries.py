@@ -1386,6 +1386,154 @@ FROM ranked WHERE rank <= 3 ORDER BY o_custkey, rank
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: attach to each event the price of the user's most
+    recent large order (o_totalprice > 300000) at event time — the
+    "latest feature value as of timestamp" pattern of feature-store /
+    training-label joins. Right side is pre-aggregated to unique
+    (custkey, orderdate) partition-wise (max price), then both sides
+    hash-partition on the user key and each partition runs one
+    vectorized merge_asof — one shuffle per side, no broadcast, no
+    global sort. Oracle: DuckDB ASOF JOIN."""
+    from ..relops import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # Partition-wise dedup to unique (custkey, orderdate) -> max price:
+    # same coarse-partition shape as grouped_topk (custkey never spans
+    # two partitions), so the merge_asof right side is deterministic.
+    def add_part(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__p", pa.array((ck % 32).astype(np.int32), pa.int32())
+        )
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__p"])
+        return g.groupby(
+            ["o_custkey", "o_orderdate"], as_index=False, sort=False
+        ).agg(best_price=("o_totalprice", "max"))
+
+    right = (
+        orders.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+
+    out = asof_join(
+        events, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        how="inner", direction="backward",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                # epoch micros, not a raw timestamp: unit-proof for the
+                # driver's value-hash (same convention as the windows
+                # family)
+                "matched_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "best_price": pc.add(
+                    pc.round(t["best_price"], 2,
+                             round_mode="half_towards_infinity"),
+                    pa.scalar(0.0),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
+  FROM orders WHERE o_totalprice > 300000 GROUP BY 1, 2)
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(r.o_orderdate) AS BIGINT) AS matched_us,
+       round(r.best_price, 2) + 0 AS best_price
+FROM events e ASOF JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """Semi join: customers that HAVE at least one order above 350000
+    (keyed existence filter; one hash-partition shuffle, per-partition
+    np.isin — no broadcast keep-set)."""
+    return _customer_order_filter(sf_dir, anti=False)
+
+
+def q_anti_join(sf_dir: str):
+    """Anti join: customers with NO order above 350000 — the "drop rows
+    already present in the corpus" dedup-against-existing-set shape of
+    incremental training-data ingestion."""
+    return _customer_order_filter(sf_dir, anti=True)
+
+
+def _customer_order_filter(sf_dir: str, anti: bool):
+    from ..relops import semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "c_acctbal": pc.add(
+                    pc.round(pc.cast(t["c_acctbal"], pa.float64()), 2,
+                             round_mode="half_towards_infinity"),
+                    pa.scalar(0.0),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    big_orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(350000.0))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return semi_join(cust, big_orders, "c_custkey", "o_custkey", anti=anti)
+
+
+SQL_SEMI_JOIN = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       round(CAST(c_acctbal AS DOUBLE), 2) + 0 AS c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+ORDER BY c_custkey
+"""
+
+SQL_ANTI_JOIN = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       round(CAST(c_acctbal AS DOUBLE), 2) + 0 AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+ORDER BY c_custkey
+"""
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped multi-measure grouped aggregate over lineitem
     (packed single grouping key; column pruning at the read)."""
@@ -1607,6 +1755,9 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "quantiles": q_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
+    "asof_join": q_asof_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
 }
 
 ORACLE_SQL = {
@@ -1639,6 +1790,9 @@ ORACLE_SQL = {
     "ngram_pairs": SQL_NGRAM_PAIRS,
     "quantiles": SQL_QUANTILES,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "asof_join": SQL_ASOF_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

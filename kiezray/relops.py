@@ -14,6 +14,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -76,4 +77,207 @@ def grouped_topk(
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(topk_partition, batch_format="pandas")
+    )
+
+
+def _part_of(col: "pa.ChunkedArray", num_partitions: int) -> pa.Array:
+    """Deterministic partition id for an integer or string key column."""
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array((vals % num_partitions).astype(np.int32), pa.int32())
+    return pa.array(
+        [zlib.crc32(str(v).encode()) % num_partitions for v in col.to_pylist()],
+        pa.int32(),
+    )
+
+
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """Dataset schema as a pyarrow.Schema (pandas-block datasets report a
+    PandasBlockSchema with numpy dtypes — normalize it)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(
+        [
+            (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for n, t in zip(base.names, base.types)
+        ]
+    )
+
+
+def _tagged_union(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_left: str,
+    key_right: str,
+    out_fields: "list[tuple[str, pa.DataType]]",
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Co-partition two datasets by key hash into one tagged stream.
+
+    Both sides are mapped onto the shared ``out_fields`` schema (columns a
+    side lacks become typed nulls), tagged ``__side`` 0/1, and given a
+    ``__part`` from the key hash — ONE shuffle then co-locates matching
+    keys of both sides in the same group. This is the scale shape for
+    any keyed binary operator Ray Data lacks natively: no side is
+    broadcast, no side is materialized on the driver."""
+
+    def tag(key_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for name, typ in out_fields:
+                if name in t.column_names:
+                    cols[name] = pc.cast(t[name], typ)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["__part"] = _part_of(t[key_col], num_partitions)
+            return pa.table(cols)
+
+        return fn
+
+    return left.map_batches(tag(key_left, 0), batch_format="pyarrow").union(
+        right.map_batches(tag(key_right, 1), batch_format="pyarrow")
+    )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_left: str,
+    key_right: str,
+    on_left: str,
+    on_right: str,
+    how: str = "inner",
+    direction: str = "backward",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed as-of join: for each left row, the right row with the
+    same key and the closest ``on_right`` value ≤ ``on_left``
+    (``direction="backward"``, DuckDB ``ASOF JOIN ... ON l.on >= r.on``
+    semantics; ``"forward"`` flips the inequality).
+
+    Scale shape: both sides hash-partition on the equi-key (ONE shuffle,
+    no broadcast, no global sort — ordering is only ever needed within a
+    partition), then each partition runs one vectorized
+    ``pandas.merge_asof``. Column names must be disjoint across sides;
+    the right side must be unique per (key, on) for deterministic output
+    (pre-aggregate it — see ``q_asof_join``). With ``how="inner"``,
+    unmatched left rows are dropped (detected via the null-ness of the
+    matched ``on_right``); ``how="left"`` keeps them with nulls, which
+    coerces integer right columns to float64 (pandas NaN semantics) —
+    prefer float/timestamp right payloads.
+    """
+    import pandas as pd
+
+    ls = _arrow_schema(left)
+    rs = _arrow_schema(right)
+    lf_names = list(ls.names)
+    rf_names = list(rs.names)
+    overlap = set(lf_names) & set(rf_names)
+    if overlap:
+        raise ValueError(f"asof_join column collision: {sorted(overlap)}")
+    out_fields = [(n, ls.field(n).type) for n in lf_names] + [
+        (n, rs.field(n).type) for n in rf_names
+    ]
+
+    tagged = _tagged_union(
+        left, right, key_left, key_right, out_fields, num_partitions
+    )
+
+    out_schema = pa.schema(out_fields)
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        # Split sides while still Arrow so null-padded int/timestamp
+        # columns never pass through pandas' NaN float coercion.
+        side = g["__side"]
+        lf = g.filter(pc.equal(side, 0)).select(lf_names).to_pandas()
+        rf = g.filter(pc.equal(side, 1)).select(rf_names).to_pandas()
+        if len(lf) == 0 or (len(rf) == 0 and how == "inner"):
+            return out_schema.empty_table()
+        if len(rf) == 0:
+            for n in rf_names:
+                lf[n] = None
+            return pa.Table.from_pandas(
+                lf, schema=out_schema, preserve_index=False
+            )
+        lf = lf.sort_values(on_left, kind="stable")
+        rf = rf.sort_values(on_right, kind="stable")
+        merged = pd.merge_asof(
+            lf,
+            rf,
+            left_on=on_left,
+            right_on=on_right,
+            left_by=key_left,
+            right_by=key_right,
+            direction=direction,
+            allow_exact_matches=True,
+        )
+        if how == "inner":
+            merged = merged[merged[on_right].notna()]
+        return pa.Table.from_pandas(
+            merged.reset_index(drop=True),
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return tagged.groupby("__part").map_groups(
+        join_partition, batch_format="pyarrow"
+    )
+
+
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_left: str,
+    key_right: str,
+    anti: bool = False,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Keyed semi join (``anti=False``: left rows whose key exists on the
+    right) / anti join (``anti=True``: left rows whose key does NOT).
+
+    The training-data workhorse for "drop documents already in the
+    corpus" / "keep only rows with a matching label". Scale shape: the
+    right side is reduced to its key column, both sides hash-partition
+    on the key (one shuffle), and membership is one ``np.isin`` per
+    partition — no broadcast keep-set, no driver state."""
+
+    ls = _arrow_schema(left)
+    lf_names = list(ls.names)
+    key_typ = ls.field(key_left).type if key_left in lf_names else (
+        _arrow_schema(right).field(key_right).type
+    )
+    out_fields = [(n, ls.field(n).type) for n in lf_names]
+    if key_left not in lf_names:
+        out_fields.append((key_left, key_typ))
+
+    rkeys = right.map_batches(
+        lambda t: pa.table({key_left: t[key_right]}),
+        batch_format="pyarrow",
+    )
+    tagged = _tagged_union(
+        left, rkeys, key_left, key_left, out_fields, num_partitions
+    )
+
+    def filter_partition(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lf = g.filter(pc.equal(side, 0)).select(lf_names)
+        rk = g.filter(pc.equal(side, 1))[key_left]
+        lk = lf[key_left]
+        if pa.types.is_integer(lk.type):
+            keep = np.isin(
+                lk.to_numpy(zero_copy_only=False),
+                np.unique(rk.to_numpy(zero_copy_only=False)),
+            )
+        else:
+            keep = pc.is_in(lk, value_set=rk.combine_chunks().unique())
+            keep = keep.to_numpy(zero_copy_only=False)
+        if anti:
+            keep = ~keep
+        return lf.filter(pa.array(keep))
+
+    return tagged.groupby("__part").map_groups(
+        filter_partition, batch_format="pyarrow"
     )

@@ -37,6 +37,9 @@ CHECKED = [
     ("ngram_pairs", 0),
     ("quantiles", 0),
     ("grouped_quantiles", 0),
+    ("asof_join", 0),
+    ("semi_join", 0),
+    ("anti_join", 0),
 ]
 
 
@@ -50,8 +53,8 @@ def test_contract_shape():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 39
-    assert len(os_) >= 26
+    assert len(qs) >= 43
+    assert len(os_) >= 31
 
 
 def test_mp_normal_internal_consistency():
