@@ -1709,6 +1709,225 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
+def q_inner_join(sf_dir: str):
+    """Generic co-partitioned inner equi-join (orders x customer on
+    custkey): one hash shuffle per side, per-partition vectorized merge —
+    the shuffle-join shape for two fact-sized tables. (When one side is
+    dimension-table small, broadcast it instead; this query deliberately
+    exercises the shuffle path.)"""
+    from ..relops import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_totalprice": pc.add(
+                    pc.round(pc.cast(t["o_totalprice"], pa.float64()), 2,
+                             round_mode="half_towards_infinity"),
+                    pa.scalar(0.0),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_nationkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(orders, cust, "o_custkey", "c_custkey")
+
+
+SQL_INNER_JOIN = """
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       round(CAST(o.o_totalprice AS DOUBLE), 2) + 0 AS o_totalprice,
+       CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       c.c_mktsegment,
+       CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_orderkey
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Band join: every (view, purchase) pair of the same user with the
+    purchase 0-24h after the view — the attribution / interval-join
+    shape. One hash shuffle per side on user_id, per-partition sorted
+    right + two vectorized lexicographic merge-searches; no broadcast,
+    no global sort, no packed composite keys."""
+    from ..relops import range_join
+
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "view_id": pc.cast(f["event_id"], pa.int64()),
+                    "user_id": pc.cast(f["user_id"], pa.int64()),
+                    "view_ts": f["ts"],
+                }
+            )
+        )(t.filter(pc.equal(t["event_type"], pa.scalar("view")))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "purchase_id": pc.cast(f["event_id"], pa.int64()),
+                    "p_user_id": pc.cast(f["user_id"], pa.int64()),
+                    "purchase_ts": f["ts"],
+                }
+            )
+        )(t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = range_join(
+        views, purchases, "user_id", "p_user_id", "view_ts", "purchase_ts",
+        lo=0, hi=86_400_000_000,  # [0, 24h] in timestamp[us] units
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "view_id": t["view_id"],
+                "purchase_id": t["purchase_id"],
+                "delta_us": pc.subtract(
+                    pc.cast(t["purchase_ts"], pa.int64()),
+                    pc.cast(t["view_ts"], pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT CAST(v.user_id AS BIGINT) AS user_id,
+       CAST(v.event_id AS BIGINT) AS view_id,
+       CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS delta_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY view_id, purchase_id
+"""
+
+
+def q_distinct_count(sf_dir: str):
+    """Exact COUNT(DISTINCT l_suppkey) per part over lineitem — the
+    two-level distinct combiner (per-batch pair dedup, pair-hash
+    partition, per-partition exact count, tiny final sum)."""
+    from ..relops import distinct_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_count(li, "l_partkey", "l_suppkey")
+
+
+SQL_DISTINCT_COUNT = """
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_values
+FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 10-docs-per-source stratified sample of documents
+    (per-stratum bottom-k Knuth priorities; one coarse-partition
+    shuffle, one lexsort per partition). Oracle: identical HUGEINT
+    priority arithmetic + row_number window in DuckDB."""
+    from ..sample import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return stratified_sample(docs, "source", "doc_id", n=10, seed=5)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY ((CAST(doc_id AS HUGEINT) + 5) * 11400714819323198485)
+           % 18446744073709551616, doc_id
+) <= 10
+ORDER BY source, doc_id
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Top-10 whitespace tokens per language (pre-aggregated wide count:
+    per-batch partial (lang, token) counts, token-hash partition fold,
+    grouped_topk rank — the vocabulary/stopword-profile pass)."""
+    from ..textops import top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return top_terms(docs, k=10, by_col="lang")
+
+
+SQL_TOP_TERMS = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents),
+counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE token <> '' GROUP BY lang, token),
+ranked AS (
+  SELECT lang, token, cnt,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+  FROM counts)
+SELECT lang, token, cnt, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1758,6 +1977,11 @@ QUERIES = {
     "asof_join": q_asof_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "inner_join": q_inner_join,
+    "range_join": q_range_join,
+    "distinct_count": q_distinct_count,
+    "stratified_sample": q_stratified_sample,
+    "top_terms": q_top_terms,
 }
 
 ORACLE_SQL = {
@@ -1793,6 +2017,11 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
+    "inner_join": SQL_INNER_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "distinct_count": SQL_DISTINCT_COUNT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "top_terms": SQL_TOP_TERMS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -227,6 +227,245 @@ def asof_join(
     )
 
 
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_left: str,
+    key_right: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed inner equi-join via co-partitioned tagged union.
+
+    The general-purpose shuffle join: both sides hash-partition on the
+    equi-key (one shuffle per side, no broadcast — use
+    ``ray.put``-broadcast lookup inside ``map_batches`` instead when one
+    side is dimension-table small), then each partition runs one
+    vectorized ``pandas.merge``. Column names must be disjoint across
+    sides (rename upstream). Skewed keys multiply within one partition;
+    pre-aggregate or salt hot keys upstream when the value fan-out is
+    unbounded."""
+    ls = _arrow_schema(left)
+    rs = _arrow_schema(right)
+    lf_names = list(ls.names)
+    rf_names = list(rs.names)
+    overlap = set(lf_names) & set(rf_names)
+    if overlap:
+        raise ValueError(f"hash_join column collision: {sorted(overlap)}")
+    out_fields = [(n, ls.field(n).type) for n in lf_names] + [
+        (n, rs.field(n).type) for n in rf_names
+    ]
+    out_schema = pa.schema(out_fields)
+    tagged = _tagged_union(
+        left, right, key_left, key_right, out_fields, num_partitions
+    )
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lf = g.filter(pc.equal(side, 0)).select(lf_names).to_pandas()
+        rf = g.filter(pc.equal(side, 1)).select(rf_names).to_pandas()
+        if len(lf) == 0 or len(rf) == 0:
+            return out_schema.empty_table()
+        merged = lf.merge(
+            rf, left_on=key_left, right_on=key_right, how="inner"
+        )
+        return pa.Table.from_pandas(
+            merged.reset_index(drop=True),
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return tagged.groupby("__part").map_groups(
+        join_partition, batch_format="pyarrow"
+    )
+
+
+def _lex_insert_pos(
+    rk: np.ndarray,
+    rt: np.ndarray,
+    qk: np.ndarray,
+    qt: np.ndarray,
+    side: str,
+) -> np.ndarray:
+    """Vectorized 2-key lexicographic ``searchsorted``: for each query
+    (qk[i], qt[i]), its insertion index into the lexicographically sorted
+    pairs (rk, rt) — WITHOUT packing both keys into one integer (packed
+    keys silently overflow; see the round-2 windows hazard). One merged
+    lexsort over rights+queries, O((n+m) log(n+m))."""
+    nr, nq = len(rk), len(qk)
+    kk = np.concatenate([rk, qk])
+    tt = np.concatenate([rt, qt])
+    # tertiary key orders a query before equal rights for side="left"
+    # (first index >= query) and after for side="right" (first index >)
+    flag = np.empty(nr + nq, dtype=np.int8)
+    flag[:nr] = 1 if side == "left" else 0
+    flag[nr:] = 0 if side == "left" else 1
+    order = np.lexsort((flag, tt, kk))
+    pos = np.empty(nr + nq, dtype=np.int64)
+    pos[order] = np.arange(nr + nq)
+    qpos = pos[nr:]
+    # rights before each query = merged position minus queries before it
+    qrank = np.empty(nq, dtype=np.int64)
+    qrank[np.argsort(qpos, kind="stable")] = np.arange(nq)
+    return qpos - qrank
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_left: str,
+    key_right: str,
+    on_left: str,
+    on_right: str,
+    lo,
+    hi,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed band (range) join: all pairs with equal key and
+    ``lo <= on_right - on_left <= hi`` — the "purchase within N hours of
+    a view" attribution / interval-overlap shape Ray Data lacks natively.
+
+    Scale shape: both sides hash-partition on the equi-key (one shuffle
+    per side, no broadcast, no global sort), then each partition sorts
+    its right rows once and computes every left row's matching window
+    [lower, upper) with two vectorized lexicographic merge-searches —
+    no per-row Python, no packed composite keys. Pairs are emitted with
+    one ``repeat``/``arange`` expansion. Output size is data-dependent
+    (sum of per-row window widths); keep the band ``hi - lo`` bounded
+    relative to the per-key event density, exactly as you would for a
+    windowed aggregate. Timestamp ``on`` columns are compared in their
+    raw int64 unit (``lo``/``hi`` must use the same unit). Column names
+    must be disjoint across sides."""
+    ls = _arrow_schema(left)
+    rs = _arrow_schema(right)
+    lf_names = list(ls.names)
+    rf_names = list(rs.names)
+    overlap = set(lf_names) & set(rf_names)
+    if overlap:
+        raise ValueError(f"range_join column collision: {sorted(overlap)}")
+    out_fields = [(n, ls.field(n).type) for n in lf_names] + [
+        (n, rs.field(n).type) for n in rf_names
+    ]
+    out_schema = pa.schema(out_fields)
+    tagged = _tagged_union(
+        left, right, key_left, key_right, out_fields, num_partitions
+    )
+
+    def as_i8(col: "pa.ChunkedArray") -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype.kind == "M":
+            return arr.view("i8")
+        return arr
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lf = g.filter(pc.equal(side, 0)).select(lf_names)
+        rf = g.filter(pc.equal(side, 1)).select(rf_names)
+        if len(lf) == 0 or len(rf) == 0:
+            return out_schema.empty_table()
+        lk = as_i8(lf[key_left])
+        lt = as_i8(lf[on_left])
+        rk = as_i8(rf[key_right])
+        rt = as_i8(rf[on_right])
+        r_order = np.lexsort((rt, rk))
+        rk_s, rt_s = rk[r_order], rt[r_order]
+        lower = _lex_insert_pos(rk_s, rt_s, lk, lt + lo, "left")
+        upper = _lex_insert_pos(rk_s, rt_s, lk, lt + hi, "right")
+        counts = upper - lower
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        li = np.repeat(np.arange(len(lk)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        offs = np.arange(total) - starts.repeat(counts)
+        ri = r_order[lower.repeat(counts) + offs]
+        lo_t = lf.take(pa.array(li, pa.int64()))
+        ro_t = rf.take(pa.array(ri, pa.int64()))
+        cols = {n: lo_t[n] for n in lf_names}
+        cols.update({n: ro_t[n] for n in rf_names})
+        return pa.table(cols).cast(out_schema)
+
+    return tagged.groupby("__part").map_groups(
+        join_partition, batch_format="pyarrow"
+    )
+
+
+def distinct_count(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Exact ``COUNT(DISTINCT value)`` per key — the two-level combiner
+    alternative to ``approx_distinct`` (HLL) when exactness matters.
+
+    Scale shape: each batch first collapses to its distinct (key, value)
+    pairs (the combiner — at 100 TB this is where most of the data
+    disappears), pairs hash-partition on the PAIR (a given (key, value)
+    can never span two partitions), each partition counts its distinct
+    pairs per key with one lexsort pass, and a final tiny single-key
+    ``groupby().sum()`` folds the per-partition partials. No driver
+    state, no per-key group materialization, no value set ever collected
+    to one place."""
+
+    def distinct_pair_rows(k: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """Row indices of the first occurrence of each distinct (k, v)
+        pair — EXACT (factorize codes, not hashes: a hash may only ever
+        pick a partition, never define identity)."""
+        ck, _ = pd.factorize(k)
+        cv, _ = pd.factorize(v)
+        order = np.lexsort((cv, ck))
+        sk, sv = ck[order], cv[order]
+        first = np.concatenate(([True], (sk[1:] != sk[:-1]) | (sv[1:] != sv[:-1])))
+        return order[first]
+
+    def pair_hash(k: np.ndarray, v: np.ndarray) -> np.ndarray:
+        hk = pd.util.hash_array(np.ascontiguousarray(k)).astype(np.uint64)
+        hv = pd.util.hash_array(
+            np.ascontiguousarray(v), hash_key="kiezraydistinct0"
+        ).astype(np.uint64)
+        from .dedup import _splitmix64
+
+        with np.errstate(over="ignore"):
+            return _splitmix64(hk * np.uint64(0x9E3779B97F4A7C15) + hv)
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        keep = distinct_pair_rows(k, v)
+        out = pa.table(
+            {key_col: t[key_col].take(pa.array(keep)),
+             value_col: t[value_col].take(pa.array(keep))}
+        )
+        part = (pair_hash(k[keep], v[keep]) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return out.append_column("__part", pa.array(part, pa.int32()))
+
+    def partition_counts(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        keep = distinct_pair_rows(k, v)
+        codes, uniques = pd.factorize(k[keep])
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pd.DataFrame({key_col: uniques, "partial": cnt})
+
+    parts = (
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(partition_counts, batch_format="pandas")
+    )
+    agg = parts.groupby(key_col).sum("partial")
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                key_col: df[key_col],
+                "distinct_values": df["sum(partial)"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def semi_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -60,6 +60,54 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    strata_col: str,
+    id_col: str,
+    n: int,
+    seed: int = 0,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """The ``n`` rows with smallest (priority, id) WITHIN each stratum —
+    a deterministic per-group uniform sample ("keep 10k docs per source /
+    per language"), the stratified counterpart of ``bottomk_sample``.
+
+    Scale shape: rows hash-partition on the stratum (a stratum never
+    spans two partitions — the ``grouped_topk`` coarse-partition
+    pattern), then ONE vectorized lexsort per partition ranks every
+    stratum at once; no per-group frames, no global sort, no driver
+    state. Priorities are computed on the fly from the id column (never
+    stored), so ordering stays exact uint64 and the identical arithmetic
+    is DuckDB-expressible (HUGEINT) for byte-exact oracle checks."""
+    import pandas as pd
+
+    from .relops import _part_of
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", _part_of(t[strata_col], num_partitions))
+
+    def sample_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            return g
+        ids = g[id_col].to_numpy().astype(np.int64)
+        pri = _priority(ids, seed)
+        codes, _ = pd.factorize(g[strata_col].to_numpy())
+        order = np.lexsort((ids, pri, codes))
+        sc = codes[order]
+        first = np.concatenate(([True], sc[1:] != sc[:-1]))
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        rank = np.arange(len(sc)) - starts[grp]
+        return g.iloc[order[rank < n]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sample_partition, batch_format="pandas")
+    )
+
+
 def bottomk_sample(
     ds: "ray.data.Dataset", col: str, n: int, seed: int = 0
 ) -> "ray.data.Dataset":

@@ -205,6 +205,96 @@ def token_counts(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs_ds.map_batches(count, batch_format="pandas")
 
 
+def top_terms(
+    docs_ds: "ray.data.Dataset",
+    k: int = 10,
+    by_col: str = "lang",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Top-``k`` most frequent whitespace tokens per ``by_col`` group —
+    the corpus-vocabulary / per-language stopword profile pass of a
+    training-data pipeline.
+
+    Scale shape (the canonical pre-aggregated wide count): each batch
+    collapses its exploded tokens to partial (group, token, cnt) rows
+    with one lexsort (the combiner — the token stream never leaves the
+    worker un-aggregated), partials hash-partition on the token (a
+    (group, token) pair never spans two partitions), each partition
+    folds partials with one more lexsort + ``add.reduceat``, and
+    per-group ranking reuses ``grouped_topk`` (no global sort). Ties on
+    count break by token ascending, matching the DuckDB
+    ``row_number() OVER (... ORDER BY cnt DESC, token)`` oracle."""
+    from .relops import grouped_topk
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                by_col: pd.Series(dtype=object),
+                "token": pd.Series(dtype=object),
+                "cnt": pd.Series(dtype=np.int64),
+                "__tpart": pd.Series(dtype=np.int32),
+            }
+        )
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        grp = np.repeat(batch[by_col].to_numpy(), lens)
+        cg, ug = pd.factorize(grp)
+        ct, ut = pd.factorize(flat)
+        order = np.lexsort((ct, cg))
+        sg, st = cg[order], ct[order]
+        first = np.concatenate(([True], (sg[1:] != sg[:-1]) | (st[1:] != st[:-1])))
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, total))
+        toks = ut[st[starts]]
+        part = (
+            pd.util.hash_array(toks).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {
+                by_col: ug[sg[starts]],
+                "token": toks,
+                "cnt": cnt.astype(np.int64),
+                "__tpart": part,
+            }
+        )
+
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.drop(columns=["__tpart"])
+        cg, ug = pd.factorize(g[by_col].to_numpy())
+        ct, ut = pd.factorize(g["token"].to_numpy())
+        cnt = g["cnt"].to_numpy()
+        order = np.lexsort((ct, cg))
+        sg, st, sc = cg[order], ct[order], cnt[order]
+        first = np.concatenate(([True], (sg[1:] != sg[:-1]) | (st[1:] != st[:-1])))
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(sc, starts)
+        return pd.DataFrame(
+            {
+                by_col: ug[sg[starts]],
+                "token": ut[st[starts]],
+                "cnt": sums.astype(np.int64),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pandas")
+        .groupby("__tpart")
+        .map_groups(fold_partition, batch_format="pandas")
+    )
+    return grouped_topk(counts, by_col, "cnt", k=k, tie_col="token")
+
+
 def fingerprint(docs_ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Dataset":
     """Winnowing-style rolling-hash document fingerprint: min token-hash
     over each window, distinct mins mixed and xor-folded to one int64 per

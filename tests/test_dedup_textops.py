@@ -139,3 +139,34 @@ def test_textops_quality_and_fingerprint():
     f1 = fingerprint(ds).to_pandas()
     f2 = fingerprint(ds).to_pandas()
     assert f1.equals(f2)
+
+
+def test_top_terms_counts_and_rank(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kiezray.textops import top_terms
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de", "en"],
+            "text": [
+                "The cat  sat", "the dog\tsat", "der Hund",
+                "  der der hund ", None,
+            ],
+        }
+    )
+    out = (
+        top_terms(ray.data.from_pandas(df).repartition(3), k=2, by_col="lang")
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    # en: the x2 (lowercased), sat x2 -> tie broken by token asc: sat, the
+    en = out[out["lang"] == "en"]
+    assert list(en["token"]) == ["sat", "the"]
+    assert list(en["cnt"]) == [2, 2]
+    de = out[out["lang"] == "de"]
+    assert list(de["token"]) == ["der", "hund"]
+    assert list(de["cnt"]) == [3, 2]
+    assert list(out["rank"]) == [1, 2, 1, 2]

@@ -40,6 +40,11 @@ CHECKED = [
     ("asof_join", 0),
     ("semi_join", 0),
     ("anti_join", 0),
+    ("inner_join", 0),
+    ("range_join", 0),
+    ("distinct_count", 0),
+    ("stratified_sample", 0),
+    ("top_terms", 0),
 ]
 
 
@@ -53,8 +58,8 @@ def test_contract_shape():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 43
-    assert len(os_) >= 31
+    assert len(qs) >= 48
+    assert len(os_) >= 36
 
 
 def test_mp_normal_internal_consistency():

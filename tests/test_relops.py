@@ -144,3 +144,155 @@ def test_semi_anti_join_string_keys(ray_session):
     assert sorted(semi["doc"]) == ["b", "d"]
     assert sorted(anti["doc"]) == ["a", "c"]
     assert anti["n"].dtype == np.int64
+
+
+def test_range_join_matches_pandas_oracle(ray_session):
+    """Randomized band join vs a brute-force pandas cross-product filter,
+    incl. keys above 2^32 and an asymmetric [lo, hi] band."""
+    import pandas as pd
+
+    from kiezray.relops import range_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 300, 400
+    big = np.int64(1) << 40
+    lk = rng.integers(0, 12, nl).astype(np.int64) + big
+    rk = rng.integers(0, 12, nr).astype(np.int64) + big
+    lt = rng.integers(0, 1000, nl).astype(np.int64)
+    rt = rng.integers(0, 1000, nr).astype(np.int64)
+    left = pd.DataFrame({"lid": np.arange(nl, dtype=np.int64), "k": lk, "t": lt})
+    right = pd.DataFrame({"rid": np.arange(nr, dtype=np.int64), "rk": rk, "rt": rt})
+    lo, hi = -25, 60
+    got = (
+        range_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(3),
+            "k", "rk", "t", "rt", lo=lo, hi=hi,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    cross = left.merge(right, left_on="k", right_on="rk")
+    d = cross["rt"] - cross["t"]
+    want = (
+        cross[(d >= lo) & (d <= hi)]
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["lid"].values == want["lid"].values).all()
+    assert (got["rid"].values == want["rid"].values).all()
+
+
+def test_range_join_timestamp_and_empty_band(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import range_join
+
+    left = pd.DataFrame(
+        {
+            "lid": np.array([0, 1], dtype=np.int64),
+            "k": np.array([7, 8], dtype=np.int64),
+            "t": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 06:00:00"]),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.array([10, 11, 12], dtype=np.int64),
+            "rk": np.array([7, 7, 9], dtype=np.int64),
+            "rt": pd.to_datetime(
+                ["2024-01-01 00:30:00", "2024-01-01 02:00:00",
+                 "2024-01-01 00:10:00"]
+            ),
+        }
+    )
+    # pandas timestamps are ns-resolution: the band is in the column's
+    # raw int64 unit (ns here, us for parquet timestamp[us] columns)
+    hour_ns = 3_600_000_000_000
+    got = (
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            "k", "rk", "t", "rt", lo=0, hi=hour_ns,
+        )
+        .to_pandas()
+    )
+    # only (lid 0, rid 10) is within [0, 1h]; key 8 and 9 never match
+    assert list(got["lid"]) == [0] and list(got["rid"]) == [10]
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import hash_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(200, dtype=np.int64),
+            "k": rng.integers(0, 40, 200).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 40, 100).astype(np.int64),
+            "v": rng.normal(size=100),
+        }
+    )
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            "k", "rk",
+        )
+        .to_pandas()
+        .sort_values(["lid", "rk", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .sort_values(["lid", "rk", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["lid", "k", "rk", "v"]:
+        assert (got[c].values == want[c].values).all()
+
+
+def test_distinct_count_exact_across_partitions(ray_session):
+    """Duplicated (key, value) pairs spread over many partitions count
+    once; keys above 2^32 survive; string keys work."""
+    import pandas as pd
+
+    from kiezray.relops import distinct_count
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    big = np.int64(1) << 41
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n).astype(np.int64) + big,
+            "v": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    got = (
+        distinct_count(ray.data.from_pandas(df).repartition(7), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("k")["v"].nunique().reset_index().rename(
+        columns={"v": "distinct_values"}
+    )
+    assert (got["k"].values == want["k"].values).all()
+    assert (got["distinct_values"].values == want["distinct_values"].values).all()
+
+    sdf = pd.DataFrame({"k": ["a", "a", "b", "b", "b"], "v": ["x", "x", "x", "y", "y"]})
+    got_s = (
+        distinct_count(ray.data.from_pandas(sdf).repartition(3), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got_s["distinct_values"]) == [1, 2]

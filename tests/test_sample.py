@@ -28,3 +28,48 @@ def test_bottomk_sample_partition_invariant_and_uniform(ray_session):
     assert a == b and len(a) == 500
     # roughly uniform over the id range: mean near the middle
     assert 8000 < np.mean(a) < 12000
+
+
+def test_stratified_sample_partition_invariant(ray_session):
+    """Same per-stratum sample regardless of input partitioning; each
+    stratum yields min(n, stratum_size) rows; matches a driver oracle
+    built from the same priority arithmetic."""
+    import pandas as pd
+
+    from kiezray.sample import _priority, stratified_sample
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(900, dtype=np.int64),
+            "src": rng.choice(["a", "b", "c", "tiny"], 900,
+                              p=[0.4, 0.4, 0.19, 0.01]),
+        }
+    )
+    outs = []
+    for parts in (2, 9):
+        got = (
+            stratified_sample(
+                ray.data.from_pandas(df).repartition(parts),
+                "src", "id", n=15, seed=4,
+            )
+            .to_pandas()
+            .sort_values(["src", "id"])
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    sizes = df.groupby("src").size()
+    for src, cnt in got.groupby("src").size().items():
+        assert cnt == min(15, sizes[src])
+    # driver oracle: bottom-15 (priority, id) per stratum
+    df2 = df.assign(pri=_priority(df["id"].to_numpy(), 4))
+    want = (
+        df2.sort_values(["pri", "id"])
+        .groupby("src")
+        .head(15)[["id", "src"]]
+        .sort_values(["src", "id"])
+        .reset_index(drop=True)
+    )
+    assert got[["id", "src"]].equals(want)
