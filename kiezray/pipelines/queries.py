@@ -1928,6 +1928,129 @@ FROM ranked WHERE rank <= 10 ORDER BY lang, rank
 """
 
 
+def q_broadcast_join(sf_dir: str):
+    """Chained broadcast joins against dimension tables (supplier ->
+    nation -> region): the small sides are ray.put once and resolved
+    zero-copy in every map task — ZERO shuffles, streaming left side.
+    The counterpart shape to hash_join for lookup-table enrichment."""
+    from ..relops import broadcast_join
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": t["s_name"],
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").map_batches(
+        lambda t: pa.table(
+            {
+                "n_nationkey": pc.cast(t["n_nationkey"], pa.int64()),
+                "n_name": t["n_name"],
+                "n_regionkey": pc.cast(t["n_regionkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").map_batches(
+        lambda t: pa.table(
+            {
+                "r_regionkey": pc.cast(t["r_regionkey"], pa.int64()),
+                "r_name": t["r_name"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = broadcast_join(
+        broadcast_join(supp, nation, "s_nationkey", "n_nationkey"),
+        region,
+        "n_regionkey",
+        "r_regionkey",
+    )
+    return out.map_batches(
+        lambda t: t.select(["s_suppkey", "s_name", "n_name", "r_name"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       n.n_name, r.r_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY s_suppkey
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Corpus-percentile quality gate: keep documents whose heuristic
+    quality score is >= the corpus 75th percentile — the canonical
+    "filter the training corpus to its best quartile" pass. Two
+    streaming passes: the exact distributed quantile (histogram
+    refinement — scalar result, no global sort) sets the threshold,
+    then a stateless vectorized filter applies it; only the scalar
+    threshold ever reaches the driver."""
+    from ..quantile import exact_quantiles
+    from ..textops import quality_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    qual = quality_score(docs).map_batches(
+        lambda df: df.assign(quality=round_away(df["quality"], 6))[
+            ["doc_id", "quality"]
+        ],
+        batch_format="pandas",
+    )
+    thr_tbl = exact_quantiles(
+        qual, "quality", qs=(0.75,), num_bins=256, collect_threshold=1024
+    )
+    thr = float(thr_tbl["value"][0].as_py())
+    return qual.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["quality"], pa.scalar(thr))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_QUALITY_FILTER = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         coalesce(text, '') AS text,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(length(text) - length(regexp_replace(text,
+              '[.,;:!?"''()\\[\\]{}]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         coalesce(list_avg(list_transform(toks,
+              t -> CAST(length(t) AS DOUBLE))), 0.0) AS mean_token_len,
+         CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+           AS length_ok
+  FROM base),
+qual AS (
+  SELECT doc_id,
+         round(0.4 * length_ok
+               + 0.3 * (1.0 - least(greatest(punct_ratio, 0), 1))
+               + 0.3 * (least(greatest(mean_token_len, 0), 10) / 10.0), 6)
+           + 0 AS quality
+  FROM feat)
+SELECT doc_id, quality FROM qual
+WHERE quality >= (SELECT quantile_disc(quality, 0.75) FROM qual)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1982,6 +2105,8 @@ QUERIES = {
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
     "top_terms": q_top_terms,
+    "broadcast_join": q_broadcast_join,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLE_SQL = {
@@ -2022,6 +2147,8 @@ ORACLE_SQL = {
     "distinct_count": SQL_DISTINCT_COUNT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_terms": SQL_TOP_TERMS,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "quality_filter": SQL_QUALITY_FILTER,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -97,12 +97,16 @@ def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
     base = ds.schema().base_schema
     if isinstance(base, pa.Schema):
         return base
-    return pa.schema(
-        [
-            (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
-            for n, t in zip(base.names, base.types)
-        ]
-    )
+
+    def to_arrow(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if getattr(t, "kind", None) == "O":
+            # pandas object columns are strings everywhere in this repo
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
+    return pa.schema([(n, to_arrow(t)) for n, t in zip(base.names, base.types)])
 
 
 def _tagged_union(
@@ -277,6 +281,57 @@ def hash_join(
     return tagged.groupby("__part").map_groups(
         join_partition, batch_format="pyarrow"
     )
+
+
+def broadcast_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_left: str,
+    key_right: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Inner/left join against a DIMENSION-TABLE-SMALL right side with no
+    shuffle at all: the right side is materialized once, put in the
+    object store once (``ray.put``), and every map task resolves it
+    zero-copy from the local object store — never re-shipped per batch,
+    never re-serialized per task. This is the correct join shape when
+    one side fits a worker's heap (lookup/code tables, label maps);
+    ``hash_join`` is the shuffle shape for two fact-sized sides.
+
+    The left side streams: one ``map_batches`` with a vectorized
+    ``pandas.merge`` per batch, preserving backpressure. ``how="left"``
+    keeps unmatched left rows (right int columns become float64 via
+    pandas NaN semantics — prefer float/string right payloads)."""
+    import ray
+
+    ls = _arrow_schema(left)
+    rs = _arrow_schema(right)
+    lf_names = list(ls.names)
+    rf_names = list(rs.names)
+    overlap = set(lf_names) & set(rf_names)
+    if overlap:
+        raise ValueError(f"broadcast_join column collision: {sorted(overlap)}")
+    right_tbl = pa.concat_tables(
+        [b for b in right.iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [rs.empty_table()]
+    )
+    right_ref = ray.put(right_tbl)
+
+    class Joiner:
+        def __init__(self):
+            # one object-store fetch per ACTOR, not per batch
+            self.right = ray.get(right_ref).to_pandas()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lf = t.to_pandas()
+            merged = lf.merge(
+                self.right, left_on=key_left, right_on=key_right, how=how
+            )
+            return pa.Table.from_pandas(
+                merged.reset_index(drop=True), preserve_index=False
+            )
+
+    return left.map_batches(Joiner, concurrency=(1, 8), batch_format="pyarrow")
 
 
 def _lex_insert_pos(

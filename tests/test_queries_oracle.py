@@ -45,6 +45,8 @@ CHECKED = [
     ("distinct_count", 0),
     ("stratified_sample", 0),
     ("top_terms", 0),
+    ("broadcast_join", 0),
+    ("quality_filter", 0),
 ]
 
 
@@ -58,8 +60,8 @@ def test_contract_shape():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 48
-    assert len(os_) >= 36
+    assert len(qs) >= 50
+    assert len(os_) >= 38
 
 
 def test_mp_normal_internal_consistency():

@@ -296,3 +296,43 @@ def test_distinct_count_exact_across_partitions(ray_session):
         .reset_index(drop=True)
     )
     assert list(got_s["distinct_values"]) == [1, 2]
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import broadcast_join
+
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(6, dtype=np.int64),
+            "k": np.array([1, 2, 3, 1, 9, 2], dtype=np.int64),
+        }
+    )
+    dim = pd.DataFrame(
+        {"dk": np.array([1, 2, 3], dtype=np.int64), "name": ["a", "b", "c"]}
+    )
+    inner = (
+        broadcast_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(dim),
+            "k", "dk",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert list(inner["lid"]) == [0, 1, 2, 3, 5]
+    assert list(inner["name"]) == ["a", "b", "c", "a", "b"]
+    left_out = (
+        broadcast_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(dim),
+            "k", "dk", how="left",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(left_out) == 6
+    assert left_out.loc[4, "name"] is None or left_out.loc[4, "name"] != left_out.loc[4, "name"]
