@@ -114,3 +114,64 @@ def read_docs(path: str):
         return ray.data.read_json(path)
     # only .parquet files: config/manifest files may share the directory
     return ray.data.read_parquet(path, file_extensions=["parquet"])
+
+
+def write_bucketed(
+    ds: "ray.data.Dataset",
+    path: str,
+    key_col: str,
+    num_buckets: int = 64,
+) -> None:
+    """Hash-bucketed partitioned parquet sink (`path/bucket=<b>/...`).
+
+    The resumable, shuffle-avoiding output shape for a 100 TB run:
+    (a) output is many files across ``num_buckets`` directories, never
+    one giant file — a failed downstream consumer can skip finished
+    buckets; (b) the bucket id uses the SAME key-hash as the engine's
+    co-partitioned operators (``relops._part_of``), so a later
+    ``hash_join`` / grouped op on ``key_col`` can process one bucket at
+    a time with co-located keys instead of re-shuffling the world.
+    Routing is a stateless per-batch column append — the write itself
+    stays streaming (each task writes its own files under the bucket
+    directories)."""
+    import pyarrow as pa  # noqa: F811 (module-level import also exists)
+
+    from .relops import _part_of
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        return t.append_column("bucket", _part_of(t[key_col], num_buckets))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )
+
+
+def read_bucketed(
+    path: str,
+    buckets: "list[int] | None" = None,
+):
+    """Read a ``write_bucketed`` layout; ``buckets`` selects a subset of
+    bucket directories (resume / bucket-at-a-time processing). The
+    hive-partition ``bucket`` column is materialized back as int32."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    if buckets is None:
+        ds = ray.data.read_parquet(path, file_extensions=["parquet"])
+    else:
+        dirs = [os.path.join(path, f"bucket={b}") for b in buckets]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(f"missing bucket dirs: {missing}")
+        ds = ray.data.read_parquet(dirs, file_extensions=["parquet"])
+
+    def fix_bucket(t: "pa.Table") -> "pa.Table":
+        if "bucket" not in t.column_names:
+            return t
+        i = t.column_names.index("bucket")
+        return t.set_column(
+            i, "bucket", pc.cast(t["bucket"], pa.int32())
+        )
+
+    return ds.map_batches(fix_bucket, batch_format="pyarrow")

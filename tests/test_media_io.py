@@ -277,3 +277,40 @@ def test_cli_dedup_pipeline(tmp_path):
     assert lab[2] == lab[5]            # exact dup collapse
     assert lab[4] not in (lab[0], lab[2]) or True  # singleton stays apart
     assert len({lab[0], lab[2], lab[4]}) == 3
+
+
+def test_bucketed_roundtrip_and_alignment(ray_session, tmp_path):
+    """write_bucketed/read_bucketed: every row lands in the bucket its
+    key hashes to (join-alignment invariant), subset reads work, and
+    the full roundtrip loses nothing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from kiezray.io import read_bucketed, write_bucketed
+    from kiezray.relops import _part_of
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 1000, 2000).astype(np.int64),
+            "v": rng.normal(size=2000),
+        }
+    )
+    out = str(tmp_path / "bucketed")
+    write_bucketed(ray.data.from_pandas(df).repartition(4), out, "k", num_buckets=8)
+
+    back = read_bucketed(out).to_pandas()
+    assert len(back) == len(df)
+    assert set(back.columns) == {"k", "v", "bucket"}
+    assert sorted(back["k"].tolist()) == sorted(df["k"].tolist())
+    # alignment: the stored bucket equals the engine's partition hash
+    want = _part_of(pa.chunked_array([pa.array(back["k"].to_numpy())]), 8)
+    assert (back["bucket"].to_numpy() == want.to_numpy(zero_copy_only=False)).all()
+
+    some = read_bucketed(out, buckets=[0, 3]).to_pandas()
+    assert set(some["bucket"].unique()) <= {0, 3}
+    full_b = back[back["bucket"].isin([0, 3])]
+    assert len(some) == len(full_b)
