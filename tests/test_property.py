@@ -135,3 +135,30 @@ def test_batch_simhash_matches_per_doc(texts):
     batch = h.batch_simhash(texts)
     for i, t in enumerate(texts):
         assert batch[i] == h.batch_simhash([t])[0]
+
+
+@given(
+    data=st.data(),
+    nr=st.integers(min_value=0, max_value=40),
+    nq=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_lex_insert_pos_matches_searchsorted(data, nr, nq):
+    """The 2-key lexicographic merge-search (range_join's kernel) must
+    agree with numpy searchsorted over an explicitly packed composite
+    key (safe to pack here: both keys are tiny by construction)."""
+    from kiezray.relops import _lex_insert_pos
+
+    small = st.integers(min_value=-8, max_value=8)
+    rk = np.array(data.draw(st.lists(small, min_size=nr, max_size=nr)), dtype=np.int64)
+    rt = np.array(data.draw(st.lists(small, min_size=nr, max_size=nr)), dtype=np.int64)
+    qk = np.array(data.draw(st.lists(small, min_size=nq, max_size=nq)), dtype=np.int64)
+    qt = np.array(data.draw(st.lists(small, min_size=nq, max_size=nq)), dtype=np.int64)
+    order = np.lexsort((rt, rk))
+    rk_s, rt_s = rk[order], rt[order]
+    packed_r = rk_s * 1000 + rt_s
+    packed_q = qk * 1000 + qt
+    for side in ("left", "right"):
+        got = _lex_insert_pos(rk_s, rt_s, qk, qt, side)
+        want = np.searchsorted(packed_r, packed_q, side=side)
+        np.testing.assert_array_equal(got, want)
