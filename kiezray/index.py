@@ -389,6 +389,197 @@ class LshIndex:
         return _scatter_topk(cand_q, cand_d, cand_i, n, k)
 
 
+class RpForestIndex:
+    """Random-projection forest — the genuine capability match for the
+    reference's Annoy backend (kiez/neighbors/approximate/
+    random_projection_trees.py:66-118; parameter surface ``n_trees`` /
+    ``search_k``, metrics angular/euclidean), built from scratch and
+    fully batch-vectorized (no per-point recursion anywhere).
+
+    Build: each tree splits recursively with a hyperplane through the
+    data — normal = difference of two randomly chosen member points
+    (the annoy-style data-dependent split), offset = the node's median
+    projection — so leaves are balanced at ~``leaf_size`` points. One
+    pass per level over all nodes at once: segment points by node with
+    one argsort, draw split pairs per segment, one fused row-wise dot
+    for every point's projection, one lexsort for all medians.
+
+    Search: traversal is per-level gather-and-dot over the whole query
+    batch; candidates are the union of each query's leaf across trees
+    (plus sibling-leaf probes when ``search_k`` asks for more), deduped
+    with one lexsort and reranked exactly, then merged by
+    ``_scatter_topk``. Memory is (2^depth) hyperplanes per tree —
+    independent of n — so the index shards like every other tier."""
+
+    def __init__(
+        self,
+        n_trees: int = 8,
+        leaf_size: int = 64,
+        search_k: int | None = None,
+        metric: str = "euclidean",  # the reference Annoy default
+        seed: int = 42,
+    ):
+        if metric in ("angular",):  # annoy's name for it
+            metric = "cosine"
+        if metric not in ("cosine", "euclidean"):
+            raise ValueError(
+                "RpForestIndex supports metric in ('cosine'/'angular', "
+                f"'euclidean'), got {metric!r}"
+            )
+        self.n_trees = int(n_trees)
+        self.leaf_size = int(leaf_size)
+        self.search_k = search_k
+        self.metric = metric
+        self.seed = seed
+
+    def build(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        vecs = np.ascontiguousarray(vecs, dtype=np.float64)
+        n, dim = vecs.shape
+        self.ids = ids
+        self.vecs = vecs
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            self.vecsn = vecs / norms
+        depth = max(1, int(np.ceil(np.log2(max(n, 2) / max(self.leaf_size, 1)))))
+        self.depth = min(depth, 24)
+        n_internal = (1 << self.depth) - 1
+        self.normals = np.zeros((self.n_trees, n_internal, dim))
+        self.offsets = np.zeros((self.n_trees, n_internal))
+        self.leaf_codes = []  # per tree: sorted leaf id per stored point
+        self.leaf_pos = []  # per tree: point positions in that order
+        for t in range(self.n_trees):
+            rng = np.random.RandomState(self.seed + 7919 * t)
+            node = np.zeros(n, dtype=np.int64)
+            for _level in range(self.depth):
+                order = np.argsort(node, kind="stable")
+                sn = node[order]
+                first = np.concatenate(([True], sn[1:] != sn[:-1]))
+                starts = np.flatnonzero(first)
+                lens = np.diff(np.append(starts, n))
+                seg_nodes = sn[starts]
+                ns = len(starts)
+                # annoy-style split: normal through two random members
+                a = order[starts + (rng.random_sample(ns) * lens).astype(np.int64)]
+                b = order[starts + (rng.random_sample(ns) * lens).astype(np.int64)]
+                nrm = vecs[a] - vecs[b]
+                degenerate = (nrm == 0).all(axis=1)
+                if degenerate.any():
+                    nrm[degenerate] = rng.standard_normal(
+                        (int(degenerate.sum()), dim)
+                    )
+                seg_of = np.repeat(np.arange(ns), lens)  # aligned to `order`
+                proj = np.einsum("ij,ij->i", vecs[order], nrm[seg_of])
+                # per-segment median offset with ONE lexsort over all nodes
+                o2 = np.lexsort((proj, seg_of))
+                sproj = proj[o2]
+                off = sproj[starts + lens // 2]
+                bit = (proj > off[seg_of]).astype(np.int64)
+                self.normals[t, seg_nodes] = nrm
+                self.offsets[t, seg_nodes] = off
+                node[order] = 2 * sn + 1 + bit
+            leaf = node - n_internal
+            o = np.argsort(leaf, kind="stable")
+            self.leaf_codes.append(leaf[o])
+            self.leaf_pos.append(o)
+
+    def _descend(
+        self,
+        q: np.ndarray,
+        t: int,
+        flip_level: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Traverse tree ``t`` for the whole query batch at once.
+
+        ``flip_level[i]`` (optional) inverts query i's split decision at
+        that level — a TRUE alternate traversal (the path below the flip
+        uses the other subtree's hyperplanes), which is what annoy's
+        priority-queue descent explores; a leaf-code XOR would not be.
+        Returns (leaf ids, |margin| per level) for probe planning."""
+        nq = len(q)
+        node = np.zeros(nq, dtype=np.int64)
+        margins = np.empty((nq, self.depth))
+        levels = np.arange(self.depth)
+        for level in levels:
+            nr = self.normals[t, node]
+            off = self.offsets[t, node]
+            proj = np.einsum("ij,ij->i", q, nr)
+            bit = (proj > off).astype(np.int64)
+            margins[:, level] = np.abs(proj - off)
+            if flip_level is not None:
+                bit ^= flip_level == level
+            node = 2 * node + 1 + bit
+        return node - ((1 << self.depth) - 1), margins
+
+    def search(
+        self, q: np.ndarray, k: int, exclude_ids: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(q, dtype=np.float64)
+        nq = len(q)
+        # annoy search_k ~ nodes inspected; translate to margin-ordered
+        # alternate-path probes per tree (default 2: the leaf plus the
+        # closest-call flip — the vectorized stand-in for annoy's
+        # priority-queue descent)
+        n_probes = 2  # floor: the leaf + its closest-call flip
+        if self.search_k:
+            per_probe = max(self.leaf_size, 1) * self.n_trees
+            n_probes = max(n_probes, -(-int(self.search_k) // per_probe))
+        n_probes = min(n_probes, self.depth + 1)
+
+        def gather(t: int, leaf: np.ndarray):
+            lo = np.searchsorted(self.leaf_codes[t], leaf, side="left")
+            hi = np.searchsorted(self.leaf_codes[t], leaf, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                return
+            qi = np.repeat(np.arange(nq), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            offs = np.arange(total) - starts.repeat(counts)
+            pq_l.append(qi)
+            pp_l.append(self.leaf_pos[t][lo.repeat(counts) + offs])
+
+        pq_l, pp_l = [], []
+        for t in range(self.n_trees):
+            leaf0, margins = self._descend(q, t)
+            gather(t, leaf0)
+            if n_probes > 1:
+                # probe j re-descends with the j-th closest split flipped
+                probe_levels = np.argsort(margins, axis=1, kind="stable")
+                for j in range(n_probes - 1):
+                    leaf_j, _ = self._descend(
+                        q, t, flip_level=probe_levels[:, j]
+                    )
+                    gather(t, leaf_j)
+        if not pq_l:
+            return np.full((nq, k), np.nan), np.full((nq, k), -1, dtype=np.int64)
+        cand_q = np.concatenate(pq_l)
+        cand_p = np.concatenate(pp_l)
+        # dedupe (query, point) pairs from overlapping leaves
+        o = np.lexsort((cand_p, cand_q))
+        cand_q, cand_p = cand_q[o], cand_p[o]
+        keep = np.concatenate(
+            ([True], (cand_q[1:] != cand_q[:-1]) | (cand_p[1:] != cand_p[:-1]))
+        )
+        cand_q, cand_p = cand_q[keep], cand_p[keep]
+        if self.metric == "cosine":
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            qnormed = q / qn
+            cand_d = 1.0 - np.einsum(
+                "ij,ij->i", qnormed[cand_q], self.vecsn[cand_p]
+            )
+        else:
+            diff = q[cand_q] - self.vecs[cand_p]
+            cand_d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        cand_i = self.ids[cand_p]
+        if exclude_ids is not None:
+            cand_d = cand_d.copy()
+            cand_d[cand_i == exclude_ids[cand_q]] = np.inf
+        return _scatter_topk(cand_q, cand_d, cand_i, nq, k)
+
+
 class IvfPqIndex:
     """IVF-PQ: coarse quantizer + product-quantized residuals, ADC search.
 
@@ -814,6 +1005,7 @@ INDEX_REGISTRY: dict[str, type] = {
     "hnsw": GraphIndex,
     "ivfpq": IvfPqIndex,
     "pq": IvfPqIndex,
+    "rpforest": RpForestIndex,
 }
 
 
@@ -838,10 +1030,13 @@ def make_index(algorithm, **kwargs):
     name = (algorithm or "exact").lower()
     if name == "faiss" and faiss is None:
         name = "exact"  # reference fallback semantics (kiez.py:118-122)
-    # graph/tree ANN backends of the reference map onto the graph index
-    # (same greedy-routing regime; capability parity, not a port)
-    if name in ("nmslib", "nng", "annoy"):
+    # graph ANN backends of the reference map onto the graph index (same
+    # greedy-routing regime); annoy maps onto the random-projection
+    # forest (same tree-ensemble regime) — capability parity, not a port
+    if name in ("nmslib", "nng"):
         name = "graph"
+    if name == "annoy":
+        name = "rpforest"
     if name not in INDEX_REGISTRY:
         raise ValueError(
             f"Unknown algorithm {algorithm!r}; options: {sorted(INDEX_REGISTRY)}"

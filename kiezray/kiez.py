@@ -81,7 +81,8 @@ _ALGORITHM_ALIASES = {
     # (same greedy-routing regime; capability parity, not a port)
     "nmslib": "graph",
     "nng": "graph",
-    "annoy": "graph",
+    "annoy": "rpforest",
+    "rpforest": "rpforest",
 }
 
 # Reference parameter-surface fidelity: the aliased backends accept the
@@ -106,9 +107,11 @@ _BACKEND_KWARG_MAP = {
         "index_dir": None,
         "verbose": None,
     },
+    # annoy now lands on the genuine tree-ensemble family (RpForestIndex)
+    # and its native kwargs pass through 1:1
     "annoy": {
-        "n_trees": "nlist",
-        "search_k": "ef_search",
+        "n_trees": "n_trees",
+        "search_k": "search_k",
         "mmap_dir": None,
         "verbose": None,
     },

@@ -74,9 +74,13 @@ def test_make_index_fallback_and_registry():
 
     idx = make_index("faiss")  # faiss absent -> exact fallback
     assert isinstance(idx, ExactIndex)
-    # graph/tree reference backends alias to the graph index, not IVF
-    for name in ("nmslib", "nng", "annoy", "hnsw", "graph"):
+    # graph reference backends alias to the graph index; annoy to the
+    # random-projection forest (its genuine family)
+    for name in ("nmslib", "nng", "hnsw", "graph"):
         assert isinstance(make_index(name), GraphIndex)
+    from kiezray.index import RpForestIndex
+
+    assert isinstance(make_index("annoy"), RpForestIndex)
     with pytest.raises(ValueError, match="Unknown algorithm"):
         make_index("bogus")
 
@@ -246,3 +250,63 @@ def test_reference_backend_kwargs_construct_and_search(data, ray_session):
     with _pytest.raises(ValueError, match="hnsw"):
         Kiez(n_candidates=5, algorithm="nmslib",
              algorithm_kwargs={"method": "sw-graph"})
+
+
+def test_rpforest_recall_probes_and_determinism(data):
+    from kiezray.index import RpForestIndex
+
+    x, q = data
+    ids = np.arange(len(x))
+    exact = ExactIndex("cosine")
+    exact.build(ids, x)
+    _, ei = exact.search(q, 10)
+
+    one = RpForestIndex(n_trees=1, leaf_size=32, metric="angular", seed=1)
+    one.build(ids, x)
+    _, i_one = one.search(q, 10)
+    r_one = _recall(i_one, ei)
+
+    forest = RpForestIndex(n_trees=12, leaf_size=32, metric="angular", seed=1)
+    forest.build(ids, x)
+    _, i_f = forest.search(q, 10)
+    r_forest = _recall(i_f, ei)
+    assert r_forest > r_one  # more trees -> better recall
+    assert r_forest > 0.6
+
+    # search_k widens the probe set and improves recall further
+    wide = RpForestIndex(
+        n_trees=12, leaf_size=32, search_k=12 * 32 * 4, metric="angular", seed=1
+    )
+    wide.build(ids, x)
+    _, i_w = wide.search(q, 10)
+    assert _recall(i_w, ei) >= r_forest
+
+    # determinism: same seed, fresh build, identical output
+    again = RpForestIndex(n_trees=12, leaf_size=32, metric="angular", seed=1)
+    again.build(ids, x)
+    _, i2 = again.search(q, 10)
+    np.testing.assert_array_equal(i_f, i2)
+
+
+def test_rpforest_euclidean_and_exclusion(data):
+    from kiezray.index import RpForestIndex
+
+    x, _ = data
+    ids = np.arange(len(x))
+    idx = RpForestIndex(n_trees=10, leaf_size=32, metric="euclidean", seed=3)
+    idx.build(ids, x)
+    # self-query: with exclusion the own id must never appear
+    d, i = idx.search(x[:50], 5, exclude_ids=ids[:50])
+    assert not (i == ids[:50, None]).any()
+    assert (np.diff(d, axis=1) >= -1e-12).all()  # ascending distances
+    # without exclusion the nearest hit is the point itself at distance 0
+    d0, i0 = idx.search(x[:50], 1)
+    np.testing.assert_array_equal(i0[:, 0], ids[:50])
+    np.testing.assert_allclose(d0[:, 0], 0, atol=1e-9)
+
+
+def test_rpforest_rejects_unknown_metric():
+    from kiezray.index import RpForestIndex
+
+    with pytest.raises(ValueError, match="angular"):
+        RpForestIndex(metric="manhattan")
