@@ -525,6 +525,30 @@ def q_ann_graph(sf_dir: str):
     )
 
 
+def q_ann_rpforest(sf_dir: str):
+    """Rows-only: random-projection-forest (annoy-family) cosine top-k
+    for the first 10 source rows — the tree-ensemble ANN tier
+    (approximate; recall-tested vs exact in pytest)."""
+    source, target = _sides(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(target)
+    queries = source.map_batches(
+        lambda t: t.filter(pc.less(t["row_id"], 10)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nds = knn_search(
+        queries, shards, k=N_CAND, algorithm="rpforest",
+        algorithm_kwargs={
+            "metric": "angular", "n_trees": 12, "search_k": 12 * 64 * 4,
+        },
+    )
+    out = _explode_neighbors(nds, dist_name="cos_sim", digits=6, to_similarity=True)
+    return out.map_batches(
+        lambda t: t.rename_columns(["query_id", "rank", "target_id", "cos_sim"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_ann_pq(sf_dir: str):
     """Rows-only: IVF-PQ (product-quantized, exact-refined) cosine top-k
     for the first 10 source rows — the memory-compressed ANN tier
@@ -1762,6 +1786,99 @@ ORDER BY o_orderkey
 """
 
 
+def q_left_join(sf_dir: str):
+    """Left-outer co-partitioned equi-join: every customer with their
+    order count + spend (integer cents), customers with no orders kept
+    with typed nulls — the enrich-with-optional-facts shape. The fact
+    side is pre-aggregated per key BEFORE the join (the combiner shape:
+    the join fan-out is one row per key, never the raw fact stream), and
+    unmatched rows are padded on the Arrow side so the int64 aggregates
+    never pass through pandas NaN float coercion."""
+    from ..relops import hash_join
+
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["cust_key"], pa.scalar(P - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cust_key": pc.cast(t["o_custkey"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.cast(t["o_totalprice"], pa.float64()),
+                            pa.scalar(100.0),
+                        ),
+                        0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def sum_partition(g: pa.Table) -> pa.Table:
+        k = g["cust_key"].to_numpy(zero_copy_only=False)
+        v = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(k)))
+        return pa.table(
+            {
+                "cust_key": pa.array(k[starts], pa.int64()),
+                "order_cnt": pa.array(counts.astype(np.int64), pa.int64()),
+                "spend_cents": pa.array(np.add.reduceat(v, starts), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(sum_partition, batch_format="pyarrow")
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(cust, per_cust, "c_custkey", "cust_key", how="left")
+
+
+SQL_LEFT_JOIN = """
+WITH per_cust AS (
+  SELECT o_custkey cust_key,
+         count(*) order_cnt,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       c.c_mktsegment,
+       CAST(p.cust_key AS BIGINT) AS cust_key,
+       CAST(p.order_cnt AS BIGINT) AS order_cnt,
+       p.spend_cents
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.cust_key
+ORDER BY c_custkey
+"""
+
+
 def q_range_join(sf_dir: str):
     """Band join: every (view, purchase) pair of the same user with the
     purchase 0-24h after the view — the attribution / interval-join
@@ -2070,6 +2187,7 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "ann_graph": q_ann_graph,
     "ann_pq": q_ann_pq,
+    "ann_rpforest": q_ann_rpforest,
     "media_features": q_media_features,
     "media_dedup": q_media_dedup,
     "ngram_pairs": q_ngram_pairs,
@@ -2101,6 +2219,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "inner_join": q_inner_join,
+    "left_join": q_left_join,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
@@ -2143,6 +2262,7 @@ ORACLE_SQL = {
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "inner_join": SQL_INNER_JOIN,
+    "left_join": SQL_LEFT_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "distinct_count": SQL_DISTINCT_COUNT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -237,8 +237,10 @@ def hash_join(
     key_left: str,
     key_right: str,
     num_partitions: int = 32,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Distributed inner equi-join via co-partitioned tagged union.
+    """Distributed inner/left-outer equi-join via co-partitioned tagged
+    union.
 
     The general-purpose shuffle join: both sides hash-partition on the
     equi-key (one shuffle per side, no broadcast — use
@@ -247,7 +249,15 @@ def hash_join(
     vectorized ``pandas.merge``. Column names must be disjoint across
     sides (rename upstream). Skewed keys multiply within one partition;
     pre-aggregate or salt hot keys upstream when the value fan-out is
-    unbounded."""
+    unbounded.
+
+    ``how="left"`` keeps unmatched left rows with typed nulls on the
+    right columns. The matched part still goes through the inner
+    ``pandas.merge``; the unmatched part is padded on the ARROW side
+    (never through pandas), so right-side int64/timestamp columns keep
+    their exact types instead of pandas' NaN float coercion."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join how must be 'inner' or 'left', got {how!r}")
     ls = _arrow_schema(left)
     rs = _arrow_schema(right)
     lf_names = list(ls.names)
@@ -263,20 +273,40 @@ def hash_join(
         left, right, key_left, key_right, out_fields, num_partitions
     )
 
+    def _null_pad(lf_t: pa.Table) -> pa.Table:
+        cols = {n: lf_t[n] for n in lf_names}
+        for n, typ in out_fields[len(lf_names):]:
+            cols[n] = pa.nulls(len(lf_t), typ)
+        return pa.table(cols, schema=out_schema)
+
     def join_partition(g: pa.Table) -> pa.Table:
         side = g["__side"]
-        lf = g.filter(pc.equal(side, 0)).select(lf_names).to_pandas()
-        rf = g.filter(pc.equal(side, 1)).select(rf_names).to_pandas()
-        if len(lf) == 0 or len(rf) == 0:
+        lf_t = g.filter(pc.equal(side, 0)).select(lf_names)
+        rf_t = g.filter(pc.equal(side, 1)).select(rf_names)
+        if len(lf_t) == 0:
             return out_schema.empty_table()
+        if len(rf_t) == 0:
+            if how == "left":
+                return _null_pad(lf_t)
+            return out_schema.empty_table()
+        if how == "left":
+            matched = pc.is_in(lf_t[key_left], value_set=rf_t[key_right])
+            matched = pc.fill_null(matched, False)
+            unmatched_t = lf_t.filter(pc.invert(matched))
+            lf_t = lf_t.filter(matched)
+        lf = lf_t.to_pandas()
+        rf = rf_t.to_pandas()
         merged = lf.merge(
             rf, left_on=key_left, right_on=key_right, how="inner"
         )
-        return pa.Table.from_pandas(
+        inner_t = pa.Table.from_pandas(
             merged.reset_index(drop=True),
             schema=out_schema,
             preserve_index=False,
         )
+        if how == "left" and len(unmatched_t):
+            return pa.concat_tables([inner_t, _null_pad(unmatched_t)])
+        return inner_t
 
     return tagged.groupby("__part").map_groups(
         join_partition, batch_format="pyarrow"

@@ -41,6 +41,7 @@ CHECKED = [
     ("semi_join", 0),
     ("anti_join", 0),
     ("inner_join", 0),
+    ("left_join", 0),
     ("range_join", 0),
     ("distinct_count", 0),
     ("stratified_sample", 0),
@@ -86,6 +87,23 @@ def test_ann_graph_recall_vs_exact():
     for q in set(exact["query_id"]):
         e = set(exact.loc[exact.query_id == q, "target_id"])
         g = set(graph.loc[graph.query_id == q, "target_id"])
+        hits += len(e & g)
+        total += len(e)
+    assert hits / total >= 0.8
+
+
+def test_ann_rpforest_recall_vs_exact():
+    """Rows-only rp-forest query: shape + recall >= 0.8 vs the exact
+    cosine search on the same slice."""
+    exact = Q.QUERIES["ann_cosine"](SF).to_pandas()
+    forest = Q.QUERIES["ann_rpforest"](SF).to_pandas()
+    assert list(forest.columns) == ["query_id", "rank", "target_id", "cos_sim"]
+    assert set(forest["query_id"]) == set(exact["query_id"])
+    hits = 0
+    total = 0
+    for q in set(exact["query_id"]):
+        e = set(exact.loc[exact.query_id == q, "target_id"])
+        g = set(forest.loc[forest.query_id == q, "target_id"])
         hits += len(e & g)
         total += len(e)
     assert hits / total >= 0.8

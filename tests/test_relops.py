@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from kiezray.relops import grouped_topk
@@ -258,6 +259,60 @@ def test_hash_join_matches_pandas(ray_session):
     assert len(got) == len(want) > 0
     for c in ["lid", "k", "rk", "v"]:
         assert (got[c].values == want[c].values).all()
+
+
+def test_hash_join_left_keeps_unmatched_with_typed_nulls(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import hash_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(120, dtype=np.int64),
+            "k": rng.integers(0, 60, 120).astype(np.int64),
+        }
+    )
+    # right covers only keys < 30 -> roughly half the left rows unmatched
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 30, 50).astype(np.int64),
+            "rv": rng.integers(0, 1000, 50).astype(np.int64),
+        }
+    )
+    ds = hash_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(2),
+        "k", "rk", how="left",
+    )
+    # typed nulls: the int64 right columns keep int64 (Arrow), not float
+    import pyarrow as pa
+
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert tbl.schema.field("rv").type == pa.int64()
+    got = (
+        tbl.to_pandas()
+        .sort_values(["lid", "rk", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk", how="left")
+        .sort_values(["lid", "rk", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > len(left) - 1
+    assert got["rk"].isna().any()  # unmatched rows survived
+    for c in ["lid", "k"]:
+        assert (got[c].values == want[c].values).all()
+    for c in ["rk", "rv"]:
+        ga, wa = got[c].astype(float), want[c].astype(float)
+        assert ((ga == wa) | (ga.isna() & wa.isna())).all()
+
+    with pytest.raises(ValueError, match="how"):
+        hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", "rk", how="outer",
+        )
 
 
 def test_distinct_count_exact_across_partitions(ray_session):
