@@ -1879,6 +1879,35 @@ ORDER BY c_custkey
 """
 
 
+def q_event_pivot(sf_dir: str):
+    """Crosstab: events per user by event type, one int64 column per
+    type (static column set, like SQL's CASE WHEN pivot). Combiner
+    partials fold inside each batch, one hash shuffle on user_id."""
+    from ..relops import pivot_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    return pivot_count(ev, "user_id", "event_type", types)
+
+
+SQL_EVENT_PIVOT = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_range_join(sf_dir: str):
     """Band join: every (view, purchase) pair of the same user with the
     purchase 0-24h after the view — the attribution / interval-join
@@ -2220,6 +2249,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "inner_join": q_inner_join,
     "left_join": q_left_join,
+    "event_pivot": q_event_pivot,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
@@ -2263,6 +2293,7 @@ ORACLE_SQL = {
     "anti_join": SQL_ANTI_JOIN,
     "inner_join": SQL_INNER_JOIN,
     "left_join": SQL_LEFT_JOIN,
+    "event_pivot": SQL_EVENT_PIVOT,
     "range_join": SQL_RANGE_JOIN,
     "distinct_count": SQL_DISTINCT_COUNT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -605,3 +605,93 @@ def semi_join(
     return tagged.groupby("__part").map_groups(
         filter_partition, batch_format="pyarrow"
     )
+
+
+def pivot_count(
+    ds: "ray.data.Dataset",
+    row_key: str,
+    col_key: str,
+    col_values: "list[str]",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Crosstab: one output row per ``row_key``, one int64 count column
+    per entry of ``col_values`` — the "events per user by type" /
+    "documents per domain by language" wide-profile shape.
+
+    Like SQL's ``sum(CASE WHEN col = v THEN 1 END)`` pivot, the output
+    column set is STATIC (``col_values``, declared up front, unknown
+    values are ignored) so the schema is deterministic and never depends
+    on which values a partition happens to see.
+
+    Scale shape: each batch collapses to partial (row, col-index, cnt)
+    rows with one lexsort + ``add.reduceat`` (the combiner — the raw
+    event stream never leaves the worker un-aggregated), partials
+    hash-partition on ``row_key`` (a row never spans two partitions),
+    and each partition folds its partials with one more lexsort +
+    reduceat, then scatters counts into the wide (rows × columns) block.
+    No packed composite keys (no overflow hazard), no high-cardinality
+    grouped aggregate, no driver state.
+    """
+    cmap = {v: i for i, v in enumerate(col_values)}
+    ncols = len(col_values)
+
+    def fold(row: np.ndarray, ci: np.ndarray, cnt: np.ndarray):
+        order = np.lexsort((ci, row))
+        row, ci, cnt = row[order], ci[order], cnt[order]
+        first = np.concatenate(
+            ([True], (row[1:] != row[:-1]) | (ci[1:] != ci[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        return row[starts], ci[starts], np.add.reduceat(cnt, starts)
+
+    value_set = pa.array(col_values)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-kernel value lookup (unknown values -> null -> -1)
+        ci_arr = pc.fill_null(
+            pc.index_in(t[col_key], value_set=value_set), -1
+        )
+        ci = ci_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ci >= 0
+        row = t[row_key].to_numpy(zero_copy_only=False)[keep]
+        if len(row) == 0:
+            return pa.table(
+                {
+                    "__row": pa.array([], pa.int64()),
+                    "__ci": pa.array([], pa.int64()),
+                    "__cnt": pa.array([], pa.int64()),
+                    "__part": pa.array([], pa.int32()),
+                }
+            )
+        urow, uci, cnt = fold(row, ci[keep], np.ones(len(row), dtype=np.int64))
+        part = (urow.astype(np.uint64) % num_partitions).astype(np.int32)
+        return pa.table(
+            {
+                "__row": pa.array(urow, pa.int64()),
+                "__ci": pa.array(uci, pa.int64()),
+                "__cnt": pa.array(cnt, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def widen(g: pa.Table) -> pa.Table:
+        row = g["__row"].to_numpy(zero_copy_only=False)
+        urow, uci, cnt = fold(
+            row,
+            g["__ci"].to_numpy(zero_copy_only=False),
+            g["__cnt"].to_numpy(zero_copy_only=False),
+        )
+        rows = np.unique(urow)  # sorted
+        rpos = np.searchsorted(rows, urow)
+        wide = np.zeros((len(rows), ncols), dtype=np.int64)
+        wide[rpos, uci] = cnt
+        cols = {row_key: pa.array(rows, pa.int64())}
+        for v, i in cmap.items():
+            cols[v] = pa.array(wide[:, i], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(widen, batch_format="pyarrow")
+    )

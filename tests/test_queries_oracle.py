@@ -42,6 +42,7 @@ CHECKED = [
     ("anti_join", 0),
     ("inner_join", 0),
     ("left_join", 0),
+    ("event_pivot", 0),
     ("range_join", 0),
     ("distinct_count", 0),
     ("stratified_sample", 0),

@@ -315,6 +315,40 @@ def test_hash_join_left_keeps_unmatched_with_typed_nulls(ray_session):
         )
 
 
+def test_pivot_count_static_columns_and_unknowns(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import pivot_count
+
+    rng = np.random.default_rng(11)
+    vals = np.array(["a", "b", "c", "zzz"])  # zzz not in the declared set
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 50, 5000).astype(np.int64),
+            "typ": vals[rng.integers(0, 4, 5000)],
+        }
+    )
+    got = (
+        pivot_count(
+            ray.data.from_pandas(df).repartition(6), "uid", "typ", ["a", "b", "c"]
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    want = (
+        df[df.typ != "zzz"]
+        .pivot_table(index="uid", columns="typ", aggfunc=len, fill_value=0)
+        .reset_index()
+    )
+    want.columns = ["uid", "a", "b", "c"]
+    assert list(got.columns) == ["uid", "a", "b", "c"]
+    assert (got["uid"].values == want["uid"].values).all()
+    for c in ["a", "b", "c"]:
+        assert got[c].dtype == np.int64
+        assert (got[c].values == want[c].values).all()
+
+
 def test_distinct_count_exact_across_partitions(ray_session):
     """Duplicated (key, value) pairs spread over many partitions count
     once; keys above 2^32 survive; string keys work."""
