@@ -1879,6 +1879,57 @@ ORDER BY c_custkey
 """
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user running event count + running spend (integer cents) in
+    (ts, event_id) order — the cumulative window function. Cents keep
+    the prefix sums integer-exact on both compare sides."""
+    from ..windows import running_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts": t["ts"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.cast(t["value"], pa.float64()),
+                            pa.scalar(100.0),
+                        ),
+                        0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = running_aggregate(ev, "user_id", "ts", "event_id", "cents")
+    return out.map_batches(
+        lambda df: df[["user_id", "event_id", "running_cnt", "running_sum"]]
+        .rename(columns={"running_sum": "running_cents"}),
+        batch_format="pandas",
+    )
+
+
+SQL_RUNNING_TOTALS = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(count(*) OVER w AS BIGINT) AS running_cnt,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS running_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 def q_event_pivot(sf_dir: str):
     """Crosstab: events per user by event type, one int64 column per
     type (static column set, like SQL's CASE WHEN pivot). Combiner
@@ -2250,6 +2301,7 @@ QUERIES = {
     "inner_join": q_inner_join,
     "left_join": q_left_join,
     "event_pivot": q_event_pivot,
+    "running_totals": q_running_totals,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
@@ -2294,6 +2346,7 @@ ORACLE_SQL = {
     "inner_join": SQL_INNER_JOIN,
     "left_join": SQL_LEFT_JOIN,
     "event_pivot": SQL_EVENT_PIVOT,
+    "running_totals": SQL_RUNNING_TOTALS,
     "range_join": SQL_RANGE_JOIN,
     "distinct_count": SQL_DISTINCT_COUNT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

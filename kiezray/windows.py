@@ -187,3 +187,69 @@ def sessionize(
         .groupby("__part")
         .map_groups(sessions_partition, batch_format="pandas")
     )
+
+
+def running_aggregate(
+    events: "ray.data.Dataset",
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    val_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key running count + running sum in event order — the
+    cumulative window function (``sum(v) OVER (PARTITION BY key ORDER BY
+    order, tie ROWS UNBOUNDED PRECEDING)``), which Ray Data has no
+    native operator for.
+
+    Output: the four input columns plus ``running_cnt`` / ``running_sum``
+    (1-based inclusive of the current row). ``tie_col`` must be unique
+    per key so the order — and therefore every prefix — is deterministic
+    and partitioning-invariant.
+
+    Scale shape: rows hash-partition on the key (ONE shuffle; a key
+    never spans two partitions — cumulative state never crosses workers),
+    then each partition orders all its keys with ONE lexsort and computes
+    every key's prefix sums in two vectorized passes (global cumsum minus
+    the value accumulated before the key's first row). Exact for integer
+    ``val_col``; floats inherit the cross-group subtraction's rounding
+    (use integer units — e.g. cents — when byte-exactness matters). Hot
+    keys are bounded by one key's event volume, same caveat as
+    ``sessionize``.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (k % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def prefix_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            g["running_cnt"] = pd.Series(dtype=np.int64)
+            g["running_sum"] = pd.Series(dtype=np.int64)
+            return g
+        key = g[key_col].to_numpy()
+        order = np.lexsort(
+            (g[tie_col].to_numpy(), g[order_col].to_numpy(), key)
+        )
+        sk = key[order]
+        v = g[val_col].to_numpy()[order]
+        first = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        pos = np.arange(len(sk))
+        cnt = pos - starts[grp] + 1
+        cs = np.cumsum(v)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        run = cs - base[grp]
+        out = g.iloc[order].copy()
+        out["running_cnt"] = cnt.astype(np.int64)
+        out["running_sum"] = run
+        return out
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(prefix_partition, batch_format="pandas")
+    )

@@ -43,6 +43,7 @@ CHECKED = [
     ("inner_join", 0),
     ("left_join", 0),
     ("event_pivot", 0),
+    ("running_totals", 0),
     ("range_join", 0),
     ("distinct_count", 0),
     ("stratified_sample", 0),

@@ -66,3 +66,43 @@ def test_sessionize_gaps(events):
         assert (g["session_end"] >= g["session_start"]).all()
         gaps = g["session_start"].to_numpy()[1:] - g["session_end"].to_numpy()[:-1]
         assert (gaps > gap).all()
+
+
+def test_running_aggregate_matches_pandas(ray_session):
+    from kiezray.windows import running_aggregate
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 25, n).astype(np.int64),
+            "o": rng.randint(0, 1000, n).astype(np.int64),
+            "tid": np.arange(n, dtype=np.int64),
+            "v": rng.randint(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = (
+        running_aggregate(
+            ray.data.from_pandas(df).repartition(5), "k", "o", "tid", "v"
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "tid"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "o", "tid"]).reset_index(drop=True)
+    want["running_cnt"] = want.groupby("k").cumcount() + 1
+    want["running_sum"] = want.groupby("k")["v"].cumsum()
+    for c in ["k", "o", "tid", "v", "running_cnt", "running_sum"]:
+        assert (got[c].values == want[c].values).all(), c
+
+    # partitioning invariance: a different block layout, identical output
+    again = (
+        running_aggregate(
+            ray.data.from_pandas(df.sample(frac=1, random_state=1)).repartition(9),
+            "k", "o", "tid", "v",
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "tid"])
+        .reset_index(drop=True)
+    )
+    assert (again["running_sum"].values == want["running_sum"].values).all()
