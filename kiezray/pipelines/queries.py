@@ -1879,6 +1879,40 @@ ORDER BY c_custkey
 """
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality metrics per document (dup-word,
+    top-word, dup-bigram fractions) — embarrassingly parallel, no
+    shuffle; tokenization matches DuckDB string_split semantics."""
+    from ..textops import repetition_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repetition_stats(docs)
+
+
+SQL_REPETITION = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           FROM documents),
+wc AS (SELECT doc_id, wd, count(*) c FROM w GROUP BY doc_id, wd),
+per AS (SELECT doc_id, sum(c) n, count(*) d, max(c) mx
+        FROM wc GROUP BY doc_id),
+lists AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(l)),
+                                    i -> l[i] || chr(1) || l[i+1])) AS b
+       FROM lists WHERE len(l) > 1),
+bper AS (SELECT doc_id, count(*) nb, count(DISTINCT b) db
+         FROM bg GROUP BY doc_id)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       round(1 - d / CAST(n AS DOUBLE), 6) + 0 AS dup_word_frac,
+       round(mx / CAST(n AS DOUBLE), 6) + 0 AS top_word_frac,
+       COALESCE(round(1 - db / CAST(nb AS DOUBLE), 6), 0.0) + 0
+         AS dup_2gram_frac
+FROM per p LEFT JOIN bper b ON p.doc_id = b.doc_id ORDER BY doc_id
+"""
+
+
 def q_running_totals(sf_dir: str):
     """Per-user running event count + running spend (integer cents) in
     (ts, event_id) order — the cumulative window function. Cents keep
@@ -2302,6 +2336,7 @@ QUERIES = {
     "left_join": q_left_join,
     "event_pivot": q_event_pivot,
     "running_totals": q_running_totals,
+    "repetition": q_repetition,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
@@ -2347,6 +2382,7 @@ ORACLE_SQL = {
     "left_join": SQL_LEFT_JOIN,
     "event_pivot": SQL_EVENT_PIVOT,
     "running_totals": SQL_RUNNING_TOTALS,
+    "repetition": SQL_REPETITION,
     "range_join": SQL_RANGE_JOIN,
     "distinct_count": SQL_DISTINCT_COUNT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -170,3 +170,32 @@ def test_top_terms_counts_and_rank(ray_session):
     assert list(de["token"]) == ["der", "hund"]
     assert list(de["cnt"]) == [3, 2]
     assert list(out["rank"]) == [1, 2, 1, 2]
+
+
+def test_repetition_stats_planted(ray_session):
+    import pandas as pd
+
+    from kiezray.textops import repetition_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "a b c d",              # all distinct
+                "a a a a",              # one word repeated
+                "x y x y x y",          # bigram "x y" repeats
+                "solo",                 # single word, no bigrams
+            ],
+        }
+    )
+    out = (
+        repetition_stats(ray.data.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(out["dup_word_frac"], [0.0, 0.75, 4 / 6, 0.0])
+    assert np.allclose(out["top_word_frac"], [0.25, 1.0, 0.5, 1.0])
+    # doc1 bigrams: aa aa aa -> 3 total, 1 distinct -> 2/3
+    # doc2 bigrams: xy yx xy yx xy -> 5 total, 2 distinct -> 0.6
+    assert np.allclose(out["dup_2gram_frac"], [0.0, 2 / 3, 0.6, 0.0], atol=1e-6)

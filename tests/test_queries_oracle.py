@@ -44,6 +44,7 @@ CHECKED = [
     ("left_join", 0),
     ("event_pivot", 0),
     ("running_totals", 0),
+    ("repetition", 0),
     ("range_join", 0),
     ("distinct_count", 0),
     ("stratified_sample", 0),
