@@ -1879,6 +1879,47 @@ ORDER BY c_custkey
 """
 
 
+def q_global_rank(sf_dir: str):
+    """Exact global row numbers for every event ordered by (value,
+    event_id) — the distributed zip-with-index: sampled range boundaries,
+    per-range bincount offsets, one shuffle, no all-to-all sort."""
+    import pandas as pd
+
+    from ..arrowutil import round_away
+    from ..relops import global_rank
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "value": pc.cast(t["value"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = global_rank(ev, "value", "event_id")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "value": round_away(df["value"].to_numpy(), 6),
+                "rank": df["rank"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_GLOBAL_RANK = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       round(CAST(value AS DOUBLE), 6) + 0 AS value,
+       CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rank
+FROM events ORDER BY rank
+"""
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition quality metrics per document (dup-word,
     top-word, dup-bigram fractions) — embarrassingly parallel, no
@@ -2337,6 +2378,7 @@ QUERIES = {
     "event_pivot": q_event_pivot,
     "running_totals": q_running_totals,
     "repetition": q_repetition,
+    "global_rank": q_global_rank,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
@@ -2383,6 +2425,7 @@ ORACLE_SQL = {
     "event_pivot": SQL_EVENT_PIVOT,
     "running_totals": SQL_RUNNING_TOTALS,
     "repetition": SQL_REPETITION,
+    "global_rank": SQL_GLOBAL_RANK,
     "range_join": SQL_RANGE_JOIN,
     "distinct_count": SQL_DISTINCT_COUNT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

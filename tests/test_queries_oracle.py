@@ -45,6 +45,7 @@ CHECKED = [
     ("event_pivot", 0),
     ("running_totals", 0),
     ("repetition", 0),
+    ("global_rank", 0),
     ("range_join", 0),
     ("distinct_count", 0),
     ("stratified_sample", 0),

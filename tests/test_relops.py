@@ -425,3 +425,35 @@ def test_broadcast_join_inner_and_left(ray_session):
     )
     assert len(left_out) == 6
     assert left_out.loc[4, "name"] is None or left_out.loc[4, "name"] != left_out.loc[4, "name"]
+
+
+def test_global_rank_exact_and_partition_invariant(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import global_rank
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    # heavy ties: only 40 distinct values, so many cross a naive boundary
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 40, n).astype(np.float64),
+            "tid": rng.permutation(n).astype(np.int64),
+        }
+    )
+    want = df.sort_values(["v", "tid"]).reset_index(drop=True)
+    want["rank"] = np.arange(1, n + 1, dtype=np.int64)
+
+    for reps, cp in ((4, True), (9, False)):
+        got = (
+            global_rank(
+                ray.data.from_pandas(df).repartition(reps),
+                "v", "tid", num_partitions=8, sample_n=200, checkpoint=cp,
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert (got["rank"].values == want["rank"].values).all()
+        assert (got["v"].values == want["v"].values).all()
+        assert (got["tid"].values == want["tid"].values).all()
