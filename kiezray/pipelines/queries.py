@@ -1879,6 +1879,52 @@ ORDER BY c_custkey
 """
 
 
+def q_pack_chunks(sf_dir: str):
+    """Concat-and-chunk sequence packing of the documents table into
+    256-token training chunks: (chunk_id, doc_id, doc-relative token
+    subrange). Token counts are whitespace-split lengths (DuckDB
+    string_split parity); the packing is the distributed prefix-sum +
+    explode shape of relops.pack_sequences."""
+    from ..relops import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.list_value_length(
+                        pc.split_pattern(
+                            pc.fill_null(t["text"], ""), " "
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", chunk_tokens=256)
+
+
+SQL_PACK_CHUNKS = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) n FROM documents),
+c AS (SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off
+      FROM t),
+chunks AS (SELECT doc_id, n, off,
+                  unnest(range(off // 256, (off + n - 1) // 256 + 1))
+                    AS chunk_id
+           FROM c WHERE n > 0)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(greatest(chunk_id * 256, off) - off AS BIGINT) AS tok_start,
+       CAST(least((chunk_id + 1) * 256, off + n) - off AS BIGINT) AS tok_end
+FROM chunks ORDER BY chunk_id, doc_id
+"""
+
+
 def q_global_rank(sf_dir: str):
     """Exact global row numbers for every event ordered by (value,
     event_id) — the distributed zip-with-index: sampled range boundaries,
@@ -2379,6 +2425,7 @@ QUERIES = {
     "running_totals": q_running_totals,
     "repetition": q_repetition,
     "global_rank": q_global_rank,
+    "pack_chunks": q_pack_chunks,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
@@ -2426,6 +2473,7 @@ ORACLE_SQL = {
     "running_totals": SQL_RUNNING_TOTALS,
     "repetition": SQL_REPETITION,
     "global_rank": SQL_GLOBAL_RANK,
+    "pack_chunks": SQL_PACK_CHUNKS,
     "range_join": SQL_RANGE_JOIN,
     "distinct_count": SQL_DISTINCT_COUNT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

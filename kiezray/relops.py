@@ -788,3 +788,123 @@ def global_rank(
     return tagged.groupby("__part").map_groups(
         rank_partition, batch_format="pandas"
     )
+
+
+def pack_sequences(
+    counts_ds: "ray.data.Dataset",
+    id_col: str,
+    count_col: str,
+    chunk_tokens: int,
+    num_partitions: int = 32,
+    sample_n: int = 4096,
+    seed: int = 0,
+    checkpoint: bool = True,
+) -> "ray.data.Dataset":
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batch layout: documents are concatenated in ``id_col`` order into one
+    global token stream, the stream is cut every ``chunk_tokens`` tokens,
+    and each (chunk, doc) overlap is emitted as a row
+    ``(chunk_id, id, tok_start, tok_end)`` with the doc-relative token
+    subrange ``[tok_start, tok_end)`` that lands in that chunk. Docs
+    longer than a chunk span several rows; docs with ``count <= 0``
+    contribute nothing (and no row).
+
+    Input is the (id, token-count) table — compute counts upstream with
+    ``textops.token_counts`` or any tokenizer stage. ``id_col`` must be
+    unique; the packing is totally determined by the ids and counts, so
+    the output is partitioning-invariant and resumable.
+
+    Scale shape (same distributed prefix-sum skeleton as
+    ``global_rank``): sampled id boundaries range-partition the docs (one
+    shuffle), per-range token totals come from tiny per-batch partials
+    whose prefix sum is each range's global stream offset, and each range
+    then needs ONE lexsort + cumsum + a repeat/arange explode — no global
+    sort, no driver-side doc state, chunk rows stream out as they're
+    computed.
+    """
+    from .sample import bottomk_sample
+
+    samp = bottomk_sample(
+        counts_ds.select_columns([id_col, count_col]), id_col, sample_n, seed
+    ).to_pandas()
+    sv = np.sort(samp[id_col].to_numpy())
+    if len(sv) > 1:
+        cut = np.linspace(0, len(sv) - 1, num_partitions + 1).astype(int)[1:-1]
+        boundaries = np.unique(sv[cut])
+    else:
+        boundaries = sv[:0]
+    nparts = len(boundaries) + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t[id_col].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(boundaries, v, side="left").astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    tagged = counts_ds.map_batches(tag, batch_format="pyarrow")
+    if checkpoint:
+        tagged = tagged.materialize()
+
+    def part_sums(t: pa.Table) -> pa.Table:
+        p = t["__part"].to_numpy(zero_copy_only=False)
+        c = np.maximum(t[count_col].to_numpy(zero_copy_only=False), 0)
+        s = np.zeros(nparts, dtype=np.int64)
+        np.add.at(s, p, c.astype(np.int64))
+        return pa.table(
+            {"p": pa.array(np.arange(nparts), pa.int32()),
+             "s": pa.array(s, pa.int64())}
+        )
+
+    totals = np.zeros(nparts, dtype=np.int64)
+    for b in tagged.map_batches(
+        part_sums, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        np.add.at(
+            totals,
+            b["p"].to_numpy(zero_copy_only=False),
+            b["s"].to_numpy(zero_copy_only=False),
+        )
+    range_off = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    B = int(chunk_tokens)
+
+    def explode_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "chunk_id": pd.Series(dtype=np.int64),
+                id_col: pd.Series(dtype=np.int64),
+                "tok_start": pd.Series(dtype=np.int64),
+                "tok_end": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        p = int(g["__part"].iloc[0])
+        ids = g[id_col].to_numpy()
+        cnt = np.maximum(g[count_col].to_numpy().astype(np.int64), 0)
+        order = np.argsort(ids, kind="stable")
+        ids, cnt = ids[order], cnt[order]
+        off = range_off[p] + np.cumsum(cnt) - cnt  # each doc's stream start
+        keep = cnt > 0
+        ids, cnt, off = ids[keep], cnt[keep], off[keep]
+        if len(ids) == 0:
+            return empty
+        first_chunk = off // B
+        last_chunk = (off + cnt - 1) // B
+        spans = (last_chunk - first_chunk + 1).astype(np.int64)
+        total = int(spans.sum())
+        di = np.repeat(np.arange(len(ids)), spans)
+        starts = np.concatenate(([0], np.cumsum(spans)[:-1]))
+        chunk = first_chunk[di] + (np.arange(total) - starts[di])
+        tok_start = np.maximum(chunk * B, off[di]) - off[di]
+        tok_end = np.minimum((chunk + 1) * B, off[di] + cnt[di]) - off[di]
+        return pd.DataFrame(
+            {
+                "chunk_id": chunk.astype(np.int64),
+                id_col: ids[di],
+                "tok_start": tok_start.astype(np.int64),
+                "tok_end": tok_end.astype(np.int64),
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(
+        explode_partition, batch_format="pandas"
+    )

@@ -46,6 +46,7 @@ CHECKED = [
     ("running_totals", 0),
     ("repetition", 0),
     ("global_rank", 0),
+    ("pack_chunks", 0),
     ("range_join", 0),
     ("distinct_count", 0),
     ("stratified_sample", 0),

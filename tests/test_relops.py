@@ -457,3 +457,55 @@ def test_global_rank_exact_and_partition_invariant(ray_session):
         assert (got["rank"].values == want["rank"].values).all()
         assert (got["v"].values == want["v"].values).all()
         assert (got["tid"].values == want["tid"].values).all()
+
+
+def test_pack_sequences_conservation_and_spanning(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import pack_sequences
+
+    rng = np.random.default_rng(17)
+    n = 500
+    counts = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # mix of empty docs, short docs, and docs longer than a chunk
+            "n_tokens": np.where(
+                rng.random(n) < 0.05, 0, rng.integers(1, 300, n)
+            ).astype(np.int64),
+        }
+    )
+    B = 128
+    out = (
+        pack_sequences(
+            ray.data.from_pandas(counts).repartition(6),
+            "doc_id", "n_tokens", chunk_tokens=B,
+            num_partitions=8, sample_n=64,
+        )
+        .to_pandas()
+        .sort_values(["chunk_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    total = int(counts["n_tokens"].sum())
+    # conservation: every token lands in exactly one chunk row
+    assert int((out["tok_end"] - out["tok_start"]).sum()) == total
+    # per-doc coverage: subranges tile [0, n_tokens) in order
+    per = out.groupby("doc_id")
+    for did, g in per:
+        g = g.sort_values("chunk_id")
+        want_n = int(counts.loc[counts.doc_id == did, "n_tokens"].iloc[0])
+        assert g["tok_start"].iloc[0] == 0
+        assert g["tok_end"].iloc[-1] == want_n
+        assert (g["tok_start"].values[1:] == g["tok_end"].values[:-1]).all()
+        # consecutive chunk ids when a doc spans chunks
+        assert (np.diff(g["chunk_id"].values) == 1).all()
+    # chunk fullness: every chunk except the last holds exactly B tokens
+    chunk_tok = out.groupby("chunk_id").apply(
+        lambda g: int((g["tok_end"] - g["tok_start"]).sum()),
+        include_groups=False,
+    )
+    assert (chunk_tok.values[:-1] == B).all()
+    assert out["chunk_id"].max() == (total - 1) // B
+    # zero-count docs never appear
+    zero_ids = set(counts.loc[counts.n_tokens == 0, "doc_id"])
+    assert not (set(out["doc_id"]) & zero_ids)
