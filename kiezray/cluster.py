@@ -204,3 +204,99 @@ def connected_components_local(edges: list[tuple], nodes=None) -> dict:
         for nd in nodes:
             parent.setdefault(nd, nd)
     return {x: find(x) for x in parent}
+
+
+def kmeans(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 10,
+    seed: int = 0,
+) -> "tuple[ray.data.Dataset, np.ndarray]":
+    """Distributed Lloyd's k-means over an embedding column — the
+    iterative-algorithm shape Ray Data has no native operator for (and
+    the trainer behind any IVF coarse quantizer at corpus scale; the
+    in-memory counterpart is ``IvfIndex._kmeans``, index.py).
+
+    Returns ``(assignments, centroids)``: a Dataset of
+    (id, cluster, dist) rows plus the final (k, d) centroid matrix.
+
+    Scale shape: each of the ``iters`` rounds is ONE streaming pass —
+    centroids go to the object store once per round (``ray.put``; every
+    task reads them zero-copy, never re-shipped per batch), each batch
+    computes assignments with one GEMM and collapses to k partial
+    (count, sum-vector) rows, and the driver folds only k×d floats per
+    batch — never a row of data. No shuffle anywhere; empty clusters
+    keep their previous centroid. Initialization is a deterministic
+    hash-priority sample (partitioning-invariant), so the whole run is
+    reproducible under any block layout.
+    """
+    import ray
+
+    from .arrowutil import emb_to_matrix
+    from .sample import bottomk_sample
+
+    init = bottomk_sample(
+        ds.select_columns([id_col, vec_col]), id_col, k, seed
+    ).to_pandas()
+    order = np.argsort(init[id_col].to_numpy(), kind="stable")
+    cent = np.stack(init[vec_col].to_numpy()[order]).astype(np.float64)
+    k_eff, d = cent.shape
+
+    def sq_assign(x: np.ndarray, c: np.ndarray):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties -> lowest index
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)
+        )
+        a = np.argmin(d2, axis=1)
+        return a, np.maximum(d2[np.arange(len(x)), a], 0.0)
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            x = emb_to_matrix(t[vec_col]).astype(np.float64)
+            c = ray.get(cref)
+            a, _ = sq_assign(x, c)
+            cnt = np.bincount(a, minlength=k_eff).astype(np.int64)
+            sums = np.zeros((k_eff, d), dtype=np.float64)
+            np.add.at(sums, a, x)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(k_eff), pa.int64()),
+                    "n": pa.array(cnt, pa.int64()),
+                    "s": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.ravel(), pa.float64()), d
+                    ),
+                }
+            )
+
+        tot_n = np.zeros(k_eff, dtype=np.int64)
+        tot_s = np.zeros((k_eff, d), dtype=np.float64)
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            ci = b["c"].to_numpy(zero_copy_only=False)
+            np.add.at(tot_n, ci, b["n"].to_numpy(zero_copy_only=False))
+            np.add.at(tot_s, ci, emb_to_matrix(b["s"]))
+        nz = tot_n > 0
+        cent = cent.copy()
+        cent[nz] = tot_s[nz] / tot_n[nz, None]
+
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = emb_to_matrix(t[vec_col]).astype(np.float64)
+        a, d2 = sq_assign(x, ray.get(cref))
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "dist": pa.array(np.sqrt(d2), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow"), cent

@@ -1879,6 +1879,36 @@ ORDER BY c_custkey
 """
 
 
+def q_kmeans(sf_dir: str):
+    """Rows-only (iterative algorithm, no SQL equivalent): distributed
+    Lloyd's k-means over the embeddings table — per-round broadcast
+    centroids + per-batch partial sums, no shuffle; deterministic
+    hash-priority init. Convergence/recovery is pytest-verified on
+    planted blobs (test_cluster.py)."""
+    from ..arrowutil import round_away
+    from ..cluster import kmeans
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned, _ = kmeans(emb, "vec_id", "embedding", k=8, iters=5)
+    return assigned.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": t["cluster"],
+                "dist": pa.array(
+                    round_away(
+                        t["dist"].to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_pack_chunks(sf_dir: str):
     """Concat-and-chunk sequence packing of the documents table into
     256-token training chunks: (chunk_id, doc_id, doc-relative token
@@ -2426,6 +2456,7 @@ QUERIES = {
     "repetition": q_repetition,
     "global_rank": q_global_rank,
     "pack_chunks": q_pack_chunks,
+    "kmeans_clusters": q_kmeans,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,
@@ -2483,5 +2514,7 @@ ORACLE_SQL = {
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality
-    # (hash-function-defined semantics).
+    # (hash-function-defined semantics), ann_graph / ann_pq / ann_rpforest
+    # (approximate by construction; recall-tested vs the exact oracle),
+    # kmeans_clusters (iterative algorithm; planted-blob recovery tests).
 }

@@ -82,3 +82,42 @@ def test_chain_graph_distributed():
     gdf = got.to_pandas()
     assert (gdf["component"] == 0).all()
     assert len(gdf) == n
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    import pandas as pd
+
+    from kiezray.cluster import kmeans
+
+    rng = np.random.RandomState(2)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 8.0]])
+    n_per = 200
+    x = np.concatenate(
+        [c + 0.3 * rng.standard_normal((n_per, 2)) for c in centers]
+    )
+    ids = np.arange(len(x), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vid": pa.array(ids),
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(x.ravel(), pa.float64()), 2
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    assigned, cent = kmeans(ds, "vid", "emb", k=3, iters=8, seed=1)
+    out = assigned.to_pandas().sort_values("vid").reset_index(drop=True)
+    # every planted blob maps to exactly one k-means cluster
+    truth = np.repeat(np.arange(3), n_per)
+    ct = pd.crosstab(truth, out["cluster"].to_numpy())
+    assert (ct.to_numpy() > 0).sum() == 3  # a 3x3 permutation matrix
+    assert sorted(ct.to_numpy().max(axis=1)) == [n_per] * 3
+    # centroids sit near the planted centers (in some order)
+    got = cent[np.argsort(cent[:, 0])]
+    want = centers[np.argsort(centers[:, 0])]
+    assert np.abs(got - want).max() < 0.5
+
+    # partitioning invariance: different block layout, identical labels
+    again, _ = kmeans(ds.repartition(9), "vid", "emb", k=3, iters=8, seed=1)
+    out2 = again.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert (out["cluster"].values == out2["cluster"].values).all()
