@@ -1879,6 +1879,53 @@ ORDER BY c_custkey
 """
 
 
+def q_audio_features(sf_dir: str):
+    """Rows-only: REAL audio path end-to-end — synthetic RIFF/WAVE PCM16
+    payloads -> actor-pool pure-numpy WAV decode -> per-clip acoustic
+    features (duration, rms, zero-crossing rate, spectral centroid).
+    Deterministic; tone-frequency recovery is pytest-verified."""
+    import pyarrow.parquet as pq
+
+    from ..media import audio_features, synth_audio_table
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tbl = synth_audio_table(n=max(64, n_docs // 4), seed=42)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    feats = audio_features(ds)
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "duration_s": pa.array(
+                    round_away(
+                        t["duration_s"].to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+                "rms": pa.array(
+                    round_away(t["rms"].to_numpy(zero_copy_only=False), 6)
+                ),
+                "zcr": pa.array(
+                    round_away(t["zcr"].to_numpy(zero_copy_only=False), 6)
+                ),
+                "spectral_centroid": pa.array(
+                    round_away(
+                        t["spectral_centroid"].to_numpy(
+                            zero_copy_only=False
+                        ),
+                        2,
+                    )
+                ),
+                "peak_freq_hz": pa.array(
+                    round_away(
+                        t["peak_freq_hz"].to_numpy(zero_copy_only=False), 2
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_kmeans(sf_dir: str):
     """Rows-only (iterative algorithm, no SQL equivalent): distributed
     Lloyd's k-means over the embeddings table — per-round broadcast
@@ -2457,6 +2504,7 @@ QUERIES = {
     "global_rank": q_global_rank,
     "pack_chunks": q_pack_chunks,
     "kmeans_clusters": q_kmeans,
+    "audio_features": q_audio_features,
     "range_join": q_range_join,
     "distinct_count": q_distinct_count,
     "stratified_sample": q_stratified_sample,

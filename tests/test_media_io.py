@@ -314,3 +314,51 @@ def test_bucketed_roundtrip_and_alignment(ray_session, tmp_path):
     assert set(some["bucket"].unique()) <= {0, 3}
     full_b = back[back["bucket"].isin([0, 3])]
     assert len(some) == len(full_b)
+
+
+def test_wav_roundtrip_exact():
+    from kiezray.media import decode_wav, encode_wav
+
+    rng = np.random.RandomState(3)
+    mono = (rng.standard_normal(5000) * 8000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (5000, 1)
+    assert (s[:, 0] == mono).all()
+
+    stereo = (rng.standard_normal((300, 2)) * 8000).astype(np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and s2.shape == (300, 2)
+    assert (s2 == stereo).all()
+
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"JUNKJUNKJUNKJUNK" * 10)
+
+
+def test_audio_features_recover_tone_frequency(ray_session):
+    from kiezray.media import audio_features, synth_audio_table
+
+    tbl = synth_audio_table(n=48, seed=7)
+    out = (
+        audio_features(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # the magnitude-spectrum peak recovers the planted tone frequency to
+    # within one FFT bin (rate/n Hz <= 1/0.05s = 20 Hz at our durations)
+    assert (np.abs(out["peak_freq_hz"] - want["true_freq"]) <= 25).all()
+    # the centroid is noise-pulled but must stay in (0, Nyquist)
+    assert (out["spectral_centroid"] > 0).all()
+    assert (out["spectral_centroid"] < 22050).all()
+    assert (out["duration_s"] > 0).all() and (out["rms"] > 0.1).all()
+    # strict mode raises on undecodable payloads
+    import pyarrow as pa
+
+    bad = pa.table({"doc_id": pa.array(["x"]), "payload": pa.array([b"nope"], pa.binary())})
+    with pytest.raises(Exception):
+        audio_features(ray.data.from_arrow(bad), strict=True).to_pandas()
+    # fallback mode is deterministic
+    f1 = audio_features(ray.data.from_arrow(bad)).to_pandas()
+    f2 = audio_features(ray.data.from_arrow(bad)).to_pandas()
+    assert f1["rms"].iloc[0] == f2["rms"].iloc[0]
