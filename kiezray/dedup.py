@@ -844,3 +844,33 @@ def dedup_embedding_cosine(
         lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
     )
     return connected_components(edges, extra_nodes_ds=nodes)
+
+
+def dedup_against_corpus(
+    incoming: "ray.data.Dataset",
+    base: "ray.data.Dataset",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Incremental (delta) dedup: keep only incoming rows whose
+    ``text_col`` does NOT already appear in the base corpus — the
+    "new crawl snapshot vs. everything already ingested" pass that runs
+    before any expensive near-dup stage.
+
+    Scale shape: this is exactly a distributed anti join on the content
+    key — the base side is reduced to its key column, both sides
+    hash-partition on it (ONE shuffle each, the base corpus is never
+    broadcast or collected), and membership is a vectorized ``is_in``
+    per partition (``relops.semi_join``). At 100 TB the base side key
+    column is the only thing that moves, and a pre-hashed fingerprint
+    column (int64) can stand in for raw text to shrink the shuffle."""
+    from .relops import semi_join
+
+    return semi_join(
+        incoming,
+        base,
+        key_left=text_col,
+        key_right=text_col,
+        anti=True,
+        num_partitions=num_partitions,
+    )

@@ -2450,6 +2450,161 @@ ORDER BY doc_id
 # registry
 # ---------------------------------------------------------------------------
 
+def q_redact(sf_dir: str):
+    """Regex redaction of every vowel run — stand-in for the PII-mask
+    pass; one Arrow RE2 kernel per batch, oracle-checked against
+    DuckDB's regexp_replace (both RE2 semantics)."""
+    from ..textops import redact
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return redact(docs, "[aeiou]+", "*", out_col="text_red").select_columns(
+        ["doc_id", "text_red"]
+    )
+
+
+SQL_REDACT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(text, '[aeiou]+', '*', 'g') AS text_red
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: probe strings are a deterministic
+    eval-suite extract (middle 30 chars of every 37th doc), broadcast
+    once; every document is flagged if its text contains any probe."""
+    from ..textops import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    # the probe list is tiny by construction (an eval suite, not the
+    # corpus) — collecting it to the driver is the broadcast, not a leak
+    def extract_probes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_probe = pa.array(
+            (ids % 37 == 0)
+            & (
+                pc.utf8_length(t["text"])
+                .to_numpy(zero_copy_only=False)
+                >= 60
+            )
+        )
+        sel = t.filter(is_probe)
+        return pa.table(
+            {"p": pc.utf8_slice_codeunits(sel["text"], start=20, stop=50)}
+        )
+
+    probe_rows = docs.map_batches(extract_probes, batch_format="pyarrow")
+    probes = [r["p"] for r in probe_rows.take_all()]
+    return decontaminate(docs, probes).select_columns(
+        ["doc_id", "contaminated"]
+    )
+
+
+SQL_DECONTAMINATE = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN EXISTS (
+           SELECT 1 FROM documents p
+           WHERE p.doc_id % 37 = 0 AND length(p.text) >= 60
+             AND contains(d.text, substr(p.text, 21, 30))
+       ) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d ORDER BY doc_id
+"""
+
+
+def q_delta_dedup(sf_dir: str):
+    """Incremental dedup of a synthetic "new snapshot" against the base
+    corpus: even-id incoming docs repeat base texts verbatim (must be
+    dropped), odd-id docs carry a ' v2' suffix (must survive). One
+    distributed anti join on the content key; no broadcast keep-set."""
+    from ..dedup import dedup_against_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mk_incoming(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        odd = pa.array((ids % 2) == 1)
+        suffixed = pc.binary_join_element_wise(
+            t["text"], pa.scalar("v2"), pa.scalar(" ")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + 200000, pa.int64()),
+                "text": pc.if_else(odd, suffixed, t["text"]),
+            }
+        )
+
+    incoming = docs.map_batches(mk_incoming, batch_format="pyarrow")
+    kept = dedup_against_corpus(incoming, docs, text_col="text")
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DELTA_DEDUP = """
+WITH inc AS (
+    SELECT CAST(doc_id AS BIGINT) + 200000 AS doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+    FROM documents)
+SELECT i.doc_id FROM inc i
+WHERE NOT EXISTS (SELECT 1 FROM documents b WHERE b.text = i.text)
+ORDER BY doc_id
+"""
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Seeded deterministic global shuffle of the corpus: every doc gets
+    an exact shuffle position (rank of its Knuth hash priority) —
+    reproducible training-shard order, oracle-checked with the same
+    arithmetic as row_number() over the hashed key."""
+    from ..sample import deterministic_shuffle
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    out = deterministic_shuffle(docs, "doc_id", seed=9)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shuffle_pos": pc.cast(t["rank"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SHUFFLE_RANK = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (
+           ORDER BY ((CAST(doc_id AS HUGEINT) + 9) * 11400714819323198485)
+                    % 18446744073709551616, doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -2511,6 +2666,10 @@ QUERIES = {
     "top_terms": q_top_terms,
     "broadcast_join": q_broadcast_join,
     "quality_filter": q_quality_filter,
+    "redact": q_redact,
+    "decontaminate": q_decontaminate,
+    "delta_dedup": q_delta_dedup,
+    "shuffle_rank": q_shuffle_rank,
 }
 
 ORACLE_SQL = {
@@ -2559,6 +2718,10 @@ ORACLE_SQL = {
     "top_terms": SQL_TOP_TERMS,
     "broadcast_join": SQL_BROADCAST_JOIN,
     "quality_filter": SQL_QUALITY_FILTER,
+    "redact": SQL_REDACT,
+    "decontaminate": SQL_DECONTAMINATE,
+    "delta_dedup": SQL_DELTA_DEDUP,
+    "shuffle_rank": SQL_SHUFFLE_RANK,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -126,3 +126,38 @@ def bottomk_sample(
         .repartition(1)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def deterministic_shuffle(
+    ds: "ray.data.Dataset",
+    col: str,
+    seed: int = 0,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Seeded global shuffle for training-data output: every row gets an
+    exact 1-based ``rank`` that is a deterministic permutation of the
+    corpus (order by Knuth hash of ``col``, ties by ``col``), identical
+    across runs and partitionings — unlike ``ds.random_shuffle()``,
+    whose layout depends on block boundaries.
+
+    Scale shape: priorities are one vectorized multiply per batch, and
+    the ranking reuses ``relops.global_rank`` (sampled range boundaries
+    + bincount offsets + ONE shuffle) — no all-to-all sort of anything
+    but range-local data. Writing the result partitioned by
+    ``rank // rows_per_shard`` yields reproducible, resumable training
+    shards."""
+    from .relops import global_rank
+
+    def add_pri(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__pri", pa.array(_priority(vals, seed), pa.uint64())
+        )
+
+    ranked = global_rank(
+        ds.map_batches(add_pri, batch_format="pyarrow"),
+        "__pri",
+        col,
+        num_partitions=num_partitions,
+    )
+    return ranked.drop_columns(["__pri"])

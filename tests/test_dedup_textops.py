@@ -199,3 +199,86 @@ def test_repetition_stats_planted(ray_session):
     # doc1 bigrams: aa aa aa -> 3 total, 1 distinct -> 2/3
     # doc2 bigrams: xy yx xy yx xy -> 5 total, 2 distinct -> 0.6
     assert np.allclose(out["dup_2gram_frac"], [0.0, 2 / 3, 0.6, 0.0], atol=1e-6)
+
+
+def test_redact_vectorized(ray_session):
+    from kiezray.textops import redact
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["call 555 1234 now", "no digits here"]),
+        }
+    )
+    out = (
+        redact(ray.data.from_arrow(t), r"[0-9]+", "<NUM>")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["text"].tolist() == [
+        "call <NUM> <NUM> now",
+        "no digits here",
+    ]
+    # out_col keeps the original intact
+    out2 = (
+        redact(ray.data.from_arrow(t), r"[0-9]+", "#", out_col="red")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out2["text"].tolist()[0] == "call 555 1234 now"
+    assert out2["red"].tolist()[0] == "call # # now"
+
+
+def test_decontaminate_flags_probe_hits(ray_session):
+    from kiezray.textops import decontaminate
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps",
+                    "a clean document with safe words",
+                    "contains the secret eval answer inside",
+                    "another clean one",
+                ]
+            ),
+        }
+    )
+    out = (
+        decontaminate(
+            ray.data.from_arrow(docs).repartition(2),
+            probes=["secret eval answer", "quick brown fox"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [1, 0, 1, 0]
+    assert out["contaminated"].dtype == np.int64
+
+
+def test_dedup_against_corpus_anti_join(ray_session):
+    from kiezray.dedup import dedup_against_corpus
+
+    base = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma"]),
+        }
+    )
+    inc = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(["beta", "delta", "alpha", "epsilon"]),
+        }
+    )
+    kept = (
+        dedup_against_corpus(
+            ray.data.from_arrow(inc).repartition(2),
+            ray.data.from_arrow(base).repartition(2),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert kept["doc_id"].tolist() == [11, 13]
+    assert kept["text"].tolist() == ["delta", "epsilon"]

@@ -53,6 +53,10 @@ CHECKED = [
     ("top_terms", 0),
     ("broadcast_join", 0),
     ("quality_filter", 0),
+    ("redact", 0),
+    ("decontaminate", 0),
+    ("delta_dedup", 0),
+    ("shuffle_rank", 0),
 ]
 
 

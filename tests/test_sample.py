@@ -73,3 +73,35 @@ def test_stratified_sample_partition_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert got[["id", "src"]].equals(want)
+
+
+def test_deterministic_shuffle_is_permutation_and_invariant(ray_session):
+    from kiezray.sample import deterministic_shuffle
+
+    a = (
+        deterministic_shuffle(_ds(5000, 4), "id", seed=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        deterministic_shuffle(_ds(5000, 11), "id", seed=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # exact permutation: ranks are 1..n with no gaps
+    assert sorted(a["rank"]) == list(range(1, 5001))
+    # partition-invariant: the same seed gives the same permutation
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()
+    # a different seed gives a different permutation
+    c = (
+        deterministic_shuffle(_ds(5000, 4), "id", seed=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (c["rank"].to_numpy() != a["rank"].to_numpy()).any()
+    # actually shuffled: rank order decorrelated from id order
+    rho = np.corrcoef(a["id"].to_numpy(), a["rank"].to_numpy())[0, 1]
+    assert abs(rho) < 0.1
