@@ -2605,6 +2605,44 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF keywords per document: shuffle-free per-batch TF,
+    token-partitioned DF fold, co-partitioned TF x DF join, per-doc
+    top-k — the corpus-weighted keyword extraction pass."""
+    from ..textops import tfidf_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return tfidf_topk(docs, k=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS d FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           tf.c * ln((SELECT nn FROM n) / d) AS s,
+           CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.c * ln((SELECT nn FROM n) / d) DESC, tf.tok
+           ) AS BIGINT) AS rank
+    FROM tf JOIN df USING (tok))
+SELECT doc_id, tok, round(s, 6) + 0 AS tfidf, rank
+FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -2670,6 +2708,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "delta_dedup": q_delta_dedup,
     "shuffle_rank": q_shuffle_rank,
+    "tfidf_topk": q_tfidf,
 }
 
 ORACLE_SQL = {
@@ -2722,6 +2761,7 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "delta_dedup": SQL_DELTA_DEDUP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
+    "tfidf_topk": SQL_TFIDF,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -550,3 +550,142 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def tfidf_topk(
+    docs_ds: "ray.data.Dataset",
+    k: int = 3,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF terms per document — the corpus-weighted keyword
+    extraction pass (tf * ln(N / df), SMART ltc-free raw-count variant).
+
+    Scale shape (two corpus statistics, neither broadcast-unbounded):
+
+    1. **TF is shuffle-free**: each document lives in one row, so the
+       per-batch lexsort + ``reduceat`` combiner emits exact
+       (doc, token, count) rows — the raw token stream never leaves the
+       worker.
+    2. **DF is a keyed fold**: TF rows are per-doc-unique, so document
+       frequency is a row count per token — per-batch bincount partials
+       hash-partition on the token and fold with one reduceat per
+       partition (same shape as ``top_terms``).
+    3. TF joins DF **co-partitioned on the token** (``relops.hash_join``
+       — the DF table is corpus-vocabulary sized, so it is joined, not
+       broadcast), the score is one vectorized multiply-log, and per-doc
+       ranking reuses ``grouped_topk`` (no global sort, deterministic
+       ``(score DESC, token ASC)`` ties).
+
+    The TF dataset is materialized once because two downstream passes
+    (DF fold + join) consume it — it is the collapsed (doc, token)
+    table, far smaller than the corpus, and blocks spill to the object
+    store rather than any node holding it whole."""
+    import pyarrow.compute as pc
+
+    from .relops import grouped_topk, hash_join
+
+    n_docs = docs_ds.count()
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "tok": pd.Series(dtype=object),
+                "c": pd.Series(dtype=np.int64),
+            }
+        )
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        didx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        ct, ut = pd.factorize(flat)
+        order = np.lexsort((ct, didx))
+        sd, st = didx[order], ct[order]
+        first = np.concatenate(
+            ([True], (sd[1:] != sd[:-1]) | (st[1:] != st[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, total))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64)[
+                    sd[starts]
+                ],
+                "tok": ut[st[starts]],
+                "c": cnt.astype(np.int64),
+            }
+        )
+
+    tf = docs_ds.map_batches(tf_partial, batch_format="pandas").materialize()
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct, ut = pd.factorize(batch["tok"].to_numpy())
+        cnt = np.bincount(ct).astype(np.int64)
+        part = (
+            pd.util.hash_array(ut.astype(object)).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame({"tok_r": ut, "d_p": cnt, "__dpart": part})
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        ct, ut = pd.factorize(g["tok_r"].to_numpy())
+        d = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(d, ct, g["d_p"].to_numpy())
+        return pd.DataFrame({"tok_r": ut, "d": d})
+
+    df_rows = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("__dpart")
+        .map_groups(df_fold, batch_format="pandas")
+    )
+
+    joined = hash_join(
+        tf, df_rows, "tok", "tok_r", num_partitions=num_partitions
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = c * np.log(float(n_docs) / d)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tok": t["tok"],
+                "tfidf": pa.array(s, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = grouped_topk(
+        scored,
+        key_col="doc_id",
+        order_col="tfidf",
+        k=k,
+        descending=True,
+        tie_col="tok",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tok": t["tok"],
+                "tfidf": pa.array(
+                    round_away(
+                        t["tfidf"].to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+                "rank": pc.cast(t["rank"], pa.int64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")

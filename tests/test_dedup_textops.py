@@ -282,3 +282,42 @@ def test_dedup_against_corpus_anti_join(ray_session):
     )
     assert kept["doc_id"].tolist() == [11, 13]
     assert kept["text"].tolist() == ["delta", "epsilon"]
+
+
+def test_tfidf_topk_hand_computed(ray_session):
+    import math
+
+    from kiezray.textops import tfidf_topk
+
+    # 4 docs: "rare" appears in 1 doc, "common" in all 4
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "common rare rare",
+                    "common common other",
+                    "common other",
+                    "common",
+                ]
+            ),
+        }
+    )
+    out = (
+        tfidf_topk(ray.data.from_arrow(docs).repartition(2), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # doc 0 top term: "rare" tf=2, df=1 -> 2*ln(4/1)
+    r0 = out[(out.doc_id == 0) & (out["rank"] == 1)].iloc[0]
+    assert r0["tok"] == "rare"
+    assert abs(r0["tfidf"] - round(2 * math.log(4.0), 6)) < 1e-9
+    # "common" has df=4 -> idf 0 -> score 0 everywhere
+    assert (out[out.tok == "common"]["tfidf"] == 0).all()
+    # doc 3 has only "common": exactly one row
+    assert len(out[out.doc_id == 3]) == 1
+    # at most k rows per doc, ranks contiguous from 1
+    for d, g in out.groupby("doc_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 2

@@ -57,6 +57,7 @@ CHECKED = [
     ("decontaminate", 0),
     ("delta_dedup", 0),
     ("shuffle_rank", 0),
+    ("tfidf_topk", 0),
 ]
 
 
