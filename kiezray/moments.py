@@ -1,0 +1,197 @@
+"""Moment-based statistics operators: grouped z-score normalization,
+Pearson correlation, fixed-width histograms, and ROLLUP aggregates.
+
+All follow the combiner-partial pattern: each ``map_batches`` task emits a
+tiny partial-moment table (one row per key seen in the batch), a single
+small ``groupby`` folds partials, and the result is either returned (corr,
+histogram, rollup) or broadcast back via ``ray.put`` for a second
+normalization pass (z-score). No stage ever shuffles the raw rows, so at
+100 TB the only all-to-all traffic is O(distinct keys) — the shape the
+reference's driver-side ``np.mean``/``np.std`` calibration
+(kiez/hubness_reduction/mutual_proximity.py:97-103) cannot reach.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _grouped_moment_partials(
+    ds: "ray.data.Dataset", key_col: str, val_col: str
+) -> "ray.data.Dataset":
+    """Per-batch (key, n, s1, s2) partials — the combiner step."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        v = df[val_col].to_numpy(dtype=np.float64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk))
+        s1 = np.bincount(inv, weights=v, minlength=len(uk))
+        s2 = np.bincount(inv, weights=v * v, minlength=len(uk))
+        return pd.DataFrame({key_col: uk, "n": n, "s1": s1, "s2": s2})
+
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def grouped_moments(
+    ds: "ray.data.Dataset", key_col: str, val_col: str
+) -> pd.DataFrame:
+    """(key, n, mean, sd_pop) — one streaming pass, tiny result."""
+    from ray.data.aggregate import Sum
+
+    folded = (
+        _grouped_moment_partials(ds, key_col, val_col)
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2"))
+        .to_pandas()  # O(distinct keys) rows — small by construction
+    )
+    n = folded["n"].to_numpy(dtype=np.float64)
+    mean = folded["s1"].to_numpy() / n
+    var = np.maximum(folded["s2"].to_numpy() / n - mean * mean, 0.0)
+    return pd.DataFrame(
+        {key_col: folded[key_col], "n": folded["n"].astype(np.int64),
+         "mean": mean, "sd": np.sqrt(var)}
+    )
+
+
+def zscore(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    out_col: str = "z",
+) -> "ray.data.Dataset":
+    """Per-key standardization ``(v - mean_key) / sd_key`` of every row.
+
+    Two passes over the data: one moment reduction (tiny shuffle over
+    distinct keys), then a map with the moment table broadcast via
+    ``ray.put`` — read once per task from the object store, never
+    re-shipped per batch. Keys with sd == 0 emit z = 0. Rows whose key has
+    a single occurrence also get z = 0 (sd is 0 there).
+    """
+    stats = grouped_moments(ds, key_col, val_col)
+    lookup_ref = ray.put(
+        {
+            k: (m, s)
+            for k, m, s in zip(stats[key_col], stats["mean"], stats["sd"])
+        }
+    )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        keys = df[key_col].to_numpy()
+        uk, inv = np.unique(keys, return_inverse=True)
+        mu = np.array([lookup[k][0] for k in uk])[inv]
+        sd = np.array([lookup[k][1] for k in uk])[inv]
+        v = df[val_col].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            z = np.where(sd > 0, (v - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pd.DataFrame(
+            {id_col: df[id_col], key_col: keys, out_col: z}
+        )
+
+    return ds.select_columns([id_col, key_col, val_col]).map_batches(
+        norm, batch_format="pandas"
+    )
+
+
+def pearson_corr(
+    ds: "ray.data.Dataset", x_col: str, y_col: str
+) -> pd.DataFrame:
+    """Pearson correlation via one pass of 6 scalar moment partials."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+                "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    folded = (
+        ds.select_columns([x_col, y_col])
+        .map_batches(partial, batch_format="pandas")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    n, sx, sy, sxx, syy, sxy = (folded[c] for c in cols)
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    r = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+    return pd.DataFrame({"corr": [r], "n": [int(n)]})
+
+
+def value_histogram(
+    ds: "ray.data.Dataset", val_col: str, width: float
+) -> "ray.data.Dataset":
+    """Fixed-width-bin counts: per-batch bincount partials + tiny fold.
+
+    Bin id = floor(v / width) (works for negatives). The shuffle moves
+    O(distinct bins) rows per task, never the data.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(dtype=np.float64)
+        bins = np.floor(v / width).astype(np.int64)
+        ub, cnt = np.unique(bins, return_counts=True)
+        return pd.DataFrame({"bin": ub, "n": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.select_columns([val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def rollup_sum_count(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    val_col: str,
+    total_label: str = "ALL",
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP(*key_cols) with Sum(val_col) + Count(*).
+
+    One distributed pass computes the finest-level aggregate (the only
+    scan of the raw data); every coarser ROLLUP level is derived from
+    that tiny table driver-side — re-aggregating k levels costs
+    O(levels x distinct keys), not k extra scans. NULL group markers are
+    replaced by ``total_label`` so the result has no nulls.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        ds.select_columns(key_cols + [val_col])
+        .groupby(key_cols)
+        .aggregate(Sum(val_col, alias_name="s"), Count(alias_name="c"))
+        .to_pandas()  # O(distinct key combos) — small by construction
+    )
+    frames = []
+    for level in range(len(key_cols), -1, -1):
+        keep = key_cols[:level]
+        if keep:
+            g = finest.groupby(keep, as_index=False).agg(
+                s=("s", "sum"), c=("c", "sum")
+            )
+        else:
+            g = pd.DataFrame(
+                {"s": [finest["s"].sum()], "c": [finest["c"].sum()]}
+            )
+        for col in key_cols[level:]:
+            g[col] = total_label
+        frames.append(g[key_cols + ["s", "c"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["c"] = out["c"].astype(np.int64)
+    return out

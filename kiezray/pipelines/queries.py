@@ -2643,6 +2643,148 @@ FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_zscore(sf_dir: str):
+    """Per-event-type z-score normalization of every event's value
+    (tiny moment shuffle + broadcast second pass; raw rows never
+    shuffle)."""
+    from ..moments import zscore
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = zscore(ev, "event_type", "value", "event_id")
+    return out.map_batches(
+        lambda df: df.assign(z=round_away(df["z"], 6)),
+        batch_format="pandas",
+    )
+
+
+SQL_ZSCORE = """
+WITH m AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN m.sd > 0 THEN (e.value - m.mu) / m.sd
+                  ELSE 0.0 END, 6) + 0 AS z
+FROM events e JOIN m USING (event_type)
+ORDER BY event_id
+"""
+
+
+def q_column_corr(sf_dir: str):
+    """Pearson correlation of two lineitem measures from one pass of six
+    scalar moment partials (no shuffle at all — a pure tree reduce)."""
+    from ..moments import pearson_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    out = pearson_corr(li, "l_quantity", "l_extendedprice")
+    out["corr"] = round_away(out["corr"], 6)
+    return out
+
+
+SQL_COLUMN_CORR = """
+SELECT round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr,
+       count(*) AS n
+FROM lineitem
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of events.value (width 5): per-batch
+    bincount partials, one tiny fold over distinct bins."""
+    from ..moments import value_histogram
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(ev, "value", 5.0)
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
+FROM events GROUP BY bin ORDER BY bin
+"""
+
+
+def q_rollup_sales(sf_dir: str):
+    """GROUP BY ROLLUP (returnflag, linestatus) over lineitem: one
+    distributed finest-level pass; coarser levels derived from the tiny
+    aggregate, not re-scans."""
+    from ..moments import rollup_sum_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    out = rollup_sum_count(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice"
+    )
+    out = out.rename(columns={"s": "sum_price", "c": "n"})
+    out["sum_price"] = round_away(out["sum_price"], 2)
+    return out
+
+
+SQL_ROLLUP_SALES = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_extendedprice), 2) + 0 AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user LAG delta (microseconds since the user's previous event);
+    one key-hash shuffle, one lexsort + diff per partition."""
+    from ..windows import event_gaps
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return event_gaps(ev, "user_id", "ts", "event_id")
+
+
+SQL_EVENT_GAPS = """
+WITH w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS es,
+         lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, es - prev AS gap_us
+FROM w WHERE prev IS NOT NULL ORDER BY event_id
+"""
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Duplicate token 3-grams across >= 2 distinct documents, top 100 by
+    document frequency (substring-dedup discovery pass)."""
+    from ..textops import dup_ngrams
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return dup_ngrams(docs, n=3, min_docs=2, k=100)
+
+
+SQL_DUP_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS ngram
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+  WHERE len(ts) >= 3)
+SELECT ngram, count(*) AS n_docs
+FROM grams GROUP BY ngram HAVING count(*) >= 2
+ORDER BY n_docs DESC, ngram LIMIT 100
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -2709,6 +2851,12 @@ QUERIES = {
     "delta_dedup": q_delta_dedup,
     "shuffle_rank": q_shuffle_rank,
     "tfidf_topk": q_tfidf,
+    "zscore": q_zscore,
+    "column_corr": q_column_corr,
+    "value_histogram": q_value_histogram,
+    "rollup_sales": q_rollup_sales,
+    "event_gaps": q_event_gaps,
+    "dup_ngrams": q_dup_ngrams,
 }
 
 ORACLE_SQL = {
@@ -2762,6 +2910,12 @@ ORACLE_SQL = {
     "delta_dedup": SQL_DELTA_DEDUP,
     "shuffle_rank": SQL_SHUFFLE_RANK,
     "tfidf_topk": SQL_TFIDF,
+    "zscore": SQL_ZSCORE,
+    "column_corr": SQL_COLUMN_CORR,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "rollup_sales": SQL_ROLLUP_SALES,
+    "event_gaps": SQL_EVENT_GAPS,
+    "dup_ngrams": SQL_DUP_NGRAMS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

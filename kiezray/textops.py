@@ -689,3 +689,131 @@ def tfidf_topk(
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_ngrams(
+    docs_ds: "ray.data.Dataset",
+    n: int = 3,
+    min_docs: int = 2,
+    k: int = 100,
+    num_partitions: int = 32,
+) -> "pd.DataFrame":
+    """Duplicate token n-grams across the corpus: the n-grams that occur
+    in >= ``min_docs`` DISTINCT documents, top-``k`` by document
+    frequency (ties break by ngram ascending) — the discovery pass of
+    substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Scale shape: a document is one row, so every one of its n-grams is
+    seen by exactly one batch — each batch therefore dedupes its
+    (doc, ngram) pairs EXACTLY and emits partial (ngram,
+    distinct-doc-count) combiner rows; partials hash-partition on the
+    ngram (one shuffle of pre-aggregated rows, never the token stream),
+    each partition folds with one lexsort + ``add.reduceat`` and keeps
+    only its local top-``k`` survivors (correct: an ngram lives in
+    exactly one partition), and the driver merges <= partitions x k
+    tiny rows. All token/ngram assembly is flat-array vectorized.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ngram": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype=np.int64),
+                "__gpart": pd.Series(dtype=np.int32),
+            }
+        )
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        big = np.flatnonzero(lens >= n)
+        if len(big) == 0:
+            return empty
+        counts_b = lens[big] - n + 1
+        tot_b = int(counts_b.sum())
+        # window-start indices into the flat token array, never crossing
+        # a document boundary (same shift trick as fingerprint())
+        shift = np.repeat(
+            offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
+            counts_b,
+        )
+        starts = shift + np.arange(tot_b)
+        grams = flat[starts]
+        for j in range(1, n):
+            grams = grams + " "
+            grams = grams + flat[starts + j]
+        docs = np.repeat(big, counts_b)
+        cg, ug = pd.factorize(grams)
+        # exact within-batch (doc, ngram) dedupe -> distinct-doc partials
+        order = np.lexsort((docs, cg))
+        sg, sd = cg[order], docs[order]
+        keep = np.concatenate(
+            ([True], (sg[1:] != sg[:-1]) | (sd[1:] != sd[:-1]))
+        )
+        kg = sg[keep]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], kg[1:] != kg[:-1]))
+        )
+        cnt = np.diff(np.append(firsts, len(kg)))
+        toks = ug[kg[firsts]]
+        part = (
+            pd.util.hash_array(toks).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {"ngram": toks, "n_docs": cnt.astype(np.int64), "__gpart": part}
+        )
+
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ngram": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        cg, ug = pd.factorize(g["ngram"].to_numpy())
+        cnt = g["n_docs"].to_numpy()
+        order = np.argsort(cg, kind="stable")
+        sg, sc = cg[order], cnt[order]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], sg[1:] != sg[:-1]))
+        )
+        sums = np.add.reduceat(sc, firsts)
+        hot = sums >= min_docs
+        if not hot.any():
+            return empty
+        out = pd.DataFrame(
+            {
+                "ngram": ug[sg[firsts[hot]]],
+                "n_docs": sums[hot].astype(np.int64),
+            }
+        )
+        # local top-k is safe: an ngram never spans two partitions
+        out = out.sort_values(
+            ["n_docs", "ngram"], ascending=[False, True]
+        ).head(k)
+        return out.reset_index(drop=True)
+
+    survivors = (
+        docs_ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__gpart")
+        .map_groups(fold_partition, batch_format="pandas")
+        .to_pandas()  # <= num_partitions * k rows
+    )
+    return (
+        survivors.sort_values(["n_docs", "ngram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -253,3 +253,65 @@ def running_aggregate(
         .groupby("__part")
         .map_groups(prefix_partition, batch_format="pandas")
     )
+
+
+def event_gaps(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key LAG delta: microseconds since the key's previous event —
+    ``epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY key ORDER BY ts,
+    id)``. Each key's first event (no predecessor) is omitted.
+
+    Output: (id_col, key_col, gap_us int64). Same scale shape as
+    ``sessionize``: ONE hash-partition shuffle on the key (a key never
+    spans two partitions), then one lexsort + np.diff per partition —
+    no per-key group dispatch, no global sort. ``id_col`` must be unique
+    so tie order (and therefore which row is "previous") is
+    deterministic under any partitioning.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def gaps_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                key_col: pd.Series(dtype=np.int64),
+                "gap_us": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ids, us, keys))
+        k, i, e = keys[order], ids[order], us[order]
+        same = k[1:] == k[:-1]  # rows 1.. whose predecessor shares the key
+        if not same.any():
+            return empty
+        sel = np.flatnonzero(same) + 1
+        return pd.DataFrame(
+            {
+                id_col: i[sel],
+                key_col: k[sel],
+                "gap_us": (e[sel] - e[sel - 1]).astype(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns([id_col, key_col, ts_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(gaps_partition, batch_format="pandas")
+    )

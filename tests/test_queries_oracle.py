@@ -58,6 +58,12 @@ CHECKED = [
     ("delta_dedup", 0),
     ("shuffle_rank", 0),
     ("tfidf_topk", 0),
+    ("zscore", 0),
+    ("column_corr", 0),
+    ("value_histogram", 0),
+    ("rollup_sales", 0),
+    ("event_gaps", 0),
+    ("dup_ngrams", 0),
 ]
 
 
