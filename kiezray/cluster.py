@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pandas as pd
 import ray.data
 from ray.data.aggregate import Min
 
@@ -300,3 +301,139 @@ def kmeans(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow"), cent
+
+
+def triangle_count(
+    edges_ds: "ray.data.Dataset",
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 64,
+) -> int:
+    """Exact triangle count of an undirected graph given as (a, b) edge
+    rows (either orientation, duplicates tolerated).
+
+    The node-iterator algorithm in two shuffles, each triangle counted
+    exactly once at its minimum vertex: (1) edges normalize to a < b and
+    hash-partition on ``a`` so each partition holds complete
+    greater-neighbor lists N+(u) = {v : u<v, (u,v) in E} for its nodes,
+    and emits every wedge (v, w), v < w, from each list — vectorized
+    pair enumeration, no per-node Python; (2) wedges and edges
+    hash-partition on the packed (v, w) key and each partition counts
+    wedge keys that are also edge keys via one ``np.searchsorted`` over
+    its sorted edge keys. Wedge volume is sum_u deg+(u)^2/2 — bounded
+    for kNN-type graphs (deg <= k); salt hot vertices upstream for
+    power-law graphs.
+    """
+    from .dedup import _splitmix64
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        part = (
+            _splitmix64(lo.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    ndist = edges_ds.map_batches(norm, batch_format="pyarrow")
+
+    def wedges_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"v": pd.Series(dtype=np.int64), "w": pd.Series(dtype=np.int64)}
+        )
+        if len(g) == 0:
+            return empty
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        # dedupe edges, group by center a; neighbor lists arrive b-sorted
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        a, b = a[keep], b[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], a[1:] != a[:-1]))
+        )
+        deg = np.diff(np.append(starts, len(a)))
+        # all ordered pairs (v, w) v<w within each neighbor run: for run
+        # of length d there are d*(d-1)/2 wedges; enumerate via a flat
+        # arange split into per-run local (i, j) index pairs
+        npairs = deg * (deg - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return empty
+        run = np.repeat(np.arange(len(deg)), npairs)
+        loc = np.arange(tot) - np.repeat(
+            np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs
+        )
+        d = deg[run]
+        # unrank flat wedge index -> (i, j), i<j, within a d-neighbor
+        # run: with rem = M - loc pairs remaining (M = d(d-1)/2), the
+        # first index i = d - x where x is minimal with x(x-1)/2 >= rem
+        # (closed form + integer fixup against sqrt rounding)
+        M = npairs[run]
+        rem = M - loc
+        x = ((1.0 + np.sqrt(8.0 * rem + 1.0)) / 2.0).astype(np.int64)
+        x += x * (x - 1) // 2 < rem
+        i = d - x
+        j = i + 1 + (loc - (M - x * (x - 1) // 2))
+        base = starts[run]
+        return pd.DataFrame({"v": b[base + i], "w": b[base + j]})
+
+    wedges = ndist.groupby("__part").map_groups(
+        wedges_partition, batch_format="pandas"
+    )
+
+    def pack(t: pa.Table, va: str, vb: str, side: int) -> pa.Table:
+        v = t[va].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t[vb].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = _splitmix64(v) ^ _splitmix64(~w)
+        part = (
+            _splitmix64(key) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "key": pa.array(key.astype(np.int64), pa.int64()),
+                "__side": pa.array(
+                    np.full(len(t), side, dtype=np.int8), pa.int8()
+                ),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    tagged = wedges.map_batches(
+        lambda t: pack(t, "v", "w", 0), batch_format="pyarrow"
+    ).union(
+        ndist.map_batches(
+            lambda t: pack(t, "a", "b", 1), batch_format="pyarrow"
+        )
+    )
+
+    def count_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64)})
+        keys = g["key"].to_numpy()
+        side = g["__side"].to_numpy()
+        ek = np.unique(keys[side == 1])
+        wk = keys[side == 0]
+        if len(ek) == 0 or len(wk) == 0:
+            return pd.DataFrame({"n": [0]})
+        pos = np.searchsorted(ek, wk)
+        pos_c = np.minimum(pos, len(ek) - 1)
+        return pd.DataFrame({"n": [int((ek[pos_c] == wk).sum())]})
+
+    partials = (
+        tagged.groupby("__part")
+        .map_groups(count_partition, batch_format="pandas")
+        .to_pandas()  # <= num_partitions rows
+    )
+    return int(partials["n"].sum())

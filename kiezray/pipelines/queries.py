@@ -14,6 +14,7 @@ grouped shuffles, label propagation), not ad-hoc driver code.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -2785,6 +2786,173 @@ ORDER BY n_docs DESC, ngram LIMIT 100
 """
 
 
+def q_grouped_mad(sf_dir: str):
+    """Per-event-type median + MAD (robust dispersion), quantile_disc
+    semantics; one key-hash shuffle, two lexsorts per partition."""
+    from ..quantile import grouped_mad
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_mad(ev, "event_type", "value")
+
+
+SQL_GROUPED_MAD = """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type)
+SELECT e.event_type, any_value(m.med) AS med,
+       quantile_disc(abs(e.value - m.med), 0.5) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def q_bloom_semi(sf_dir: str):
+    """Semi join with a Bloom-filter pre-pass: lineitem rows of urgent
+    orders. Result-identical to the exact semi join; the bloom bitmap
+    (broadcast once) keeps non-matching rows out of the shuffle."""
+    from ..relops import bloom_semi_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+
+
+SQL_BLOOM_SEMI = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_train_split(sf_dir: str):
+    """Leakage-safe train/val/test split: every member of a near-dup
+    component gets the SAME split, assigned deterministically from the
+    component representative (min id) — duplicate pairs can never
+    straddle train and eval."""
+    comp = q_components(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = t["component"].to_numpy(zero_copy_only=False)
+        m = c % 10
+        split = np.where(m <= 7, "train", np.where(m == 8, "val", "test"))
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "component": t["component"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return comp.map_batches(assign, batch_format="pyarrow")
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the mutual-5NN graph over all embeddings
+    (min-vertex wedge enumeration + one edge-membership shuffle)."""
+    from ..cluster import triangle_count
+    from ..dedup import dedup_pair_rows
+    from ..search import knn_search, shard_refs_from_dataset
+
+    ds = _emb_ds(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(ds)
+    knn = knn_search(ds, shards, k=5, exclude_self=True)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        ids_col = t["neigh_ids"].combine_chunks()
+        kk = len(ids_col[0]) if len(ids_col) else 0
+        ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(
+            len(q), kk
+        )
+        keep = (ids >= 0).ravel()
+        a = np.repeat(q, kk)[keep]
+        b = ids.ravel()[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b), pa.int64()),
+                "b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    directed = knn.map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # mutual edge <=> normalized pair seen from both endpoints
+    edges = dedup_pair_rows(directed, min_count=2)
+    n = triangle_count(edges)
+    return pd.DataFrame({"triangles": [n]})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+d AS (SELECT x.vec_id i, y.vec_id j, list_distance(x.e, y.e) dist
+      FROM v x JOIN v y ON x.vec_id <> y.vec_id),
+knn AS (SELECT i, j FROM
+        (SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY dist, j) rn
+         FROM d) WHERE rn <= 5),
+mut AS (SELECT k1.i a, k1.j b FROM knn k1
+        JOIN knn k2 ON k2.i = k1.j AND k2.j = k1.i
+        WHERE k1.i < k1.j)
+SELECT count(*) AS triangles
+FROM mut e1 JOIN mut e2 ON e2.a = e1.b
+JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-50 PMI collocations (adjacent-token bigrams, count >= 5)."""
+    from ..textops import pmi_bigrams
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return pmi_bigrams(docs, min_count=5, k=50)
+
+
+SQL_PMI_BIGRAMS = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+uni AS (SELECT u.t AS tok, count(*) AS n
+        FROM toks, unnest(ts) AS u(t) GROUP BY tok),
+tt AS (SELECT CAST(sum(n) AS DOUBLE) v FROM uni),
+big AS (SELECT ts[i] AS a, ts[i + 1] AS b, count(*) AS n_ab
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        WHERE len(ts) >= 2 GROUP BY a, b),
+bb AS (SELECT CAST(sum(n_ab) AS DOUBLE) v FROM big),
+scored AS (
+  SELECT big.a || ' ' || big.b AS bigram, big.n_ab,
+         round(ln((big.n_ab / (SELECT v FROM bb)) /
+               ((ua.n / (SELECT v FROM tt)) * (ub.n / (SELECT v FROM tt)))),
+               6) + 0 AS pmi
+  FROM big JOIN uni ua ON ua.tok = big.a JOIN uni ub ON ub.tok = big.b
+  WHERE big.n_ab >= 5)
+SELECT bigram, n_ab, pmi FROM scored
+ORDER BY pmi DESC, bigram LIMIT 50
+"""
+
+
+SQL_TRAIN_SPLIT = SQL_COMPONENTS.rstrip().rsplit("SELECT", 1)[0] + """SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component,
+       CASE WHEN min(r) % 10 <= 7 THEN 'train'
+            WHEN min(r) % 10 = 8 THEN 'val' ELSE 'test' END AS split
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -2857,6 +3025,11 @@ QUERIES = {
     "rollup_sales": q_rollup_sales,
     "event_gaps": q_event_gaps,
     "dup_ngrams": q_dup_ngrams,
+    "grouped_mad": q_grouped_mad,
+    "bloom_semi": q_bloom_semi,
+    "train_split": q_train_split,
+    "triangle_count": q_triangle_count,
+    "pmi_bigrams": q_pmi_bigrams,
 }
 
 ORACLE_SQL = {
@@ -2916,6 +3089,11 @@ ORACLE_SQL = {
     "rollup_sales": SQL_ROLLUP_SALES,
     "event_gaps": SQL_EVENT_GAPS,
     "dup_ngrams": SQL_DUP_NGRAMS,
+    "grouped_mad": SQL_GROUPED_MAD,
+    "bloom_semi": SQL_BLOOM_SEMI,
+    "train_split": SQL_TRAIN_SPLIT,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

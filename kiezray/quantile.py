@@ -284,3 +284,71 @@ def grouped_quantiles(
         .groupby("__part")
         .map_groups(quants_partition, batch_format="pandas")
     )
+
+
+def grouped_mad(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key median + MAD (median absolute deviation), both with
+    ``quantile_disc`` semantics (rank ceil(n/2)-1 of the sorted run) —
+    the robust per-group dispersion/outlier-threshold pass.
+
+    One key-hash shuffle (string or integer keys); each partition
+    computes ALL of its keys' medians with one lexsort, then all MADs
+    with a second lexsort over the absolute deviations. No per-key group
+    dispatch; same bounded-key partitioning assumption as
+    ``grouped_quantiles``. Output: (key, med, mad).
+    """
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        part = (
+            pd.util.hash_array(k).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def mad_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=g[key_col].dtype),
+                "med": pd.Series(dtype=np.float64),
+                "mad": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        v = g[val_col].to_numpy(dtype=np.float64)
+        ck, uk = pd.factorize(keys)
+        n_all = np.bincount(ck, minlength=len(uk))
+
+        def disc_median(order):
+            sk = ck[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], sk[1:] != sk[:-1]))
+            )
+            # groups appear in factorize-code order after the lexsort, so
+            # starts[i] is the run of key code i; rank = ceil(n/2) - 1
+            rank = starts + (n_all + 1) // 2 - 1
+            return v_sorted[rank]
+
+        order1 = np.lexsort((v, ck))
+        v_sorted = v[order1]
+        med = disc_median(order1)
+        dev = np.abs(v - med[ck])
+        order2 = np.lexsort((dev, ck))
+        v_sorted = dev[order2]
+        mad = disc_median(order2)
+        return pd.DataFrame({key_col: uk, "med": med, "mad": mad})
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(mad_partition, batch_format="pandas")
+    )

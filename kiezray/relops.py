@@ -908,3 +908,80 @@ def pack_sequences(
     return tagged.groupby("__part").map_groups(
         explode_partition, batch_format="pandas"
     )
+
+
+def bloom_semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_left: str,
+    key_right: str,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 4,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Semi join with a Bloom-filter pre-pass: result-identical to
+    ``semi_join`` (the filter only DISCARDS rows that provably have no
+    match; survivors still go through the exact keyed verify), but the
+    expensive shuffle only moves left rows that pass the filter.
+
+    Scale shape: each right-side batch emits its distinct key hashes (a
+    tiny combiner partial), the driver folds them into one m_bits bitmap
+    (512 KiB at the default — the right side of a semi join is the small
+    side by definition), the bitmap broadcasts once via ``ray.put``, and
+    the left side tests k splitmix probes per row fully vectorized. At a
+    1% match rate this cuts the exact join's shuffle volume ~100x —
+    false positives (~(1-e^{-kn/m})^k) only cost verify work, never
+    correctness.
+    """
+    from .dedup import _splitmix64
+
+    words = m_bits // 64
+
+    def right_hashes(t: pa.Table) -> pa.Table:
+        k = t[key_right].to_numpy(zero_copy_only=False)
+        h = np.unique(pd.util.hash_array(k).astype(np.uint64))
+        return pa.table({"h": pa.array(h.astype(np.int64), pa.int64())})
+
+    partials = right.map_batches(
+        right_hashes, batch_format="pyarrow"
+    ).to_arrow_refs()
+    bits = np.zeros(words, dtype=np.uint64)
+    seeds = np.arange(1, k_hashes + 1, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    for ref in partials:  # driver folds tiny distinct-hash partials
+        h = ray.get(ref)["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for s in seeds:
+            p = _splitmix64(h ^ s) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                bits, (p >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (p & np.uint64(63)),
+            )
+    bits_ref = ray.put(bits)
+
+    class BloomFilter:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t[key_left].to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(k).astype(np.uint64)
+            keep = np.ones(len(t), dtype=bool)
+            for s in seeds:
+                p = _splitmix64(h ^ s) % np.uint64(m_bits)
+                word = self.bits[(p >> np.uint64(6)).astype(np.int64)]
+                keep &= (
+                    word >> (p & np.uint64(63)) & np.uint64(1)
+                ).astype(bool)
+            return t.filter(pa.array(keep))
+
+    survivors = left.map_batches(
+        BloomFilter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return semi_join(
+        survivors, right, key_left, key_right,
+        num_partitions=num_partitions,
+    )

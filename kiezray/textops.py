@@ -817,3 +817,182 @@ def dup_ngrams(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def pmi_bigrams(
+    docs_ds: "ray.data.Dataset",
+    min_count: int = 5,
+    k: int = 50,
+    num_partitions: int = 32,
+) -> "pd.DataFrame":
+    """Pointwise-mutual-information collocations: the top-``k`` adjacent
+    token bigrams by PMI = ln((n_ab/B) / ((n_a/T)(n_b/T))) with
+    occurrence count >= ``min_count`` (ties by bigram ascending) — the
+    phrase-mining pass of a corpus-analysis pipeline.
+
+    Scale shape: each batch emits pre-aggregated unigram and bigram
+    count partials (the token stream never leaves the worker
+    un-aggregated); unigram partials fold once (token-hash partition);
+    bigram partials fold on the packed bigram hash, filter to
+    >= min_count survivors, and pick up n_a / n_b via two hash joins of
+    already-tiny aggregated tables — the corpus totals T and B are two
+    scalar tree-reduces. Each partition keeps only its local top-``k``
+    (safe: final ranking merges <= partitions x k survivor rows
+    driver-side).
+    """
+    from .relops import hash_join
+
+    def partial_uni(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"tok": pd.Series(dtype=object),
+                 "n_tok": pd.Series(dtype=np.int64)}
+            )
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        ut, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"tok": ut, "n_tok": cnt.astype(np.int64)})
+
+    def partial_big(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "n_ab": pd.Series(dtype=np.int64)}
+        )
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        big = np.flatnonzero(lens >= 2)
+        if len(big) == 0:
+            return empty
+        counts_b = lens[big] - 1
+        shift = np.repeat(
+            offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
+            counts_b,
+        )
+        starts = shift + np.arange(int(counts_b.sum()))
+        a, b = flat[starts], flat[starts + 1]
+        pair = a + "\x1f"
+        pair = pair + b
+        up, cnt = np.unique(pair, return_counts=True)
+        parts = pd.Series(up).str.split("\x1f")
+        return pd.DataFrame(
+            {
+                "a": parts.str[0].to_numpy(dtype=object),
+                "b": parts.str[1].to_numpy(dtype=object),
+                "n_ab": cnt.astype(np.int64),
+            }
+        )
+
+    texts = docs_ds.select_columns(["text"])
+    uni_part = texts.map_batches(partial_uni, batch_format="pandas")
+    big_part = texts.map_batches(partial_big, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    T = uni_part.aggregate(Sum("n_tok", alias_name="s"))["s"]
+    B = big_part.aggregate(Sum("n_ab", alias_name="s"))["s"]
+
+    def fold(key_cols):
+        def add_part(g: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(g[key_cols[0]].to_numpy(dtype=object))
+            for c in key_cols[1:]:
+                h = h ^ pd.util.hash_array(g[c].to_numpy(dtype=object))
+            g = g.copy()
+            g["__part"] = (
+                h.astype(np.uint64) % np.uint64(num_partitions)
+            ).astype(np.int32)
+            return g
+
+        def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["__part"])
+            if len(g) == 0:
+                return g
+            val = [c for c in g.columns if c not in key_cols][0]
+            return (
+                g.groupby(key_cols, as_index=False, sort=False)[val]
+                .sum()
+            )
+
+        return add_part, fold_partition
+
+    ap_u, fp_u = fold(["tok"])
+    uni = (
+        uni_part.map_batches(ap_u, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fp_u, batch_format="pandas")
+    )
+    ap_b, fp_b = fold(["a", "b"])
+    bigr = (
+        big_part.map_batches(ap_b, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fp_b, batch_format="pandas")
+        .filter(lambda r: r["n_ab"] >= min_count)
+    )
+
+    uni_a = uni.map_batches(
+        lambda df: df.rename(columns={"tok": "ua", "n_tok": "n_a"}),
+        batch_format="pandas",
+    )
+    uni_b = uni.map_batches(
+        lambda df: df.rename(columns={"tok": "ub", "n_tok": "n_b"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        hash_join(bigr, uni_a, "a", "ua", num_partitions=8),
+        uni_b, "b", "ub", num_partitions=8,
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"bigram": pd.Series(dtype=object),
+                 "n_ab": pd.Series(dtype=np.int64),
+                 "pmi": pd.Series(dtype=np.float64)}
+            )
+        pmi = np.log(
+            (df["n_ab"].to_numpy() / B)
+            / (
+                (df["n_a"].to_numpy() / T)
+                * (df["n_b"].to_numpy() / T)
+            )
+        )
+        out = pd.DataFrame(
+            {
+                "bigram": df["a"].to_numpy(dtype=object)
+                + " "
+                + df["b"].to_numpy(dtype=object),
+                "n_ab": df["n_ab"].to_numpy(),
+                # rank on the ROUNDED pmi so the k-boundary can't flip on
+                # a last-ulp libm difference vs the SQL oracle's ln()
+                "pmi": round_away(pmi, 6),
+            }
+        )
+        # local top-k; global merge happens driver-side over <= P*k rows
+        return (
+            out.sort_values(["pmi", "bigram"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    survivors = joined.map_batches(score, batch_format="pandas").to_pandas()
+    return (
+        survivors.sort_values(["pmi", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -116,3 +116,87 @@ def test_dup_ngrams_counts_distinct_docs():
     assert m["quick brown fox"] == 2
     # within-doc repeats don't inflate the distinct-doc count
     assert all(v >= 2 for v in m.values())
+
+
+def test_triangle_count_matches_bruteforce():
+    import itertools
+
+    from kiezray.cluster import triangle_count
+
+    rng = np.random.default_rng(3)
+    n_nodes = 40
+    a = rng.integers(0, n_nodes, 300)
+    b = rng.integers(0, n_nodes, 300)
+    edges = pd.DataFrame({"a": a, "b": b})
+    adj = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x == y:
+            continue
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = sum(
+        1
+        for u, v, w in itertools.combinations(sorted(adj), 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    got = triangle_count(ray.data.from_pandas(edges).repartition(5))
+    assert got == want and want > 0
+
+
+def test_bloom_semi_join_equals_exact_semi_join():
+    from kiezray.relops import bloom_semi_join, semi_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 1000, 5000), "v": np.arange(5000)}
+    )
+    right = pd.DataFrame({"rk": rng.integers(0, 100, 200)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    got = (
+        bloom_semi_join(lds, rds, "k", "rk", m_bits=1 << 12)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    want = (
+        semi_join(lds, rds, "k", "rk")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_mad_string_keys():
+    from kiezray.quantile import grouped_mad
+
+    df = pd.DataFrame(
+        {"k": ["x"] * 5 + ["y"] * 4,
+         "v": [1.0, 2.0, 3.0, 4.0, 100.0, 10.0, 10.0, 10.0, 10.0]}
+    )
+    out = (
+        grouped_mad(ray.data.from_pandas(df).repartition(3), "k", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # x: sorted [1,2,3,4,100] -> med 3 (rank ceil(2.5)-1=2), absdev
+    # [2,1,0,1,97] sorted [0,1,1,2,97] -> mad 1
+    assert out.loc[0, "med"] == 3.0 and out.loc[0, "mad"] == 1.0
+    # y: even n=4 -> disc rank ceil(2)-1 = 1 -> 10; mad 0
+    assert out.loc[1, "med"] == 10.0 and out.loc[1, "mad"] == 0.0
+
+
+def test_pmi_bigrams_ranks_collocation_first():
+    from kiezray.textops import pmi_bigrams
+
+    docs = pd.DataFrame(
+        {
+            "text": ["hong kong is big", "i went to hong kong", "hong kong"]
+            * 3
+            + ["the of and is to the of and is to"] * 6
+        }
+    )
+    out = pmi_bigrams(
+        ray.data.from_pandas(docs).repartition(3), min_count=3, k=5
+    )
+    # "i went" is the purest collocation (both words occur only here);
+    # "hong kong" follows with 9 co-occurrences
+    assert out.loc[0, "bigram"] == "i went"
+    m = dict(zip(out["bigram"], out["n_ab"]))
+    assert m["hong kong"] == 9

@@ -64,6 +64,11 @@ CHECKED = [
     ("rollup_sales", 0),
     ("event_gaps", 0),
     ("dup_ngrams", 0),
+    ("grouped_mad", 0),
+    ("bloom_semi", 0),
+    ("train_split", 0),
+    ("triangle_count", 0),
+    ("pmi_bigrams", 0),
 ]
 
 
