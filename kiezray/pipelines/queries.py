@@ -2953,6 +2953,26 @@ FROM reach GROUP BY node ORDER BY vec_id
 """
 
 
+def q_event_seq(sf_dir: str):
+    """Per-user ordered event-type sequence (string_agg ORDER BY ts,
+    event_id): the training-example assembly pass over an event log."""
+    from ..windows import event_sequences
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_sequences(ev)
+
+
+SQL_EVENT_SEQ = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3030,6 +3050,7 @@ QUERIES = {
     "train_split": q_train_split,
     "triangle_count": q_triangle_count,
     "pmi_bigrams": q_pmi_bigrams,
+    "event_seq": q_event_seq,
 }
 
 ORACLE_SQL = {
@@ -3094,6 +3115,7 @@ ORACLE_SQL = {
     "train_split": SQL_TRAIN_SPLIT,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "event_seq": SQL_EVENT_SEQ,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -315,3 +315,74 @@ def event_gaps(
         .groupby("__part")
         .map_groups(gaps_partition, batch_format="pandas")
     )
+
+
+def event_sequences(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_type",
+    sep: str = ",",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key ordered value concatenation — SQL ``string_agg(val, sep
+    ORDER BY ts, id)`` — the "assemble a training sequence from a user's
+    event history" pass. Output: (key_col, seq, n_events).
+
+    Scale shape: one key-hash shuffle (a key never spans two
+    partitions), then each partition orders ALL of its keys with one
+    lexsort and builds every key's string with one vectorized
+    ``np.add.reduceat``-style segmented join (no per-key Python loop;
+    the only O(rows) Python cost is the final join over per-key slices,
+    which pandas does in C). ``id_col`` must be unique so the order is
+    deterministic under any partitioning.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def seq_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=np.int64),
+                "seq": pd.Series(dtype=object),
+                "n_events": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g[val_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, us, keys))
+        k, v = keys[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1]))
+        )
+        n = np.diff(np.append(starts, len(k)))
+        # segmented join: one separator-interleaved flat array, sliced
+        # per key — the C-level str.join path, no per-row concat loop
+        joined = pd.Series(v).groupby(
+            np.repeat(np.arange(len(starts)), n)
+        ).agg(sep.join).to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                key_col: k[starts],
+                "seq": joined,
+                "n_events": n.astype(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns([key_col, ts_col, id_col, val_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(seq_partition, batch_format="pandas")
+    )

@@ -200,3 +200,27 @@ def test_pmi_bigrams_ranks_collocation_first():
     assert out.loc[0, "bigram"] == "i went"
     m = dict(zip(out["bigram"], out["n_ab"]))
     assert m["hong kong"] == 9
+
+
+def test_event_sequences_order_and_determinism():
+    from kiezray.windows import event_sequences
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:02", "2024-01-01 00:00:01",
+         "2024-01-01 00:00:01", "2024-01-01 00:00:09"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": [4, 2, 1, 9],
+            "user_id": [1, 1, 1, 2],
+            "ts": ts,
+            "event_type": ["c", "b", "a", "x"],
+        }
+    )
+    out = (
+        event_sequences(ray.data.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    # ts asc, event_id tie-break: (1,a) before (2,b), then (4,c)
+    assert list(out["seq"]) == ["a,b,c", "x"]
+    assert list(out["n_events"]) == [3, 1]

@@ -69,6 +69,7 @@ CHECKED = [
     ("train_split", 0),
     ("triangle_count", 0),
     ("pmi_bigrams", 0),
+    ("event_seq", 0),
 ]
 
 
