@@ -96,10 +96,30 @@ def run_stage(
             tbl = pa.table({})
         pq.write_table(tbl, os.path.join(tmp_data, "empty.parquet"))
     rows = ray.data.read_parquet(tmp_data).count()
+    # per-partition lineage: one entry per output file, from parquet
+    # footers only (no data read) — a resumed/debugging run can see which
+    # partition produced how many rows without scanning the stage
+    import pyarrow.parquet as _pq
+
+    partitions = []
+    for fn in sorted(os.listdir(tmp_data)):
+        fpath = os.path.join(tmp_data, fn)
+        try:
+            md = _pq.read_metadata(fpath)
+            partitions.append(
+                {
+                    "file": fn,
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(fpath),
+                }
+            )
+        except Exception:
+            continue
     manifest = {
         "stage": name,
         "fingerprint": fp,
         "row_count": rows,
+        "partitions": partitions,
         "wall_s": round(time.time() - t0, 3),
         "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }

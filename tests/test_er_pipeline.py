@@ -144,6 +144,11 @@ def test_checkpoint_resume(small_docs, tmp_path):
     }
     assert all(m["row_count"] >= 0 for m in mans.values())
     assert sum(m["row_count"] for k, m in mans.items() if "shard" in k) > 0
+    # per-partition lineage: every manifest itemizes its output files and
+    # the per-file rows sum to the stage row count
+    for m in mans.values():
+        assert sum(p["rows"] for p in m["partitions"]) == m["row_count"]
+        assert all(p["bytes"] > 0 for p in m["partitions"])
 
 
 def test_hub_block_is_split(small_docs):
