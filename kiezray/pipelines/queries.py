@@ -2973,6 +2973,43 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_full_join(sf_dir: str):
+    """Full-outer co-partitioned equi-join between two OVERLAPPING
+    subsets (high-value orders x a quarter of customers): unmatched rows
+    survive from BOTH sides with typed Arrow nulls."""
+    from ..relops import hash_join
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 150000.0)
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(pc.cast(t["c_custkey"], pa.int64()), 3), 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_join(ords, cust, "o_custkey", "c_custkey", how="full")
+
+
+SQL_FULL_JOIN = """
+WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_totalprice > 150000.0),
+c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 4 = 0)
+SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_acctbal
+FROM o FULL JOIN c ON o.o_custkey = c.c_custkey
+ORDER BY o_orderkey, c_custkey
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3051,6 +3088,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "pmi_bigrams": q_pmi_bigrams,
     "event_seq": q_event_seq,
+    "full_join": q_full_join,
 }
 
 ORACLE_SQL = {
@@ -3116,6 +3154,7 @@ ORACLE_SQL = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "event_seq": SQL_EVENT_SEQ,
+    "full_join": SQL_FULL_JOIN,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -256,8 +256,10 @@ def hash_join(
     ``pandas.merge``; the unmatched part is padded on the ARROW side
     (never through pandas), so right-side int64/timestamp columns keep
     their exact types instead of pandas' NaN float coercion."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"hash_join how must be 'inner', 'left' or 'full', got {how!r}"
+        )
     ls = _arrow_schema(left)
     rs = _arrow_schema(right)
     lf_names = list(ls.names)
@@ -279,20 +281,43 @@ def hash_join(
             cols[n] = pa.nulls(len(lf_t), typ)
         return pa.table(cols, schema=out_schema)
 
+    def _null_pad_right(rf_t: pa.Table) -> pa.Table:
+        cols = {n: pa.nulls(len(rf_t), typ) for n, typ in out_fields[: len(lf_names)]}
+        for n in rf_names:
+            cols[n] = rf_t[n]
+        return pa.table(cols, schema=out_schema)
+
     def join_partition(g: pa.Table) -> pa.Table:
         side = g["__side"]
         lf_t = g.filter(pc.equal(side, 0)).select(lf_names)
         rf_t = g.filter(pc.equal(side, 1)).select(rf_names)
         if len(lf_t) == 0:
+            if how == "full" and len(rf_t):
+                return _null_pad_right(rf_t)
             return out_schema.empty_table()
         if len(rf_t) == 0:
-            if how == "left":
+            if how in ("left", "full"):
                 return _null_pad(lf_t)
             return out_schema.empty_table()
-        if how == "left":
+        parts = []
+        if how in ("left", "full"):
             matched = pc.is_in(lf_t[key_left], value_set=rf_t[key_right])
             matched = pc.fill_null(matched, False)
             unmatched_t = lf_t.filter(pc.invert(matched))
+            if len(unmatched_t):
+                parts.append(_null_pad(unmatched_t))
+            if how == "full":
+                # right-unmatched tested against the UNFILTERED left keys;
+                # null right keys never match (SQL semantics) and the
+                # matched left side below has no null keys, so pandas'
+                # NaN-matching quirk can't reintroduce them
+                rmatched = pc.fill_null(
+                    pc.is_in(rf_t[key_right], value_set=lf_t[key_left]),
+                    False,
+                )
+                unmatched_r = rf_t.filter(pc.invert(rmatched))
+                if len(unmatched_r):
+                    parts.append(_null_pad_right(unmatched_r))
             lf_t = lf_t.filter(matched)
         lf = lf_t.to_pandas()
         rf = rf_t.to_pandas()
@@ -304,8 +329,8 @@ def hash_join(
             schema=out_schema,
             preserve_index=False,
         )
-        if how == "left" and len(unmatched_t):
-            return pa.concat_tables([inner_t, _null_pad(unmatched_t)])
+        if parts:
+            return pa.concat_tables([inner_t] + parts)
         return inner_t
 
     return tagged.groupby("__part").map_groups(

@@ -70,6 +70,7 @@ CHECKED = [
     ("triangle_count", 0),
     ("pmi_bigrams", 0),
     ("event_seq", 0),
+    ("full_join", 0),
 ]
 
 

@@ -509,3 +509,39 @@ def test_pack_sequences_conservation_and_spanning(ray_session):
     # zero-count docs never appear
     zero_ids = set(counts.loc[counts.n_tokens == 0, "doc_id"])
     assert not (set(out["doc_id"]) & zero_ids)
+
+
+def test_full_join_matches_pandas_outer():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import hash_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {"lk": rng.integers(0, 40, 200), "lv": np.arange(200)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(20, 60, 100), "rv": np.arange(100) * 1.5}
+    )
+    got = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            "lk", "rk", how="full",
+        )
+        .to_pandas()
+        .sort_values(["lk", "lv", "rk", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="lk", right_on="rk", how="outer")
+        .sort_values(["lk", "lv", "rk", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["lk", "lv", "rk", "rv"]:
+        g = got[c].to_numpy(dtype=float)
+        w = want[c].to_numpy(dtype=float)
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), c
