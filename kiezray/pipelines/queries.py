@@ -3010,6 +3010,34 @@ ORDER BY o_orderkey, c_custkey
 """
 
 
+def q_lm_score(sf_dir: str):
+    """Per-document mean unigram log-likelihood (statistical LM quality
+    scoring); token counts co-partition with doc tokens — no vocabulary
+    broadcast."""
+    from ..textops import lm_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_score(docs)
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(coalesce(text, '')), '\\s+'),
+             t -> t <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tt AS (SELECT CAST(count(*) AS DOUBLE) v FROM toks)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(sum(ln(c.n / (SELECT v FROM tt))) / count(*), 6) + 0
+         AS lm_score
+FROM toks t JOIN cnt c USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3089,6 +3117,7 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "event_seq": q_event_seq,
     "full_join": q_full_join,
+    "lm_score": q_lm_score,
 }
 
 ORACLE_SQL = {
@@ -3155,6 +3184,7 @@ ORACLE_SQL = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "event_seq": SQL_EVENT_SEQ,
     "full_join": SQL_FULL_JOIN,
+    "lm_score": SQL_LM_SCORE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

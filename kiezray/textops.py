@@ -996,3 +996,188 @@ def pmi_bigrams(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def lm_score(
+    docs_ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-document mean unigram log-likelihood ``avg(ln(n_tok / T))`` —
+    the statistical LM quality score (low = rare-token-heavy docs:
+    gibberish, boilerplate codes, OCR noise). Output: (id_col, n_tokens,
+    lm_score) for docs with >= 1 token.
+
+    Scale shape (two combiner-sized shuffles, the raw token stream never
+    moves): (1) corpus token counts fold on token-hash partitions (the
+    ``top_terms`` shape) and the corpus total T is a scalar tree-reduce;
+    (2) per-doc (doc, tok, k) combiner partials co-partition WITH the
+    count table on the token hash (tagged union), each partition turns
+    its docs' tokens into partial (doc, sum k*ln(n), sum k) rows via one
+    merge + segmented reduce, and a final doc-hash partition folds
+    per-doc partials. No vocabulary broadcast — the count table can be
+    corpus-sized.
+    """
+
+    def tok_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc": pd.Series(dtype=np.int64),
+                "tok": pd.Series(dtype=object),
+                "k": pd.Series(dtype=np.int64),
+                "__side": pd.Series(dtype=np.int8),
+                "__part": pd.Series(dtype=np.int32),
+            }
+        )
+        texts = batch[text_col].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        docs = np.repeat(batch[id_col].to_numpy(dtype=np.int64), lens)
+        ct, ut = pd.factorize(flat)
+        order = np.lexsort((ct, docs))
+        sd, st = docs[order], ct[order]
+        first = np.concatenate(
+            ([True], (sd[1:] != sd[:-1]) | (st[1:] != st[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        k = np.diff(np.append(starts, total))
+        toks = ut[st[starts]]
+        part = (
+            pd.util.hash_array(toks).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "doc": sd[starts],
+                "tok": toks,
+                "k": k.astype(np.int64),
+                "__side": np.zeros(len(toks), dtype=np.int8),
+                "__part": part,
+            }
+        )
+
+    doc_tok = docs_ds.select_columns([id_col, text_col]).map_batches(
+        tok_partials, batch_format="pandas"
+    )
+
+    # corpus counts: fold the same partials (side 0 rows ARE per-batch
+    # (doc, tok) counts; summing k over tok gives exact corpus counts)
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"tok": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        return (
+            g.groupby("tok", as_index=False, sort=False)["k"]
+            .sum()
+            .rename(columns={"k": "n"})
+        )
+
+    counts = (
+        doc_tok.groupby("__part")
+        .map_groups(count_fold, batch_format="pandas")
+    )
+    from ray.data.aggregate import Sum
+
+    T = float(counts.aggregate(Sum("n", alias_name="s"))["s"])
+
+    def tag_counts(df: pd.DataFrame) -> pd.DataFrame:
+        part = (
+            pd.util.hash_array(df["tok"].to_numpy(dtype=object)).astype(
+                np.uint64
+            )
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "doc": np.full(len(df), -1, dtype=np.int64),
+                "tok": df["tok"],
+                "k": df["n"],
+                "__side": np.ones(len(df), dtype=np.int8),
+                "__part": part,
+            }
+        )
+
+    tagged = doc_tok.union(
+        counts.map_batches(tag_counts, batch_format="pandas")
+    )
+
+    def score_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc": pd.Series(dtype=np.int64),
+                "sum_ll": pd.Series(dtype=np.float64),
+                "n_tok": pd.Series(dtype=np.int64),
+                "__dpart": pd.Series(dtype=np.int32),
+            }
+        )
+        from .dedup import _splitmix64
+
+        side = g["__side"].to_numpy()
+        dt = g[side == 0]
+        cn = g[side == 1]
+        if len(dt) == 0 or len(cn) == 0:
+            return empty
+        m = dt.merge(
+            cn[["tok", "k"]].rename(columns={"k": "n"}), on="tok", how="inner"
+        )
+        ll = m["k"].to_numpy() * np.log(m["n"].to_numpy() / T)
+        docs = m["doc"].to_numpy()
+        order = np.argsort(docs, kind="stable")
+        sd, sll, sk = docs[order], ll[order], m["k"].to_numpy()[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sd[1:] != sd[:-1]))
+        )
+        out = pd.DataFrame(
+            {
+                "doc": sd[starts],
+                "sum_ll": np.add.reduceat(sll, starts),
+                "n_tok": np.add.reduceat(sk, starts).astype(np.int64),
+            }
+        )
+        out["__dpart"] = (
+            _splitmix64(out["doc"].to_numpy().astype(np.uint64))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return out
+
+    partials = tagged.groupby("__part").map_groups(
+        score_partition, batch_format="pandas"
+    )
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "n_tokens": pd.Series(dtype=np.int64),
+                "lm_score": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        f = g.groupby("doc", as_index=False, sort=False).agg(
+            sum_ll=("sum_ll", "sum"), n_tok=("n_tok", "sum")
+        )
+        return pd.DataFrame(
+            {
+                id_col: f["doc"],
+                "n_tokens": f["n_tok"].astype(np.int64),
+                "lm_score": round_away(
+                    f["sum_ll"].to_numpy() / f["n_tok"].to_numpy(), 6
+                ),
+            }
+        )
+
+    return partials.groupby("__dpart").map_groups(
+        doc_fold, batch_format="pandas"
+    )

@@ -224,3 +224,26 @@ def test_event_sequences_order_and_determinism():
     # ts asc, event_id tie-break: (1,a) before (2,b), then (4,c)
     assert list(out["seq"]) == ["a,b,c", "x"]
     assert list(out["n_events"]) == [3, 1]
+
+
+def test_lm_score_matches_direct_computation():
+    from kiezray.textops import lm_score
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "b c", ""],
+        }
+    )
+    out = (
+        lm_score(ray.data.from_pandas(docs).repartition(2))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # corpus counts: a=2, b=2, c=1, T=5; empty doc emits no row
+    T = 5.0
+    want1 = (2 * np.log(2 / T) + np.log(2 / T)) / 3
+    want2 = (np.log(2 / T) + np.log(1 / T)) / 2
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_tokens"]) == [3, 2]
+    assert out.loc[0, "lm_score"] == pytest.approx(want1, abs=1e-6)
+    assert out.loc[1, "lm_score"] == pytest.approx(want2, abs=1e-6)

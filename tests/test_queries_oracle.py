@@ -71,6 +71,7 @@ CHECKED = [
     ("pmi_bigrams", 0),
     ("event_seq", 0),
     ("full_join", 0),
+    ("lm_score", 0),
 ]
 
 
