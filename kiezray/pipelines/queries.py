@@ -3038,6 +3038,29 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_grouped_rank(sf_dir: str):
+    """Per-user event row numbers (window-function row_number): one
+    key-hash shuffle + one lexsort per partition."""
+    from ..relops import grouped_rank
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = grouped_rank(ev, "user_id", "ts", "event_id")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GROUPED_RANK = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rank
+FROM events ORDER BY event_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3118,6 +3141,7 @@ QUERIES = {
     "event_seq": q_event_seq,
     "full_join": q_full_join,
     "lm_score": q_lm_score,
+    "grouped_rank": q_grouped_rank,
 }
 
 ORACLE_SQL = {
@@ -3185,6 +3209,7 @@ ORACLE_SQL = {
     "event_seq": SQL_EVENT_SEQ,
     "full_join": SQL_FULL_JOIN,
     "lm_score": SQL_LM_SCORE,
+    "grouped_rank": SQL_GROUPED_RANK,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

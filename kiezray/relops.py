@@ -1010,3 +1010,62 @@ def bloom_semi_join(
         survivors, right, key_left, key_right,
         num_partitions=num_partitions,
     )
+
+
+def grouped_rank(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    ascending: bool = True,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key dense row numbering — SQL ``row_number() OVER (PARTITION
+    BY key ORDER BY order_col, tie_col)`` — appended as ``rank``
+    (1-based). ``tie_col`` must be unique per key so ranks are
+    deterministic and partitioning-invariant.
+
+    Same scale shape as ``grouped_topk``: one key-hash shuffle, then ONE
+    lexsort per partition ranks every key's rows together (rank = row
+    position minus the key run's start) — no per-key dispatch, no global
+    sort.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            g["rank"] = pd.Series(dtype=np.int64)
+            return g
+        keys = g[key_col].to_numpy()
+        o = g[order_col].to_numpy()
+        t = g[tie_col].to_numpy()
+        if not ascending:
+            if o.dtype.kind in "iuf":
+                o = -o
+            else:  # descending for any dtype via dense-rank inversion
+                _, inv = np.unique(o, return_inverse=True)
+                o = -inv
+        order = np.lexsort((t, o, keys))
+        sk = keys[order]
+        starts_mask = np.concatenate(([True], sk[1:] != sk[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(starts_mask, np.arange(len(sk)), 0)
+        )
+        rank = np.arange(len(sk)) - run_start + 1
+        out = g.iloc[order].copy()
+        out["rank"] = rank.astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(rank_partition, batch_format="pandas")
+    )

@@ -72,6 +72,7 @@ CHECKED = [
     ("event_seq", 0),
     ("full_join", 0),
     ("lm_score", 0),
+    ("grouped_rank", 0),
 ]
 
 

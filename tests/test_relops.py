@@ -545,3 +545,35 @@ def test_full_join_matches_pandas_outer():
         g = got[c].to_numpy(dtype=float)
         w = want[c].to_numpy(dtype=float)
         assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), c
+
+
+def test_grouped_rank_descending_and_bigkeys():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import grouped_rank
+
+    rng = np.random.default_rng(23)
+    # keys beyond 2^33 exercise the splitmix partition hash, not % bias
+    keys = rng.choice(np.array([2**33 + 7, 2**40 + 1, 5], dtype=np.int64), 300)
+    df = pd.DataFrame(
+        {"k": keys, "v": rng.normal(size=300), "id": np.arange(300)}
+    )
+    for asc in (True, False):
+        got = (
+            grouped_rank(
+                ray.data.from_pandas(df).repartition(4),
+                "k", "v", "id", ascending=asc,
+            )
+            .to_pandas().sort_values(["k", "rank"]).reset_index(drop=True)
+        )
+        want = df.copy()
+        want["rank"] = (
+            want.groupby("k")["v"]
+            .rank(method="first", ascending=asc)
+            .astype(np.int64)
+        )
+        want = want.sort_values(["k", "rank"]).reset_index(drop=True)
+        assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+        assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
