@@ -189,3 +189,65 @@ def test_mp_empiric_join_transport_matches_broadcast(ray_session):
     db, ib = kb.kneighbors(6)
     np.testing.assert_array_equal(ij, ib)
     np.testing.assert_array_equal(dj, db)  # byte-identical, not just close
+
+
+def test_new_keyed_ops_big_keys_match_pandas(ray_session):
+    """Keys >= 2^33 through the splitmix partition hash: event_gaps,
+    event_sequences and grouped_mad must stay exact (no 32-bit masking,
+    no packed-key overflow)."""
+    import pandas as pd
+
+    from kiezray.quantile import grouped_mad
+    from kiezray.windows import event_gaps, event_sequences
+
+    rng = np.random.RandomState(31)
+    big_keys = np.array([2**33 + 7, 2**41 + 3, 2**62 + 11], dtype=np.int64)
+    n = 600
+    keys = big_keys[rng.randint(0, 3, n)]
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 10**6, n), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": keys,
+            "ts": ts,
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.randn(n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    gaps = (
+        event_gaps(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    w = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    w["prev"] = w.groupby("user_id")["ts"].shift()
+    w = w.dropna(subset=["prev"])
+    w["gap_us"] = ((w["ts"] - w["prev"]).dt.total_seconds() * 1e6).astype(
+        np.int64
+    )
+    w = w.sort_values("event_id").reset_index(drop=True)
+    assert (gaps["event_id"].to_numpy() == w["event_id"].to_numpy()).all()
+    assert (gaps["gap_us"].to_numpy() == w["gap_us"].to_numpy()).all()
+
+    seqs = (
+        event_sequences(ds).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want_seq = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")["event_type"]
+        .agg(",".join)
+    )
+    assert dict(zip(seqs["user_id"], seqs["seq"])) == want_seq.to_dict()
+
+    mad = (
+        grouped_mad(ds, "user_id", "value")
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    for _, row in mad.iterrows():
+        v = np.sort(df[df["user_id"] == row["user_id"]]["value"].to_numpy())
+        med = v[(len(v) + 1) // 2 - 1]
+        dev = np.sort(np.abs(df[df["user_id"] == row["user_id"]]["value"].to_numpy() - med))
+        assert row["med"] == med
+        assert row["mad"] == dev[(len(dev) + 1) // 2 - 1]
