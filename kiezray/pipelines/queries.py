@@ -3061,6 +3061,20 @@ FROM events ORDER BY event_id
 """
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Rows-only (approximate by construction; rank-error-bound-tested
+    in test_sketch.py): one-pass deterministic-sample quantile sketch
+    over events.value."""
+    from ..sketch import approx_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return approx_quantiles(
+        ev, "event_id", "value", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3142,6 +3156,7 @@ QUERIES = {
     "full_join": q_full_join,
     "lm_score": q_lm_score,
     "grouped_rank": q_grouped_rank,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 ORACLE_SQL = {

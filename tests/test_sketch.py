@@ -50,3 +50,28 @@ def test_heavy_hitters(ray_session):
     n_batches_bound = len(skew) / 2048  # total MG undercount bound
     for want, got in zip([5000, 3000, 1000], hh["est_count"]):
         assert want - n_batches_bound <= got <= want
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.sketch import approx_quantiles
+
+    rng = np.random.RandomState(19)
+    n = 50_000
+    vals = rng.lognormal(0.0, 1.0, n)
+    df = pd.DataFrame({"id": np.arange(n), "v": vals})
+    ds = ray.data.from_pandas(df).repartition(8)
+    qs = (0.1, 0.5, 0.9, 0.99)
+    got = approx_quantiles(ds, "id", "v", qs=qs, sample_size=4096)
+    sv = np.sort(vals)
+    for q, est in zip(got["q"], got["value"]):
+        # rank error: the estimate's true CDF position within
+        # ~4/sqrt(sample_size) of q
+        rank_err = abs(np.searchsorted(sv, est) / n - q)
+        assert rank_err < 4 / np.sqrt(4096), (q, rank_err)
+    # deterministic: identical output under a different partitioning
+    got2 = approx_quantiles(ds.repartition(3), "id", "v", qs=qs, sample_size=4096)
+    assert (got["value"].to_numpy() == got2["value"].to_numpy()).all()
