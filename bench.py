@@ -19,6 +19,20 @@ import sys
 import time
 
 
+def _gflops_probe() -> float:
+    """Fixed single-thread GEMM: per-core host speed for this window.
+
+    This shared host swings >2x between measurement windows (observed
+    10-30 GFLOPS); shipping the probe with every result lets rounds be
+    compared speed-normalized instead of blaming code for the window."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(1500, 1500)
+    t0 = time.time()
+    a @ a
+    return round(2 * 1500**3 / (time.time() - t0) / 1e9, 1)
+
+
 def run_scaling():
     """N->4N scaling evidence (sandbox substitute for two cluster sizes):
     the HEADLINE ER pipeline on the same deterministic corpus, sized so
@@ -61,6 +75,7 @@ def run_scaling():
                 f"er_docs_per_s_{hi}": r_hi["er_docs_per_s"],
                 "er_docs": r_hi["er_docs"],
                 "num_cpus": [lo, hi],
+                "host_gflops": _gflops_probe(),
             }
         )
     )
@@ -159,6 +174,8 @@ def main():
         pass
     er_entities = int(os.environ.get("GRAFT_ER_ENTITIES", "4000"))
 
+    host_gflops = _gflops_probe()
+
     import ray
 
     ray.init(
@@ -249,6 +266,7 @@ def main():
                 "bench_repeats": repeats,
                 "sf": sf_dir,
                 "num_cpus": num_cpus,
+                "host_gflops": host_gflops,
                 "er_docs": n_docs,
                 "er_clusters": n_clusters,
                 "er_docs_per_s": round(n_docs / er_s, 1),
