@@ -132,6 +132,41 @@ def main(argv=None):
                 raise ValueError(f"unknown dedup method: {method}")
             out.write_parquet(out_dir)
             print(json.dumps({"status": "ok", "output": out_dir}))
+        elif pipeline == "query":
+            # run any registered driver query as a batch job: every
+            # operator in the engine is submittable via ray job submit
+            # with a two-key config ({"pipeline": "query", "name": ...,
+            # "sf_dir": ..., "output": ...})
+            from .pipelines.queries import QUERIES
+
+            name = conf["name"]
+            if name not in QUERIES:
+                raise ValueError(
+                    f"unknown query {name!r}; choose from "
+                    f"{sorted(QUERIES)}"
+                )
+            res = QUERIES[name](conf["sf_dir"])
+            if hasattr(res, "write_parquet"):
+                res.write_parquet(out_dir)
+                n = None
+            else:  # small pandas/arrow result
+                import os
+
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                tbl = (
+                    pa.Table.from_pandas(res, preserve_index=False)
+                    if not isinstance(res, pa.Table)
+                    else res
+                )
+                os.makedirs(out_dir, exist_ok=True)
+                pq.write_table(tbl, f"{out_dir}/part-0.parquet")
+                n = tbl.num_rows
+            print(
+                json.dumps({"status": "ok", "query": name, "output": out_dir,
+                            "rows": n})
+            )
         else:
             raise ValueError(f"unknown pipeline: {pipeline}")
     finally:

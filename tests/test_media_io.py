@@ -362,3 +362,35 @@ def test_audio_features_recover_tone_frequency(ray_session):
     f1 = audio_features(ray.data.from_arrow(bad)).to_pandas()
     f2 = audio_features(ray.data.from_arrow(bad)).to_pandas()
     assert f1["rms"].iloc[0] == f2["rms"].iloc[0]
+
+
+def test_cli_query_runner(tmp_path):
+    """Any registered driver query is submittable as a batch job
+    ({"pipeline": "query"}); both Dataset and small-DataFrame results
+    land as parquet."""
+    import glob
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    for name, min_rows in [("pricing_summary", 1), ("dup_ngrams", 1)]:
+        conf = {
+            "pipeline": "query",
+            "name": name,
+            "sf_dir": "/root/testdata/sf0.001",
+            "output": str(tmp_path / name),
+        }
+        cpath = tmp_path / f"{name}.json"
+        cpath.write_text(json.dumps(conf))
+        r = subprocess.run(
+            [sys.executable, "-m", "kiezray", "run", str(cpath),
+             "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["status"] == "ok"
+        files = glob.glob(str(tmp_path / name / "*.parquet"))
+        assert sum(pq.read_metadata(f).num_rows for f in files) >= min_rows
