@@ -3075,6 +3075,108 @@ def q_approx_quantiles(sf_dir: str):
     )
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical NFKC/lower/whitespace normalization pass (the dedup
+    pre-stage). Oracle note: DuckDB lacks NFKC, but NFKC is the identity
+    on this ASCII corpus, so lower+collapse+trim is the exact oracle."""
+    from ..textops import normalize_text
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return normalize_text(docs)
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+         AS norm_text,
+       CAST(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+            <> coalesce(text, '') AS BIGINT) AS changed
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_intersect(sf_dir: str):
+    """INTERSECT (distinct whole-row): (custkey, status) pairs common to
+    high-value and recent orders; one row-key shuffle, no broadcast."""
+    from ..relops import table_set_op
+
+    big = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 100000.0)
+        ).select(["o_custkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(
+                t["o_orderdate"],
+                pa.scalar(__import__("datetime").datetime(1997, 1, 1)),
+            )
+        ).select(["o_custkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return table_set_op(big, recent, op="intersect")
+
+
+SQL_INTERSECT = """
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+INTERSECT
+SELECT o_custkey, o_orderstatus FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+ORDER BY o_custkey, o_orderstatus
+"""
+
+
+def q_except(sf_dir: str):
+    """EXCEPT (distinct whole-row): high-value (custkey, status) pairs
+    with no recent-order counterpart."""
+    from ..relops import table_set_op
+
+    big = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 100000.0)
+        ).select(["o_custkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(
+                t["o_orderdate"],
+                pa.scalar(__import__("datetime").datetime(1997, 1, 1)),
+            )
+        ).select(["o_custkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return table_set_op(big, recent, op="except")
+
+
+SQL_EXCEPT = """
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+EXCEPT
+SELECT o_custkey, o_orderstatus FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+ORDER BY o_custkey, o_orderstatus
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3157,6 +3259,9 @@ QUERIES = {
     "lm_score": q_lm_score,
     "grouped_rank": q_grouped_rank,
     "approx_quantiles": q_approx_quantiles,
+    "normalize_text": q_normalize_text,
+    "intersect_rows": q_intersect,
+    "except_rows": q_except,
 }
 
 ORACLE_SQL = {
@@ -3225,6 +3330,9 @@ ORACLE_SQL = {
     "full_join": SQL_FULL_JOIN,
     "lm_score": SQL_LM_SCORE,
     "grouped_rank": SQL_GROUPED_RANK,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "intersect_rows": SQL_INTERSECT,
+    "except_rows": SQL_EXCEPT,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

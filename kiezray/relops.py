@@ -1069,3 +1069,91 @@ def grouped_rank(
         .groupby("__part")
         .map_groups(rank_partition, batch_format="pandas")
     )
+
+
+def _row_keys(t: pa.Table, cols: list[str]) -> "tuple[np.ndarray, np.ndarray]":
+    """128-bit whole-row content identity (two independent sip-hash
+    streams, column-mixed) — the same keying convention as
+    ``dedup.dedup_exact`` (collision odds ~2^-64 per pair: identity for
+    grouping, not cryptography)."""
+    from .dedup import _splitmix64
+
+    h1 = np.zeros(len(t), dtype=np.uint64)
+    h2 = np.zeros(len(t), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            arr = t[c].to_numpy(zero_copy_only=False)
+            h1 = _splitmix64(
+                h1 * np.uint64(31) + pd.util.hash_array(arr).astype(np.uint64)
+            )
+            h2 = _splitmix64(
+                h2 * np.uint64(31)
+                + pd.util.hash_array(arr, hash_key="kiezraysetops2k_").astype(
+                    np.uint64
+                )
+            )
+    return h1, h2
+
+
+def table_set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    op: str = "intersect",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """SQL set operators over whole rows: ``INTERSECT`` (distinct rows in
+    both) / ``EXCEPT`` (distinct left rows not on the right). Schemas
+    must match by column name.
+
+    Scale shape: each side maps to (row, 128-bit row key) and
+    hash-partitions on the key (one shuffle; a row value never spans two
+    partitions), then each partition deduplicates its left rows and
+    keeps/drops them by a two-column merge against the right keys — no
+    broadcast, no driver state.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    cols = list(_arrow_schema(left).names)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            h1, h2 = _row_keys(t, cols)
+            out = t.select(cols)
+            out = out.append_column(
+                "__ch1", pa.array(h1.astype(np.int64), pa.int64())
+            ).append_column(
+                "__ch2", pa.array(h2.astype(np.int64), pa.int64())
+            ).append_column(
+                "__side", pa.array(np.full(len(t), side, dtype=np.int8))
+            ).append_column(
+                "__part",
+                pa.array(
+                    (h1 % np.uint64(num_partitions)).astype(np.int32),
+                    pa.int32(),
+                ),
+            )
+            return out
+
+        return fn
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.select_columns(cols).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def op_partition(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0].drop_duplicates(["__ch1", "__ch2"])
+        rk = g[g["__side"] == 1][["__ch1", "__ch2"]].drop_duplicates()
+        if op == "intersect":
+            out = lf.merge(rk, on=["__ch1", "__ch2"], how="inner")
+        else:
+            out = lf.merge(
+                rk, on=["__ch1", "__ch2"], how="left", indicator=True
+            )
+            out = out[out["_merge"] == "left_only"].drop(columns=["_merge"])
+        return out.drop(
+            columns=["__ch1", "__ch2", "__side", "__part"]
+        ).reset_index(drop=True)
+
+    return tagged.groupby("__part").map_groups(
+        op_partition, batch_format="pandas"
+    )

@@ -1181,3 +1181,38 @@ def lm_score(
     return partials.groupby("__dpart").map_groups(
         doc_fold, batch_format="pandas"
     )
+
+
+def normalize_text(
+    docs_ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Canonical text-normalization pass: NFKC unicode normalization,
+    lowercase, collapse whitespace runs to single spaces, strip. The
+    stage every dedup/fingerprint pipeline runs first so that byte-level
+    variants hash identically. Output: (id_col, norm_text, changed).
+
+    Stateless vectorized map — no shuffle; pandas string kernels do the
+    regex collapse in C, NFKC via a single ``str.normalize`` call.
+    """
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        out = (
+            t.str.normalize("NFKC")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype(np.int64),
+                "norm_text": out,
+                "changed": (out != t).astype(np.int64),
+            }
+        )
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        norm, batch_format="pandas"
+    )

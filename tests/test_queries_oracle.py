@@ -73,6 +73,9 @@ CHECKED = [
     ("full_join", 0),
     ("lm_score", 0),
     ("grouped_rank", 0),
+    ("normalize_text", 0),
+    ("intersect_rows", 0),
+    ("except_rows", 0),
 ]
 
 

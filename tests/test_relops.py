@@ -577,3 +577,51 @@ def test_grouped_rank_descending_and_bigkeys():
         want = want.sort_values(["k", "rank"]).reset_index(drop=True)
         assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
         assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+
+
+def test_table_set_op_matches_python_sets():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import table_set_op
+
+    rng = np.random.default_rng(29)
+    left = pd.DataFrame(
+        {"a": rng.integers(0, 20, 300), "b": rng.choice(["x", "y"], 300)}
+    )
+    right = pd.DataFrame(
+        {"a": rng.integers(10, 30, 200), "b": rng.choice(["x", "y"], 200)}
+    )
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    lset = set(map(tuple, left.itertuples(index=False)))
+    rset = set(map(tuple, right.itertuples(index=False)))
+    for op, want in [
+        ("intersect", lset & rset),
+        ("except", lset - rset),
+    ]:
+        got = table_set_op(lds, rds, op=op).to_pandas()
+        got_set = set(map(tuple, got.itertuples(index=False)))
+        assert got_set == want and len(got) == len(want), op  # distinct
+
+
+def test_normalize_text_real_nfkc():
+    import pandas as pd
+    import ray
+
+    from kiezray.textops import normalize_text
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            # ligature fi, fullwidth A, double spaces + tabs
+            "text": ["ﬁne  Work", "ＡBC\tdef ", None],
+        }
+    )
+    out = (
+        normalize_text(ray.data.from_pandas(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["norm_text"]) == ["fine work", "abc def", ""]
+    assert list(out["changed"]) == [1, 1, 0]
