@@ -447,3 +447,64 @@ def synth_audio_table(n: int = 64, seed: int = 42) -> pa.Table:
             "true_freq": pa.array(freqs, pa.float64()),
         }
     )
+
+
+def span_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document statistics of the interleaved span payload
+    (doc_id, spans: list<struct<kind,text,media_ref,offset>>) -> one row
+    per doc: span counts by kind, total text chars, and whether offsets
+    are strictly ordered (the span-sequence invariant the whole engine
+    must preserve).
+
+    Fully zero-copy Arrow: the list column's offsets + flattened struct
+    children feed numpy segment reductions — no per-row Python over the
+    nested payload (the interleaved-schema analog of a flat-column
+    combiner).
+    """
+    import pyarrow.compute as _pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = len(t)
+        col = t["spans"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = col.values  # StructArray over every span in the batch
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        texts = flat.field("text")
+        span_offsets = flat.field("offset").to_numpy(zero_copy_only=False)
+        is_text = kinds == "text"
+        doc_idx = np.repeat(np.arange(n), counts)
+        n_text = np.bincount(doc_idx, weights=is_text, minlength=n)
+        text_chars = np.bincount(
+            doc_idx,
+            weights=_pc.utf8_length(texts)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            minlength=n,
+        )
+        # strictly-increasing offsets per doc: violations are adjacent
+        # pairs within a doc where offset doesn't grow
+        ordered = np.ones(n, dtype=bool)
+        if len(span_offsets) > 1:
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            bad = same_doc & (np.diff(span_offsets) <= 0)
+            if bad.any():
+                ordered[np.unique(doc_idx[1:][bad])] = False
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": pa.array(counts, pa.int64()),
+                "n_text_spans": pa.array(n_text.astype(np.int64), pa.int64()),
+                "n_media_spans": pa.array(
+                    (counts - n_text).astype(np.int64), pa.int64()
+                ),
+                "text_chars": pa.array(
+                    text_chars.astype(np.int64), pa.int64()
+                ),
+                "offsets_ordered": pa.array(ordered, pa.bool_()),
+            }
+        )
+
+    return docs_ds.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )

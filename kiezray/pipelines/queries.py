@@ -3177,6 +3177,20 @@ ORDER BY o_custkey, o_orderstatus
 """
 
 
+def q_span_stats(sf_dir: str):
+    """Rows-only (the interleaved spans table is synthesized — not an
+    oracle view): per-doc span-payload statistics over the deterministic
+    interleaved corpus, zero-copy over the nested Arrow column."""
+    import ray.data as rd
+
+    from ..media import span_stats
+    from ..synth import generate_docs
+
+    docs, _, _ = generate_docs(n_entities=400, seed=42, hub_entities=2,
+                               hub_copies=16)
+    return span_stats(rd.from_arrow(docs).repartition(8))
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3262,6 +3276,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "intersect_rows": q_intersect,
     "except_rows": q_except,
+    "span_stats": q_span_stats,
 }
 
 ORACLE_SQL = {

@@ -394,3 +394,29 @@ def test_cli_query_runner(tmp_path):
         assert out["status"] == "ok"
         files = glob.glob(str(tmp_path / name / "*.parquet"))
         assert sum(pq.read_metadata(f).num_rows for f in files) >= min_rows
+
+
+def test_span_stats_matches_python(ray_session):
+    import numpy as np
+    import ray
+
+    from kiezray.media import span_stats
+    from kiezray.synth import generate_docs
+
+    docs, _, _ = generate_docs(n_entities=60, seed=3)
+    out = (
+        span_stats(ray.data.from_arrow(docs).repartition(4))
+        .to_pandas().set_index("doc_id")
+    )
+    rows = docs.to_pylist()
+    assert len(out) == len(rows)
+    for r in rows:
+        spans = r["spans"]
+        got = out.loc[r["doc_id"]]
+        assert got["n_spans"] == len(spans)
+        assert got["n_text_spans"] == sum(s["kind"] == "text" for s in spans)
+        assert got["text_chars"] == sum(len(s["text"] or "") for s in spans)
+        offs = [s["offset"] for s in spans]
+        assert bool(got["offsets_ordered"]) == all(
+            b > a for a, b in zip(offs, offs[1:])
+        )
