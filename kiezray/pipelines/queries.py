@@ -3191,6 +3191,25 @@ def q_span_stats(sf_dir: str):
     return span_stats(rd.from_arrow(docs).repartition(8))
 
 
+def q_key_skew(sf_dir: str):
+    """Exact heavy-key report over events.user_id (share rounded for the
+    oracle): the pre-partitioning skew diagnostic."""
+    from ..relops import key_skew
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = key_skew(ev, "user_id", top=20)
+    out["share"] = round_away(out["share"], 6)
+    return out
+
+
+SQL_KEY_SKEW = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n) AS DOUBLE) v FROM c)
+SELECT user_id, n, round(n / (SELECT v FROM t), 6) + 0 AS share
+FROM c ORDER BY n DESC, user_id LIMIT 20
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3277,6 +3296,7 @@ QUERIES = {
     "intersect_rows": q_intersect,
     "except_rows": q_except,
     "span_stats": q_span_stats,
+    "key_skew": q_key_skew,
 }
 
 ORACLE_SQL = {
@@ -3348,6 +3368,7 @@ ORACLE_SQL = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "intersect_rows": SQL_INTERSECT,
     "except_rows": SQL_EXCEPT,
+    "key_skew": SQL_KEY_SKEW,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -1157,3 +1157,78 @@ def table_set_op(
     return tagged.groupby("__part").map_groups(
         op_partition, batch_format="pandas"
     )
+
+
+def key_skew(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    top: int = 20,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Exact key-skew report: the ``top`` heaviest keys by row count
+    (ties by key ascending) plus each key's share of all rows — the
+    diagnostic you run BEFORE choosing a partition key, to find the hub
+    keys that need salting.
+
+    Scale shape (the ``dup_ngrams`` discovery shape): per-batch key
+    counts (combiner), key-hash partition fold with one groupby-sum per
+    partition, partition-local top-``top`` (safe: a key lives in one
+    partition), driver merges <= partitions x top rows; the total row
+    count is the sum of the partition masses riding alongside.
+    """
+    from .dedup import _splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(k, return_counts=True)
+        if uk.dtype.kind in "iu":
+            part = (
+                _splitmix64(uk.astype(np.uint64)) % np.uint64(num_partitions)
+            ).astype(np.int32)
+        else:
+            part = (
+                pd.util.hash_array(uk.astype(object)).astype(np.uint64)
+                % np.uint64(num_partitions)
+            ).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(uk),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64),
+                 "__pid": pd.Series(dtype=np.int32),
+                 "__ptotal": pd.Series(dtype=np.int64)}
+            )
+        pid = int(g["__part"].iloc[0])
+        f = g.groupby(key_col, as_index=False, sort=False)["n"].sum()
+        ptotal = int(f["n"].sum())
+        f = f.sort_values(["n", key_col], ascending=[False, True]).head(top)
+        f["__pid"] = np.int32(pid)
+        f["__ptotal"] = np.int64(ptotal)  # partition mass rides along
+        return f.reset_index(drop=True)
+
+    survivors = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # <= num_partitions * top rows
+    )
+    if len(survivors) == 0:
+        return pd.DataFrame({key_col: [], "n": [], "share": []})
+    total = int(survivors.groupby("__pid")["__ptotal"].first().sum())
+    out = (
+        survivors.sort_values(["n", key_col], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+        .drop(columns=["__pid", "__ptotal"])
+    )
+    out["share"] = out["n"].to_numpy() / max(total, 1)
+    return out

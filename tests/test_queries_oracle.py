@@ -76,6 +76,7 @@ CHECKED = [
     ("normalize_text", 0),
     ("intersect_rows", 0),
     ("except_rows", 0),
+    ("key_skew", 0),
 ]
 
 

@@ -625,3 +625,20 @@ def test_normalize_text_real_nfkc():
     )
     assert list(out["norm_text"]) == ["fine work", "abc def", ""]
     assert list(out["changed"]) == [1, 1, 0]
+
+
+def test_key_skew_exact_counts_and_shares():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import key_skew
+
+    keys = np.concatenate(
+        [np.full(50, 7), np.full(30, 2), np.arange(100, 120)]
+    )
+    df = pd.DataFrame({"k": keys})
+    out = key_skew(ray.data.from_pandas(df).repartition(4), "k", top=3)
+    assert list(out["k"]) == [7, 2, 100]
+    assert list(out["n"]) == [50, 30, 1]
+    assert out.loc[0, "share"] == 50 / 100
