@@ -874,3 +874,69 @@ def dedup_against_corpus(
         anti=True,
         num_partitions=num_partitions,
     )
+
+
+def dedup_keep_best(
+    ds: "ray.data.Dataset",
+    content_cols: list[str],
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Exact dedup keeping the BEST row of each content group — ordered
+    by ``order_col`` (descending by default, e.g. a quality score), ties
+    by minimum ``id_col`` — instead of ``dedup_exact``'s min-id rule.
+    The "keep the highest-quality duplicate" trainer pass.
+
+    Same scale shape as ``dedup_exact``: vectorized 128-bit content
+    keys, ONE hash-partition shuffle (a content hash never spans two
+    partitions), one lexsort per partition. No driver state.
+    """
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        h1 = np.zeros(len(t), dtype=np.uint64)
+        h2 = np.zeros(len(t), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in content_cols:
+                arr = t[c].to_numpy(zero_copy_only=False)
+                h1 = _splitmix64(
+                    h1 * np.uint64(31)
+                    + pd.util.hash_array(arr).astype(np.uint64)
+                )
+                h2 = _splitmix64(
+                    h2 * np.uint64(31)
+                    + pd.util.hash_array(
+                        arr, hash_key="kiezraydedup2key"
+                    ).astype(np.uint64)
+                )
+        part = (h1 % np.uint64(num_partitions)).astype(np.int32)
+        return (
+            t.append_column("__ch1", pa.array(h1.astype(np.int64), pa.int64()))
+            .append_column("__ch2", pa.array(h2.astype(np.int64), pa.int64()))
+            .append_column("__part", pa.array(part, pa.int32()))
+        )
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        aux = ["__ch1", "__ch2", "__part"]
+        if len(g) == 0:
+            return g.drop(columns=aux)
+        c1 = g["__ch1"].to_numpy()
+        c2 = g["__ch2"].to_numpy()
+        o = g[order_col].to_numpy()
+        if descending:
+            o = -o if o.dtype.kind in "iuf" else -np.unique(
+                o, return_inverse=True
+            )[1]
+        order = np.lexsort((g[id_col].to_numpy(), o, c2, c1))
+        c1, c2 = c1[order], c2[order]
+        first = np.concatenate(
+            ([True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1]))
+        )
+        return g.iloc[order[first]].drop(columns=aux)
+
+    return (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(keep_best, batch_format="pandas")
+    )

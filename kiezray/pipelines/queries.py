@@ -3210,6 +3210,56 @@ FROM c ORDER BY n DESC, user_id LIMIT 20
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup: the duplicate universe keeps, per text
+    group, the row with the LONGEST n_chars (ties by min id) — the
+    "keep the best duplicate" trainer pass."""
+    from ..dedup import dedup_keep_best
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "text": t["text"],
+                # copies get a LOWER score so the original always wins
+                "score": pc.cast(t["n_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dup = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 100000),
+                "text": t["text"],
+                "score": pc.subtract(t["score"], pa.scalar(1, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kept = dedup_keep_best(
+        docs.union(dup), content_cols=["text"], order_col="score",
+        id_col="doc_id",
+    )
+    return kept.select_columns(["doc_id", "score"])
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH u AS (SELECT CAST(doc_id AS BIGINT) doc_id, text,
+                  CAST(n_chars AS BIGINT) score FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT) + 100000, text,
+                  CAST(n_chars AS BIGINT) - 1 FROM documents),
+r AS (SELECT doc_id, score,
+             row_number() OVER (PARTITION BY text
+                                ORDER BY score DESC, doc_id) rn
+      FROM u)
+SELECT doc_id, score FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3297,6 +3347,7 @@ QUERIES = {
     "except_rows": q_except,
     "span_stats": q_span_stats,
     "key_skew": q_key_skew,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLE_SQL = {
@@ -3369,6 +3420,7 @@ ORACLE_SQL = {
     "intersect_rows": SQL_INTERSECT,
     "except_rows": SQL_EXCEPT,
     "key_skew": SQL_KEY_SKEW,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

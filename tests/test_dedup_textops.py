@@ -321,3 +321,28 @@ def test_tfidf_topk_hand_computed(ray_session):
     for d, g in out.groupby("doc_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert len(g) <= 2
+
+
+def test_dedup_keep_best_prefers_high_score(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.dedup import dedup_keep_best
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["aa", "aa", "aa", "bb", "bb"],
+            "q": [0.1, 0.9, 0.9, 0.5, 0.5],
+        }
+    )
+    out = (
+        dedup_keep_best(
+            ray.data.from_pandas(df).repartition(3),
+            content_cols=["text"], order_col="q",
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # "aa": max q 0.9 tie -> min id 2; "bb": tie -> min id 4
+    assert list(out["doc_id"]) == [2, 4]

@@ -77,6 +77,7 @@ CHECKED = [
     ("intersect_rows", 0),
     ("except_rows", 0),
     ("key_skew", 0),
+    ("dedup_keep_best", 0),
 ]
 
 
