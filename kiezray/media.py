@@ -508,3 +508,173 @@ def span_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs_ds.map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Real video path: pure-numpy YUV4MPEG2 (Y4M) codec (public, trivially
+# parseable container — the video analog of the BMP/WAV codecs above).
+# Cmono (one luma plane per frame); no compression, no external codec.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames: np.ndarray, fps: "tuple[int, int]" = (25, 1)) -> bytes:
+    """(n_frames, h, w) uint8 luma -> Y4M bytes (Cmono)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    assert f.ndim == 3, "frames must be (n, h, w) luma"
+    n, h, w = f.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()
+    marker = b"FRAME\n"
+    out = bytearray(head)
+    for i in range(n):  # n is small (clips); the per-frame payload is bulk
+        out += marker
+        out += f[i].tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """Y4M (Cmono) bytes -> (n_frames, h, w) uint8 luma."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    w = h = None
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C") and tok != b"Cmono":
+            raise ValueError(f"unsupported chroma {tok!r} (Cmono only)")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    body = payload[nl + 1:]
+    stride = 6 + h * w  # b"FRAME\n" + luma plane
+    n = len(body) // stride
+    if n * stride != len(body):
+        raise ValueError("torn Y4M stream")
+    raw = np.frombuffer(body, dtype=np.uint8).reshape(n, stride)
+    if not (raw[:, :6] == np.frombuffer(b"FRAME\n", np.uint8)).all():
+        raise ValueError("bad FRAME marker")
+    return np.ascontiguousarray(raw[:, 6:]).reshape(n, h, w)
+
+
+class Y4mFrameSample:
+    """binary Y4M clip -> n evenly-spaced REAL frames, each re-encoded as
+    a grayscale BMP payload so the downstream image stages (decode,
+    histogram features, near-dup) compose unchanged. Actor-pool stage."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_ids, out_idx, out_bytes = [], [], []
+        for d, p in zip(ids, payloads):
+            frames = decode_y4m(p)
+            sel = np.linspace(0, len(frames) - 1, self.n_frames).astype(int)
+            for fi in sel:
+                gray = frames[fi]
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                out_ids.append(d)
+                out_idx.append(int(fi))
+                out_bytes.append(encode_bmp(rgb))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "payload": pa.array(out_bytes, pa.binary()),
+            }
+        )
+
+
+class VideoFeatures:
+    """Y4M clip -> per-clip features: frame count/shape, mean/std luma,
+    and temporal energy (mean |frame diff|) — all numpy, no codec."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = {
+            "doc_id": [], "n_frames": [], "height": [], "width": [],
+            "mean_luma": [], "std_luma": [], "temporal_energy": [],
+        }
+        for d, p in zip(ids, payloads):
+            f = decode_y4m(p).astype(np.float64)
+            rows["doc_id"].append(d)
+            rows["n_frames"].append(f.shape[0])
+            rows["height"].append(f.shape[1])
+            rows["width"].append(f.shape[2])
+            rows["mean_luma"].append(float(f.mean()))
+            rows["std_luma"].append(float(f.std()))
+            rows["temporal_energy"].append(
+                float(np.abs(np.diff(f, axis=0)).mean()) if len(f) > 1 else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"]),
+                "n_frames": pa.array(rows["n_frames"], pa.int64()),
+                "height": pa.array(rows["height"], pa.int64()),
+                "width": pa.array(rows["width"], pa.int64()),
+                "mean_luma": pa.array(rows["mean_luma"], pa.float64()),
+                "std_luma": pa.array(rows["std_luma"], pa.float64()),
+                "temporal_energy": pa.array(
+                    rows["temporal_energy"], pa.float64()
+                ),
+            }
+        )
+
+
+def video_features(
+    ds: "ray.data.Dataset", batch_size: int = 16, concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Actor-pool per-clip feature extraction over a (doc_id, payload)
+    Y4M table; small batches — video rows are wide."""
+    return ds.map_batches(
+        VideoFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(
+    ds: "ray.data.Dataset", n_frames: int = 4,
+    batch_size: int = 16, concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Real keyframe extraction over Y4M clips -> BMP frame rows that the
+    image stages consume unchanged."""
+    return ds.map_batches(
+        Y4mFrameSample,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_video_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic Y4M clips: drifting gradients with per-clip phase,
+    plus planted near-duplicate pairs (same scene, tiny luma offset)."""
+    rng = np.random.RandomState(seed)
+    ids, payloads = [], []
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        base = i - 1 if (i % 8 == 7) else i  # every 8th clip near-dups prior
+        phase = (base * 37) % 251
+        nf = 6 + (base % 4)
+        frames = np.empty((nf, h, w), dtype=np.uint8)
+        for f in range(nf):
+            g = (xx * 3 + yy * 5 + phase + f * 11) % 256
+            if i % 8 == 7:
+                g = np.clip(g + 2, 0, 255)  # near-dup: tiny luma shift
+            frames[f] = g.astype(np.uint8)
+        ids.append(int(1000 + i))
+        payloads.append(encode_y4m(frames))
+    _ = rng  # determinism is structural; rng kept for future jitter knobs
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )

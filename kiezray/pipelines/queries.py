@@ -3260,6 +3260,19 @@ SELECT doc_id, score FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_video_features(sf_dir: str):
+    """Rows-only: REAL video path end-to-end — synthetic YUV4MPEG2 clips
+    -> actor-pool pure-numpy Y4M decode -> per-clip features (frame
+    count, luma stats, temporal energy). Deterministic; codec roundtrip
+    and frame extraction are pytest-verified."""
+    import ray.data as rd
+
+    from ..media import synth_video_table, video_features
+
+    clips = rd.from_arrow(synth_video_table(64)).repartition(8)
+    return video_features(clips)
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3348,6 +3361,7 @@ QUERIES = {
     "span_stats": q_span_stats,
     "key_skew": q_key_skew,
     "dedup_keep_best": q_dedup_keep_best,
+    "video_features": q_video_features,
 }
 
 ORACLE_SQL = {

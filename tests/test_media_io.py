@@ -420,3 +420,68 @@ def test_span_stats_matches_python(ray_session):
         assert bool(got["offsets_ordered"]) == all(
             b > a for a, b in zip(offs, offs[1:])
         )
+
+
+def test_y4m_roundtrip_and_rejects():
+    import numpy as np
+
+    from kiezray.media import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(7)
+    f = rng.randint(0, 256, (4, 16, 20)).astype(np.uint8)
+    assert (decode_y4m(encode_y4m(f)) == f).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_y4m(b"not a video")
+    with _pt.raises(ValueError):
+        decode_y4m(encode_y4m(f)[:-5])  # torn stream
+
+
+def test_video_frame_sampling_yields_real_bmp_frames(ray_session):
+    import numpy as np
+    import ray
+
+    from kiezray.media import (
+        decode_bmp,
+        decode_y4m,
+        sample_video_frames,
+        synth_video_table,
+    )
+
+    t = synth_video_table(8)
+    out = (
+        sample_video_frames(ray.data.from_arrow(t), n_frames=3)
+        .to_pandas()
+    )
+    assert len(out) == 8 * 3
+    clips = {d: p for d, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist())}
+    for _, row in out.head(6).iterrows():
+        frames = decode_y4m(clips[row["doc_id"]])
+        img = decode_bmp(row["payload"])
+        # each emitted BMP is exactly the selected original luma frame
+        assert (img[:, :, 0] == frames[row["frame_idx"]]).all()
+
+
+def test_video_features_temporal_energy(ray_session):
+    import numpy as np
+    import ray
+
+    from kiezray.media import encode_y4m, video_features
+    import pyarrow as pa
+
+    static = np.full((5, 8, 8), 100, dtype=np.uint8)
+    moving = np.stack(
+        [np.full((8, 8), 50 * i, dtype=np.uint8) for i in range(5)]
+    )
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "payload": pa.array([encode_y4m(static), encode_y4m(moving)], pa.binary())}
+    )
+    out = (
+        video_features(ray.data.from_arrow(t))
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "temporal_energy"] == 0.0
+    assert out.loc[2, "temporal_energy"] == 50.0
+    assert out.loc[1, "mean_luma"] == 100.0
