@@ -663,14 +663,17 @@ def synth_video_table(n: int = 32, seed: int = 42) -> pa.Table:
     yy, xx = np.mgrid[0:h, 0:w]
     for i in range(n):
         base = i - 1 if (i % 8 == 7) else i  # every 8th clip near-dups prior
-        phase = (base * 37) % 251
+        # per-clip luma LEVEL (not just phase) so clips are separable by
+        # histogram features: each scene occupies a distinct 32-level
+        # band; the near-dup copy shifts the band by 2 (tiny mass move)
+        level = (base * 29) % 200
         nf = 6 + (base % 4)
         frames = np.empty((nf, h, w), dtype=np.uint8)
         for f in range(nf):
-            g = (xx * 3 + yy * 5 + phase + f * 11) % 256
+            g = level + (xx + yy * 2 + f * 3) % 32
             if i % 8 == 7:
-                g = np.clip(g + 2, 0, 255)  # near-dup: tiny luma shift
-            frames[f] = g.astype(np.uint8)
+                g = g + 2  # near-dup: tiny luma shift
+            frames[f] = np.clip(g, 0, 255).astype(np.uint8)
         ids.append(int(1000 + i))
         payloads.append(encode_y4m(frames))
     _ = rng  # determinism is structural; rng kept for future jitter knobs

@@ -3273,6 +3273,68 @@ def q_video_features(sf_dir: str):
     return video_features(clips)
 
 
+def q_video_dedup(sf_dir: str):
+    """Rows-only: VIDEO near-dup composition — Y4M clips -> real frame
+    extraction (BMP) -> per-frame histogram features averaged per clip
+    -> embedding-cosine near-dup clustering. synth_video_table plants a
+    near-dup (tiny luma shift) every 8th clip; the planted pairs must
+    co-cluster (pytest-verified)."""
+    from ..dedup import dedup_embedding_cosine
+    from ..media import (
+        decode_images,
+        image_features,
+        sample_video_frames,
+        synth_video_table,
+    )
+
+    clips = ray.data.from_arrow(synth_video_table(64)).repartition(4)
+    frames = sample_video_frames(clips, n_frames=4)
+    feats = image_features(
+        decode_images(frames, height=24, width=32)
+    )
+
+    def clip_mean(t: pa.Table) -> pa.Table:
+        # average the frame feature vectors per clip (frames of a clip
+        # stay in one batch row-group by construction: n_frames per id)
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        col = t["features"].combine_chunks()
+        d = len(col[0])
+        F = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), d)
+        order = np.argsort(ids, kind="stable")
+        ids, F = ids[order], F[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1]))
+        )
+        cnt = np.diff(np.append(starts, len(ids)))
+        M = np.add.reduceat(F, starts, axis=0) / cnt[:, None]
+        from ..arrowutil import matrix_to_fsl
+
+        return pa.table(
+            {
+                "row_id": pa.array(ids[starts], pa.int64()),
+                "embedding": matrix_to_fsl(M, pa.float64()),
+            }
+        )
+
+    # one row per clip after the per-batch mean: batch==clip-aligned
+    # because sample_video_frames emits a clip's frames contiguously
+    rows = feats.map_batches(clip_mean, batch_format="pyarrow", batch_size=256)
+    # Materialize the per-clip feature rows (d floats per CLIP — tiny vs
+    # the video payloads) before the dedup stage: dedup executes its
+    # input twice (shard build + query side) and chains hash-join /
+    # groupby aggregator actors; without the pipeline break the three
+    # decode actor pools (min 1 CPU each) starve those aggregators on a
+    # small cluster (observed 4-cpu deadlock).
+    rows = rows.materialize()
+    comp = dedup_embedding_cosine(rows, threshold=0.97)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"clip_id": t["node"], "cluster_id": t["component"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -3362,6 +3424,7 @@ QUERIES = {
     "key_skew": q_key_skew,
     "dedup_keep_best": q_dedup_keep_best,
     "video_features": q_video_features,
+    "video_dedup": q_video_dedup,
 }
 
 ORACLE_SQL = {

@@ -485,3 +485,16 @@ def test_video_features_temporal_energy(ray_session):
     assert out.loc[1, "temporal_energy"] == 0.0
     assert out.loc[2, "temporal_energy"] == 50.0
     assert out.loc[1, "mean_luma"] == 100.0
+
+
+def test_video_dedup_query_finds_planted_pairs(ray_session):
+    from kiezray.pipelines import queries as Q
+
+    df = Q.QUERIES["video_dedup"]("/root/testdata/sf0.001").to_pandas()
+    m = dict(zip(df["clip_id"], df["cluster_id"]))
+    assert len(m) == 64
+    pairs = [(1000 + i, 1000 + i - 1) for i in range(7, 64, 8)]
+    assert all(m[a] == m[b] for a, b in pairs)  # every planted pair merges
+    # histogram features are coarse (48-dim), but there must be real
+    # scene discrimination, not one blob
+    assert len(set(m.values())) >= 10
