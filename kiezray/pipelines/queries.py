@@ -3210,6 +3210,32 @@ FROM c ORDER BY n DESC, user_id LIMIT 20
 """
 
 
+def q_order_count_hist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    (c_count, custdist). The engine computes it join-free: per-key
+    counts via one hash-partitioned fold, the zero-order bucket by
+    arithmetic (|customer| - #distinct custkeys), the customer table
+    contributing only a metadata row count."""
+    from ..relops import count_distribution
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    n_cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    return count_distribution(orders, "o_custkey", universe_size=n_cust)
+
+
+SQL_ORDER_COUNT_HIST = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware exact dedup: the duplicate universe keeps, per text
     group, the row with the LONGEST n_chars (ties by min id) — the
@@ -3423,6 +3449,7 @@ QUERIES = {
     "span_stats": q_span_stats,
     "key_skew": q_key_skew,
     "dedup_keep_best": q_dedup_keep_best,
+    "order_count_hist": q_order_count_hist,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3498,6 +3525,7 @@ ORACLE_SQL = {
     "except_rows": SQL_EXCEPT,
     "key_skew": SQL_KEY_SKEW,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "order_count_hist": SQL_ORDER_COUNT_HIST,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -1232,3 +1232,85 @@ def key_skew(
     )
     out["share"] = out["n"].to_numpy() / max(total, 1)
     return out
+
+
+def count_distribution(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    universe_size: int | None = None,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Count-of-counts histogram: for every key its row count ``n``,
+    then how many keys share each ``n`` — the TPC-H Q13 "customer
+    distribution" shape (reference capability: none; training-data
+    diagnostic for per-source example counts) WITHOUT the outer join.
+    The customer-side LEFT JOIN in the SQL formulation exists only to
+    surface zero-count keys; that bucket equals
+    ``universe_size - (#distinct keys present)`` — a scalar — so the
+    universe table never enters a shuffle at all (pass
+    ``universe_size`` from a metadata-only ``Dataset.count()``).
+
+    Scale shape: per-batch ``np.unique`` combiner (rows leave each batch
+    as (key, partial_n) pairs), ONE key-hash-partitioned groupby whose
+    fold emits per-partition (c_count, custdist) partials (a key lives
+    in exactly one partition, so per-partition counts are complete),
+    driver folds <= partitions x distinct-counts tiny rows. No join, no
+    global sort, nothing proportional to the key universe on the driver.
+    """
+    from .dedup import _splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(k, return_counts=True)
+        if uk.dtype.kind in "iu":
+            part = (
+                _splitmix64(uk.astype(np.uint64)) % np.uint64(num_partitions)
+            ).astype(np.int32)
+        else:
+            part = (
+                pd.util.hash_array(uk.astype(object)).astype(np.uint64)
+                % np.uint64(num_partitions)
+            ).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(uk),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"c_count": pd.Series(dtype=np.int64),
+                 "custdist": pd.Series(dtype=np.int64)}
+            )
+        per_key = g.groupby(key_col, sort=False)["n"].sum().to_numpy()
+        c, d = np.unique(per_key, return_counts=True)
+        return pd.DataFrame(
+            {"c_count": c.astype(np.int64), "custdist": d.astype(np.int64)}
+        )
+
+    partials = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # <= num_partitions x distinct-count-values rows
+    )
+    out = (
+        partials.groupby("c_count", as_index=False)["custdist"].sum()
+        if len(partials)
+        else pd.DataFrame({"c_count": [], "custdist": []}, dtype=np.int64)
+    )
+    if universe_size is not None:
+        zeros = int(universe_size) - int(out["custdist"].sum())
+        if zeros > 0:
+            out = pd.concat(
+                [out, pd.DataFrame({"c_count": [0], "custdist": [zeros]})],
+                ignore_index=True,
+            )
+    out = out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+    return out.astype({"c_count": np.int64, "custdist": np.int64})

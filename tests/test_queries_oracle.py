@@ -78,6 +78,7 @@ CHECKED = [
     ("except_rows", 0),
     ("key_skew", 0),
     ("dedup_keep_best", 0),
+    ("order_count_hist", 0),
 ]
 
 

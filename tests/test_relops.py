@@ -642,3 +642,35 @@ def test_key_skew_exact_counts_and_shares():
     assert list(out["k"]) == [7, 2, 100]
     assert list(out["n"]) == [50, 30, 1]
     assert out.loc[0, "share"] == 50 / 100
+
+
+def test_count_distribution_zero_bucket_and_exactness():
+    """The arithmetic zero bucket (universe_size - distinct keys) must
+    match what a LEFT JOIN would surface, including for big keys."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import count_distribution
+
+    rng = np.random.RandomState(3)
+    # keys 0..99 present with varying multiplicity; universe is 0..129
+    keys = np.repeat(np.arange(100, dtype=np.int64), rng.randint(1, 6, 100))
+    keys = np.concatenate([keys, np.array([2**40 + 5] * 4, dtype=np.int64)])
+    df = pd.DataFrame({"k": keys})
+    out = count_distribution(
+        ray.data.from_pandas(df).repartition(4), "k", universe_size=131
+    )
+    want = (
+        pd.Series(keys).value_counts().value_counts().rename_axis("c_count")
+        .reset_index(name="custdist")
+    )
+    zero = pd.DataFrame({"c_count": [0], "custdist": [131 - 101]})
+    want = (
+        pd.concat([want, zero], ignore_index=True)
+        .sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype(np.int64), want.astype(np.int64)
+    )
