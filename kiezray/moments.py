@@ -195,3 +195,47 @@ def rollup_sum_count(
     out = pd.concat(frames, ignore_index=True)
     out["c"] = out["c"].astype(np.int64)
     return out
+
+
+def cube_sum_count(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    val_col: str,
+    total_label: str = "ALL",
+) -> pd.DataFrame:
+    """GROUP BY CUBE(*key_cols) with Sum(val_col) + Count(*).
+
+    Same scale shape as :func:`rollup_sum_count`: ONE distributed
+    finest-level aggregate is the only scan of the raw data; all
+    2^k - 1 coarser CUBE groupings (every key subset, not just ROLLUP's
+    prefixes) are derived from that tiny table driver-side. NULL group
+    markers become ``total_label``.
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        ds.select_columns(key_cols + [val_col])
+        .groupby(key_cols)
+        .aggregate(Sum(val_col, alias_name="s"), Count(alias_name="c"))
+        .to_pandas()  # O(distinct key combos) — small by construction
+    )
+    frames = []
+    for level in range(len(key_cols), -1, -1):
+        for keep in combinations(key_cols, level):
+            if keep:
+                g = finest.groupby(list(keep), as_index=False).agg(
+                    s=("s", "sum"), c=("c", "sum")
+                )
+            else:
+                g = pd.DataFrame(
+                    {"s": [finest["s"].sum()], "c": [finest["c"].sum()]}
+                )
+            for col in key_cols:
+                if col not in keep:
+                    g[col] = total_label
+            frames.append(g[key_cols + ["s", "c"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["c"] = out["c"].astype(np.int64)
+    return out

@@ -2736,6 +2736,36 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_cube_sales(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus) over lineitem: the rollup
+    machinery extended to every key subset — still one distributed
+    finest-level pass, all 2^k marginals derived from the tiny
+    aggregate."""
+    from ..moments import cube_sum_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    out = cube_sum_count(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice"
+    )
+    out = out.rename(columns={"s": "sum_price", "c": "n"})
+    out["sum_price"] = round_away(out["sum_price"], 2)
+    return out
+
+
+SQL_CUBE_SALES = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_extendedprice), 2) + 0 AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_event_gaps(sf_dir: str):
     """Per-user LAG delta (microseconds since the user's previous event);
     one key-hash shuffle, one lexsort + diff per partition."""
@@ -3057,6 +3087,29 @@ SQL_GROUPED_RANK = """
 SELECT event_id, user_id,
        CAST(row_number() OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rank
+FROM events ORDER BY event_id
+"""
+
+
+def q_grouped_ntile(sf_dir: str):
+    """Per-user event quartiles (window-function ntile(4)): one key-hash
+    shuffle + one lexsort per partition; SQL's exact uneven-fill rule."""
+    from ..relops import grouped_ntile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = grouped_ntile(ev, "user_id", "ts", "event_id", n=4)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "tile"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GROUPED_NTILE = """
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile
 FROM events ORDER BY event_id
 """
 
@@ -3450,6 +3503,8 @@ QUERIES = {
     "key_skew": q_key_skew,
     "dedup_keep_best": q_dedup_keep_best,
     "order_count_hist": q_order_count_hist,
+    "cube_sales": q_cube_sales,
+    "grouped_ntile": q_grouped_ntile,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3526,6 +3581,8 @@ ORACLE_SQL = {
     "key_skew": SQL_KEY_SKEW,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "order_count_hist": SQL_ORDER_COUNT_HIST,
+    "cube_sales": SQL_CUBE_SALES,
+    "grouped_ntile": SQL_GROUPED_NTILE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -1071,6 +1071,69 @@ def grouped_rank(
     )
 
 
+def grouped_ntile(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    n: int,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key NTILE — SQL ``ntile(n) OVER (PARTITION BY key ORDER BY
+    order_col, tie_col)`` — appended as ``tile`` (1-based). Implements
+    SQL's exact fill rule: the first ``cnt % n`` tiles of a key get
+    ``cnt // n + 1`` rows, the rest ``cnt // n`` (each of the first
+    ``cnt`` tiles gets one row when ``n > cnt``). ``tie_col`` must be
+    unique per key for deterministic, partitioning-invariant tiles.
+
+    Same scale shape as :func:`grouped_rank`: one key-hash shuffle, ONE
+    lexsort per partition, tile computed arithmetically from each row's
+    position in its key run — no per-key dispatch, no global sort.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def tile_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            g["tile"] = pd.Series(dtype=np.int64)
+            return g
+        keys = g[key_col].to_numpy()
+        order = np.lexsort((g[tie_col].to_numpy(),
+                            g[order_col].to_numpy(), keys))
+        sk = keys[order]
+        starts_mask = np.concatenate(([True], sk[1:] != sk[:-1]))
+        starts = np.flatnonzero(starts_mask)
+        lengths = np.diff(np.append(starts, len(sk)))
+        run_start = np.repeat(starts, lengths)
+        cnt = np.repeat(lengths, lengths)
+        i = np.arange(len(sk)) - run_start  # 0-based position in key run
+        big = cnt % n          # tiles that get one extra row
+        size_big = cnt // n + 1
+        small = np.maximum(cnt // n, 1)  # guard n > cnt (big branch wins)
+        in_big = i < big * size_big
+        tile = np.where(
+            in_big,
+            i // size_big,
+            big + (i - big * size_big) // small,
+        ) + 1
+        out = g.iloc[order].copy()
+        out["tile"] = tile.astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(tile_partition, batch_format="pandas")
+    )
+
+
 def _row_keys(t: pa.Table, cols: list[str]) -> "tuple[np.ndarray, np.ndarray]":
     """128-bit whole-row content identity (two independent sip-hash
     streams, column-mixed) — the same keying convention as

@@ -79,6 +79,8 @@ CHECKED = [
     ("key_skew", 0),
     ("dedup_keep_best", 0),
     ("order_count_hist", 0),
+    ("cube_sales", 0),
+    ("grouped_ntile", 0),
 ]
 
 

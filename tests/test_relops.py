@@ -674,3 +674,61 @@ def test_count_distribution_zero_bucket_and_exactness():
     pd.testing.assert_frame_equal(
         out.astype(np.int64), want.astype(np.int64)
     )
+
+
+def test_grouped_ntile_uneven_fill_and_tiny_groups():
+    """SQL NTILE fill rule: first cnt%n tiles get the extra row; when
+    n > cnt each of the first cnt tiles gets exactly one row."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import grouped_ntile
+
+    # key 1: 10 rows into 4 tiles -> sizes 3,3,2,2
+    # key 2: 2 rows into 4 tiles  -> tiles 1,2 (n > cnt)
+    # key 3: 4 rows into 4 tiles  -> 1,1,1,1
+    df = pd.DataFrame(
+        {
+            "k": [1] * 10 + [2] * 2 + [3] * 4,
+            "o": list(range(10)) + [5, 3] + [9, 7, 8, 6],
+            "t": np.arange(16, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_ntile(ray.data.from_pandas(df).repartition(4), "k", "o", "t", n=4)
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert list(out[out["k"] == 1]["tile"]) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert list(out[out["k"] == 2]["tile"]) == [1, 2]  # ordered by o: 3,5
+    assert list(out[out["k"] == 3]["tile"]) == [1, 2, 3, 4]
+
+
+def test_cube_matches_pandas_all_subsets():
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.moments import cube_sum_count
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(list("xyz"), 200),
+            "b": rng.choice(list("pq"), 200),
+            "v": rng.rand(200),
+        }
+    )
+    out = cube_sum_count(
+        ray.data.from_pandas(df).repartition(4), ["a", "b"], "v"
+    )
+    # 2x3 finest + 3 a-marginals + 2 b-marginals + 1 grand = 12 rows
+    assert len(out) == 12
+    grand = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert int(grand["c"].iloc[0]) == 200
+    assert abs(float(grand["s"].iloc[0]) - df["v"].sum()) < 1e-9
+    bm = out[(out["a"] == "ALL") & (out["b"] == "p")]
+    want = df[df["b"] == "p"]
+    assert int(bm["c"].iloc[0]) == len(want)
+    assert abs(float(bm["s"].iloc[0]) - want["v"].sum()) < 1e-9
