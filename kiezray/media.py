@@ -22,7 +22,9 @@ import struct
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 try:  # gate: not installed in this sandbox
@@ -680,4 +682,118 @@ def synth_video_table(n: int = 32, seed: int = 42) -> pa.Table:
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()),
          "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def span_explode(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Interleaved -> flat: one output row per span of the
+    (doc_id, spans: list<struct<kind,text,media_ref,offset>>) payload,
+    carrying ``span_idx`` (position within its doc) so the nested shape
+    is losslessly recoverable by :func:`span_reassemble` (for docs with
+    >= 1 span; a zero-span doc has no flat row and so is dropped by the
+    roundtrip — carry empty docs around the bridge, not through it).
+
+    The bridge from the interleaved schema to the engine's flat-column
+    operators: exploded text spans feed the text stages, media spans the
+    decode actor pools, and the processed halves reassemble per doc.
+    Zero-copy per batch — list offsets + flattened struct children move
+    as Arrow buffers; no per-row Python over the nested payload.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["spans"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = col.values
+        total = int(counts.sum())
+        doc_idx = np.repeat(np.arange(len(t)), counts)
+        span_idx = np.arange(total) - np.repeat(offs[:-1], counts)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(doc_idx)),
+                "span_idx": pa.array(span_idx, pa.int64()),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "offset": flat.field("offset"),
+            }
+        )
+
+    return docs_ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def span_reassemble(
+    spans_ds: "ray.data.Dataset", num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """Flat -> interleaved: regroup span rows (as emitted by
+    :func:`span_explode`, ``span_idx`` preserved through whatever
+    per-span processing ran in between) into the nested
+    (doc_id, spans) payload, span order restored by ``span_idx``.
+
+    Scale shape: ONE doc_id-hash shuffle (a doc's spans land in exactly
+    one partition), then per partition a single lexsort + Arrow
+    ListArray rebuild from run offsets — no per-doc dispatch, and the
+    nested column is constructed from flat buffers, not Python lists.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        part = (
+            pd.util.hash_array(ids.astype(object)).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.string()),
+                 "spans": pa.array([], span_type)}
+            )
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sidx = g["span_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sidx, ids))
+        take = pa.array(order)
+        sids = ids[order]
+        starts_mask = np.concatenate(([True], sids[1:] != sids[:-1]))
+        starts = np.flatnonzero(starts_mask)
+        offsets = np.append(starts, len(sids)).astype(np.int32)
+        values = pa.StructArray.from_arrays(
+            [
+                g["kind"].combine_chunks().take(take),
+                pc.cast(g["text"].combine_chunks().take(take), pa.string()),
+                g["media_ref"].combine_chunks().take(take),
+                pc.cast(g["offset"].combine_chunks().take(take), pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].combine_chunks().take(
+                    pa.array(order[starts])
+                ),
+                "spans": spans,
+            }
+        )
+
+    return (
+        spans_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            rebuild, batch_format="pyarrow"
+        )
     )

@@ -3244,6 +3244,23 @@ def q_span_stats(sf_dir: str):
     return span_stats(rd.from_arrow(docs).repartition(8))
 
 
+def q_span_roundtrip(sf_dir: str):
+    """Rows-only (synthesized interleaved corpus): the interleave bridge
+    end-to-end — explode the nested span payload to flat rows, rebuild
+    the nested payload (one doc-hash shuffle, Arrow-buffer ListArray
+    reconstruction), then per-doc span_stats over the REASSEMBLED docs.
+    Identity with stats over the originals is pytest-verified."""
+    import ray.data as rd
+
+    from ..media import span_explode, span_reassemble, span_stats
+    from ..synth import generate_docs
+
+    docs, _, _ = generate_docs(n_entities=400, seed=42, hub_entities=2,
+                               hub_copies=16)
+    ds = rd.from_arrow(docs).repartition(8)
+    return span_stats(span_reassemble(span_explode(ds)))
+
+
 def q_key_skew(sf_dir: str):
     """Exact heavy-key report over events.user_id (share rounded for the
     oracle): the pre-partitioning skew diagnostic."""
@@ -3505,6 +3522,7 @@ QUERIES = {
     "order_count_hist": q_order_count_hist,
     "cube_sales": q_cube_sales,
     "grouped_ntile": q_grouped_ntile,
+    "span_roundtrip": q_span_roundtrip,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3588,5 +3606,9 @@ ORACLE_SQL = {
     # / minhash_dedup / simhash_dedup / fingerprint / quality
     # (hash-function-defined semantics), ann_graph / ann_pq / ann_rpforest
     # (approximate by construction; recall-tested vs the exact oracle),
-    # kmeans_clusters (iterative algorithm; planted-blob recovery tests).
+    # kmeans_clusters (iterative algorithm; planted-blob recovery tests),
+    # span_stats / span_roundtrip (interleaved corpus is synthesized, not
+    # an oracle view; python-equivalence + roundtrip-identity tests),
+    # media_* / audio_* / video_* (binary payload pipelines; deterministic
+    # planted-dup and codec-roundtrip tests).
 }

@@ -498,3 +498,55 @@ def test_video_dedup_query_finds_planted_pairs(ray_session):
     # histogram features are coarse (48-dim), but there must be real
     # scene discrimination, not one blob
     assert len(set(m.values())) >= 10
+
+
+def test_span_explode_reassemble_roundtrip_identity(ray_session):
+    """The interleave bridge is lossless: explode -> reassemble returns
+    exactly the original nested payload for every doc (span order by
+    span_idx, all four struct fields, Arrow types preserved)."""
+    import ray.data as rd
+
+    from kiezray.media import span_explode, span_reassemble
+    from kiezray.synth import generate_docs
+
+    docs, _, _ = generate_docs(
+        n_entities=300, seed=42, hub_entities=2, hub_copies=8
+    )
+    ds = rd.from_arrow(docs).repartition(8)
+    back = span_reassemble(span_explode(ds))
+    assert back.schema().base_schema == docs.schema
+    got = {
+        r.doc_id: list(r.spans) for r in back.to_pandas().itertuples()
+    }
+    want = {
+        r.doc_id: list(r.spans) for r in docs.to_pandas().itertuples()
+    }
+    assert got == want
+
+
+def test_span_roundtrip_query_matches_direct_stats(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kiezray.pipelines import queries as Q
+
+    from kiezray.media import span_stats
+    from kiezray.synth import generate_docs
+
+    out = (
+        Q.QUERIES["span_roundtrip"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs, _, _ = generate_docs(
+        n_entities=400, seed=42, hub_entities=2, hub_copies=16
+    )
+    want = (
+        span_stats(rd.from_arrow(docs).repartition(8))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)
+    assert out["offsets_ordered"].all()
