@@ -3261,6 +3261,27 @@ def q_span_roundtrip(sf_dir: str):
     return span_stats(span_reassemble(span_explode(ds)))
 
 
+def q_blocking_metrics(sf_dir: str):
+    """Rows-only (synthesized corpus + gold links): blocking quality
+    diagnostics for the ER flagship — exact comparisons mass, HLL
+    distinct candidate pairs, reduction ratio, exact pair completeness
+    vs gold. Pytest checks comparisons/completeness against a
+    brute-force pandas oracle and the HLL error bound."""
+    import ray.data as rd
+
+    from ..block import blocking_keys, blocking_metrics
+    from ..synth import generate_docs
+
+    docs, _, gold_links = generate_docs(n_entities=400, seed=42,
+                                        hub_entities=2, hub_copies=16)
+    keys = blocking_keys(rd.from_arrow(docs).repartition(8), carry_cols=())
+    gp = pa.table({"a": gold_links["source_id"], "b": gold_links["target_id"]})
+    out = blocking_metrics(keys, gp, n_docs=len(docs))
+    for c in ("distinct_pairs", "reduction_ratio", "pair_completeness"):
+        out[c] = round_away(out[c], 6)
+    return out
+
+
 def q_key_skew(sf_dir: str):
     """Exact heavy-key report over events.user_id (share rounded for the
     oracle): the pre-partitioning skew diagnostic."""
@@ -3523,6 +3544,7 @@ QUERIES = {
     "cube_sales": q_cube_sales,
     "grouped_ntile": q_grouped_ntile,
     "span_roundtrip": q_span_roundtrip,
+    "blocking_metrics": q_blocking_metrics,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3607,6 +3629,8 @@ ORACLE_SQL = {
     # (hash-function-defined semantics), ann_graph / ann_pq / ann_rpforest
     # (approximate by construction; recall-tested vs the exact oracle),
     # kmeans_clusters (iterative algorithm; planted-blob recovery tests),
+    # blocking_metrics (diagnostic over synthesized corpus; brute-force
+    # pandas oracle + HLL error-bound tests),
     # span_stats / span_roundtrip (interleaved corpus is synthesized, not
     # an oracle view; python-equivalence + roundtrip-identity tests),
     # media_* / audio_* / video_* (binary payload pipelines; deterministic

@@ -247,3 +247,46 @@ def test_run_stage_empty_and_sharded_empty(tmp_path):
     assert sorted(merged.to_pandas()["x"]) == [1, 21]
     merged2 = run_stage_sharded("sh", "fp2", make_shard, 4, ck, resume=True)
     assert sorted(merged2.to_pandas()["x"]) == [1, 21]
+
+
+def test_blocking_metrics_vs_bruteforce(ray_session):
+    """comparisons and pair_completeness are EXACT vs a brute-force
+    pandas oracle; the HLL distinct-pair estimate is within 5%."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kiezray.block import blocking_keys, blocking_metrics
+    from kiezray.synth import generate_docs
+
+    docs, _, gold_links = generate_docs(
+        n_entities=200, seed=42, hub_entities=1, hub_copies=8
+    )
+    keys = blocking_keys(rd.from_arrow(docs).repartition(8), carry_cols=())
+    gp = pa.table(
+        {"a": gold_links["source_id"], "b": gold_links["target_id"]}
+    )
+    out = blocking_metrics(keys, gp, n_docs=len(docs)).iloc[0]
+
+    kdf = keys.select_columns(["doc_id", "block_key"]).to_pandas()
+    comparisons, pairs = 0, set()
+    for _, g in kdf.groupby("block_key"):
+        s = len(g)
+        comparisons += s * (s - 1) // 2
+        pairs.update(
+            frozenset(p) for p in combinations(g["doc_id"], 2)
+            if p[0] != p[1]
+        )
+    key_sets = kdf.groupby("doc_id")["block_key"].agg(set)
+    gl = list(zip(gold_links["source_id"].to_pylist(),
+                  gold_links["target_id"].to_pylist()))
+    covered = sum(
+        1 for a, b in gl
+        if key_sets.get(a, set()) & key_sets.get(b, set())
+    )
+    assert int(out["comparisons"]) == comparisons
+    assert int(out["n_docs"]) == len(docs)
+    assert out["pair_completeness"] == covered / len(gl)
+    assert abs(out["distinct_pairs"] - len(pairs)) / len(pairs) < 0.05
+    assert out["reduction_ratio"] > 0.9
