@@ -1734,6 +1734,136 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: top 20 customers by revenue from RETURNED items.
+    Plan: predicate pushed into the parquet read (row-group pruning on
+    l_returnflag), revenue pre-aggregated per orderkey BEFORE the orders
+    join (combiner first, shuffle the small aggregate), per-customer
+    fold, customer names via broadcast join (dimension-small side never
+    shuffles), partial top-20 instead of a global sort."""
+    import pyarrow.dataset as pads
+
+    from ..relops import broadcast_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t["l_orderkey"], pa.int64()),
+                "revenue": pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+            }
+        )
+
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())), pa.int32()
+        )
+        return t.append_column("__part", part)
+
+    def sum_partition(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["revenue"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        return pa.table(
+            {
+                "k": pa.array(k[starts], pa.int64()),
+                "revenue": pa.array(np.add.reduceat(v, starts), pa.float64()),
+            }
+        )
+
+    def fold(ds):
+        return (
+            ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__part")
+            .map_groups(sum_partition, batch_format="pyarrow")
+        )
+
+    per_order = fold(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = fold(
+        per_order.join(orders, join_type="inner", num_partitions=8,
+                       on=("k",))
+        .map_batches(
+            lambda t: pa.table(
+                {"k": t["o_custkey"], "revenue": t["revenue"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    named = broadcast_join(
+        per_cust.map_batches(
+            lambda t: pa.table(
+                {"ck": t["k"],
+                 "revenue": pc.round(t["revenue"], 2,
+                                     round_mode="half_towards_infinity")}
+            ),
+            batch_format="pyarrow",
+        ),
+        cust,
+        "ck",
+        "c_custkey",
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        r = t["revenue"].to_numpy(zero_copy_only=False)
+        key = t["ck"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -r))[:20]
+        return t.take(pa.array(order))
+
+    return (
+        named.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {"c_custkey": t["ck"], "c_name": t["c_name"],
+                 "revenue": t["revenue"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_RETURNED_REVENUE = """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 def q_inner_join(sf_dir: str):
     """Generic co-partitioned inner equi-join (orders x customer on
     custkey): one hash shuffle per side, per-partition vectorized merge —
@@ -3545,6 +3675,7 @@ QUERIES = {
     "grouped_ntile": q_grouped_ntile,
     "span_roundtrip": q_span_roundtrip,
     "blocking_metrics": q_blocking_metrics,
+    "returned_revenue": q_returned_revenue,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3623,6 +3754,7 @@ ORACLE_SQL = {
     "order_count_hist": SQL_ORDER_COUNT_HIST,
     "cube_sales": SQL_CUBE_SALES,
     "grouped_ntile": SQL_GROUPED_NTILE,
+    "returned_revenue": SQL_RETURNED_REVENUE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -81,6 +81,7 @@ CHECKED = [
     ("order_count_hist", 0),
     ("cube_sales", 0),
     ("grouped_ntile", 0),
+    ("returned_revenue", 0),
 ]
 
 
