@@ -2424,6 +2424,31 @@ ORDER BY source, doc_id
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-proportional document sample (priority sampling: bottom-200
+    by u/w, w = n_chars): per-batch partials + one coalesce; rank value
+    is a single IEEE double division so DuckDB agrees bit-for-bit."""
+    from ..sample import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    out = weighted_sample(docs, "doc_id", "n_chars", n=200, seed=11)
+    return out.sort("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT * FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+  ORDER BY CAST(((CAST(doc_id AS HUGEINT) + 11) * 11400714819323198485)
+                % 18446744073709551616 AS DOUBLE) / n_chars, doc_id
+  LIMIT 200
+) ORDER BY doc_id
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Top-10 whitespace tokens per language (pre-aggregated wide count:
     per-batch partial (lang, token) counts, token-hash partition fold,
@@ -3676,6 +3701,7 @@ QUERIES = {
     "span_roundtrip": q_span_roundtrip,
     "blocking_metrics": q_blocking_metrics,
     "returned_revenue": q_returned_revenue,
+    "weighted_sample": q_weighted_sample,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3755,6 +3781,7 @@ ORACLE_SQL = {
     "cube_sales": SQL_CUBE_SALES,
     "grouped_ntile": SQL_GROUPED_NTILE,
     "returned_revenue": SQL_RETURNED_REVENUE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -161,3 +161,45 @@ def deterministic_shuffle(
         num_partitions=num_partitions,
     )
     return ranked.drop_columns(["__pri"])
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic weighted sample of ``n`` rows, inclusion probability
+    increasing with ``weight_col`` — priority sampling (Duffield, Lund &
+    Thorup, JACM 2007): keep the bottom-``n`` rows by ``u / w`` where
+    ``u`` is the Knuth integer priority of the id. The training-data use
+    is length-proportional document sampling ("longer docs more likely",
+    weight = n_chars) with partitioning-invariant, reproducible output.
+
+    Cross-engine exactness: the rank value is one IEEE-754 double
+    division of the SAME operands in both engines (the uint64 priority
+    cast to double, the weight cast to double) — division is correctly
+    rounded, so numpy and DuckDB agree bit-for-bit and the oracle can
+    ``ORDER BY CAST(pri AS DOUBLE)/w, id LIMIT n``. Ties break by id.
+    Weights must be > 0 (raises otherwise); same non-negative-id
+    requirement as :func:`hash_sample`.
+
+    Scale shape: per-batch partial bottom-``n`` + one tiny coalesce — no
+    global sort, no shuffle of anything but ``#batches x n`` rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if w.size and w.min() <= 0:
+            raise ValueError("weighted_sample requires weights > 0")
+        rank = _priority(ids, seed).astype(np.float64) / w
+        order = np.lexsort((ids, rank))[:n]
+        return t.take(pa.array(order))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -82,6 +82,7 @@ CHECKED = [
     ("cube_sales", 0),
     ("grouped_ntile", 0),
     ("returned_revenue", 0),
+    ("weighted_sample", 0),
 ]
 
 

@@ -105,3 +105,34 @@ def test_deterministic_shuffle_is_permutation_and_invariant(ray_session):
     # actually shuffled: rank order decorrelated from id order
     rho = np.corrcoef(a["id"].to_numpy(), a["rank"].to_numpy())[0, 1]
     assert abs(rho) < 0.1
+
+
+def test_weighted_sample_bias_and_guards(ray_session):
+    """Priority sampling keeps heavier rows more often: with weights
+    1000 vs 1, essentially all sampled rows are heavy. Zero/negative
+    weights raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray
+
+    from kiezray.sample import weighted_sample
+
+    ids = np.arange(2000, dtype=np.int64)
+    w = np.where(ids < 1000, 1000.0, 1.0)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "w": w})
+    ).repartition(4)
+    out = weighted_sample(ds, "doc_id", "w", n=100, seed=3).to_pandas()
+    assert len(out) == 100
+    assert (out["doc_id"] < 1000).mean() > 0.95
+    # determinism under repartitioning
+    out2 = weighted_sample(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "w": w}))
+        .repartition(13),
+        "doc_id", "w", n=100, seed=3,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    bad = ray.data.from_pandas(pd.DataFrame({"doc_id": ids[:5], "w": [1.0, 0.0, 2.0, 3.0, 4.0]}))
+    with pytest.raises(Exception, match="weights > 0"):
+        weighted_sample(bad, "doc_id", "w", n=2).to_pandas()
