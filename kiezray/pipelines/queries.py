@@ -2602,6 +2602,94 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_prep(sf_dir: str):
+    """The composed LLM training-data prep funnel — language filter ->
+    corpus-median quality gate -> exact dedup — with per-stage survivor
+    counts, every stage reusing a shuffle-shaped operator: stateless
+    lang filter, distributed exact quantile (scalar to driver), keyed
+    semi join (no broadcast keep-set), one-shuffle min-id dedup. The
+    whole funnel is SQL-expressible, so the composition is oracle-exact,
+    not just the pieces."""
+    from ..dedup import dedup_exact
+    from ..quantile import exact_quantiles
+    from ..relops import semi_join
+    from ..textops import quality_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    n_total = docs.count()
+    en = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_en = en.count()
+    qual = quality_score(en).map_batches(
+        lambda df: df.assign(quality=round_away(df["quality"], 6))[
+            ["doc_id", "quality"]
+        ],
+        batch_format="pandas",
+    )
+    thr_tbl = exact_quantiles(
+        qual, "quality", qs=(0.5,), num_bins=256, collect_threshold=1024
+    )
+    thr = float(thr_tbl["value"][0].as_py())
+    gated = qual.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], pa.scalar(thr))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    kept = semi_join(en, gated.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table({"gid": t["doc_id"]}), batch_format="pyarrow",
+    ), "doc_id", "gid")
+    n_gated = kept.count()
+    surv = dedup_exact(kept, content_cols=["text"])
+    n_dedup = surv.count()
+    return pd.DataFrame(
+        {
+            "stage": ["1_total", "2_lang_en", "3_quality_gate", "4_dedup"],
+            "rows": np.array([n_total, n_en, n_gated, n_dedup], np.int64),
+        }
+    )
+
+
+SQL_CORPUS_PREP = """
+WITH en AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, coalesce(text, '') AS text
+  FROM documents WHERE lang = 'en'),
+feat AS (
+  SELECT doc_id, text,
+         CAST(length(text) - length(regexp_replace(text,
+              '[.,;:!?"''()\\[\\]{}]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         coalesce(list_avg(list_transform(
+              string_split_regex(trim(text), '\\s+'),
+              t -> CAST(length(t) AS DOUBLE))), 0.0) AS mean_token_len,
+         CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+           AS length_ok
+  FROM en),
+qual AS (
+  SELECT doc_id, text,
+         round(0.4 * length_ok
+               + 0.3 * (1.0 - least(greatest(punct_ratio, 0), 1))
+               + 0.3 * (least(greatest(mean_token_len, 0), 10) / 10.0), 6)
+           + 0 AS quality
+  FROM feat),
+gate AS (
+  SELECT doc_id, text FROM qual
+  WHERE quality >= (SELECT quantile_disc(quality, 0.5) FROM qual)),
+ded AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY text)
+SELECT '1_total' AS stage, count(*) AS rows FROM documents
+UNION ALL SELECT '2_lang_en', count(*) FROM en
+UNION ALL SELECT '3_quality_gate', count(*) FROM gate
+UNION ALL SELECT '4_dedup', count(*) FROM ded
+ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3702,6 +3790,7 @@ QUERIES = {
     "blocking_metrics": q_blocking_metrics,
     "returned_revenue": q_returned_revenue,
     "weighted_sample": q_weighted_sample,
+    "corpus_prep": q_corpus_prep,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3782,6 +3871,7 @@ ORACLE_SQL = {
     "grouped_ntile": SQL_GROUPED_NTILE,
     "returned_revenue": SQL_RETURNED_REVENUE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "corpus_prep": SQL_CORPUS_PREP,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -83,6 +83,7 @@ CHECKED = [
     ("grouped_ntile", 0),
     ("returned_revenue", 0),
     ("weighted_sample", 0),
+    ("corpus_prep", 0),
 ]
 
 
