@@ -2602,6 +2602,49 @@ ORDER BY doc_id
 """
 
 
+def q_rank_stats(sf_dir: str):
+    """Per-user RANK / PERCENT_RANK / CUME_DIST over a coarsened value
+    bucket (floor(value) — coarse so real tie groups exist and the SQL
+    tie semantics are exercised, not dodged). Stat divisions are single
+    IEEE double ops of integer operands — bit-identical to DuckDB with
+    no rounding escape hatch."""
+    from ..relops import grouped_rank_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "vbucket": pc.cast(pc.floor(t["value"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_rank_stats(ev, "user_id", "vbucket", "event_id")
+    return out.map_batches(
+        lambda t: t.select(
+            ["event_id", "user_id", "rank", "percent_rank", "cume_dist"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RANK_STATS = """
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(floor(value) AS BIGINT) AS vbucket
+  FROM events)
+SELECT event_id, user_id,
+       CAST(rank() OVER w AS BIGINT) AS rank,
+       percent_rank() OVER w AS percent_rank,
+       cume_dist() OVER w AS cume_dist
+FROM b WINDOW w AS (PARTITION BY user_id ORDER BY vbucket)
+ORDER BY event_id
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """The composed LLM training-data prep funnel — language filter ->
     corpus-median quality gate -> exact dedup — with per-stage survivor
@@ -3791,6 +3834,7 @@ QUERIES = {
     "returned_revenue": q_returned_revenue,
     "weighted_sample": q_weighted_sample,
     "corpus_prep": q_corpus_prep,
+    "rank_stats": q_rank_stats,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3872,6 +3916,7 @@ ORACLE_SQL = {
     "returned_revenue": SQL_RETURNED_REVENUE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "corpus_prep": SQL_CORPUS_PREP,
+    "rank_stats": SQL_RANK_STATS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -1377,3 +1377,78 @@ def count_distribution(
         ["custdist", "c_count"], ascending=[False, False]
     ).reset_index(drop=True)
     return out.astype({"c_count": np.int64, "custdist": np.int64})
+
+
+def grouped_rank_stats(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key RANK / PERCENT_RANK / CUME_DIST with SQL tie semantics —
+    tied ``order_col`` values share the rank of their first row
+    (``rank``), ``percent_rank = (rank-1)/(cnt-1)`` (0 for single-row
+    keys), ``cume_dist = last_tied_position / cnt``. ``tie_col`` only
+    fixes output ROW order, not the tie groups, matching SQL where the
+    window ORDER BY is ``order_col`` alone.
+
+    Scale shape: one key-hash shuffle, ONE lexsort per partition; ranks
+    and tie-group boundaries come from vectorized run arithmetic
+    (maximum.accumulate over change points for firsts, searchsorted over
+    change points for lasts) — no per-key dispatch, no global sort. The
+    stat divisions are single IEEE double ops of integer operands, so
+    DuckDB agrees bit-for-bit.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def stats_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        if len(g) == 0:
+            for c in ("rank", "percent_rank", "cume_dist"):
+                g[c] = pd.Series(
+                    dtype=np.int64 if c == "rank" else np.float64
+                )
+            return g
+        keys = g[key_col].to_numpy()
+        o = g[order_col].to_numpy()
+        t = g[tie_col].to_numpy()
+        order = np.lexsort((t, o, keys))
+        sk, so = keys[order], o[order]
+        n = len(sk)
+        new_key = np.concatenate(([True], sk[1:] != sk[:-1]))
+        new_tie = new_key | np.concatenate(([False], so[1:] != so[:-1]))
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        # key run length for every row
+        kstarts = np.flatnonzero(new_key)
+        klen = np.diff(np.append(kstarts, n))
+        cnt = np.repeat(klen, klen)
+        # first index of each tie group (rank), last index (cume_dist)
+        tie_first = np.maximum.accumulate(np.where(new_tie, idx, 0))
+        tstarts = np.flatnonzero(new_tie)
+        tlen = np.diff(np.append(tstarts, n))
+        tie_last = np.repeat(tstarts + tlen - 1, tlen)
+        rank = tie_first - run_start + 1
+        pr = np.where(
+            cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0
+        )
+        cume = (tie_last - run_start + 1) / cnt
+        out = g.iloc[order].copy()
+        out["rank"] = rank.astype(np.int64)
+        out["percent_rank"] = pr
+        out["cume_dist"] = cume
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(stats_partition, batch_format="pandas")
+    )

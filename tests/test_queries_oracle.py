@@ -84,6 +84,7 @@ CHECKED = [
     ("returned_revenue", 0),
     ("weighted_sample", 0),
     ("corpus_prep", 0),
+    ("rank_stats", 0),
 ]
 
 

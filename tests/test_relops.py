@@ -732,3 +732,32 @@ def test_cube_matches_pandas_all_subsets():
     want = df[df["b"] == "p"]
     assert int(bm["c"].iloc[0]) == len(want)
     assert abs(float(bm["s"].iloc[0]) - want["v"].sum()) < 1e-9
+
+
+def test_grouped_rank_stats_tie_semantics():
+    """RANK shares the first tied position, CUME_DIST the last;
+    PERCENT_RANK is 0 for single-row keys."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import grouped_rank_stats
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1, 2],
+            "o": [10, 10, 10, 20, 30, 5],
+            "t": np.arange(6, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_rank_stats(
+            ray.data.from_pandas(df).repartition(3), "k", "o", "t"
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(out["rank"]) == [1, 1, 1, 4, 5, 1]
+    assert list(out["percent_rank"]) == [0, 0, 0, 0.75, 1.0, 0.0]
+    assert list(out["cume_dist"]) == [0.6, 0.6, 0.6, 0.8, 1.0, 1.0]
