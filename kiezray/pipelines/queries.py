@@ -2602,6 +2602,41 @@ ORDER BY doc_id
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered view -> click -> purchase funnel over events: cumulative
+    users reaching each step strictly after the previous one. One
+    user-hash shuffle, K vectorized scatter-min passes per partition,
+    driver folds partitions x (K+1) depth rows."""
+    from ..windows import funnel_steps
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'step1_view' AS step, count(*) AS users FROM s1
+UNION ALL SELECT 'step2_click', count(*) FROM s2
+UNION ALL SELECT 'step3_purchase', count(*) FROM s3
+ORDER BY step
+"""
+
+
 def q_rank_stats(sf_dir: str):
     """Per-user RANK / PERCENT_RANK / CUME_DIST over a coarsened value
     bucket (floor(value) — coarse so real tie groups exist and the SQL
@@ -3835,6 +3870,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "corpus_prep": q_corpus_prep,
     "rank_stats": q_rank_stats,
+    "funnel": q_funnel,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3917,6 +3953,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "corpus_prep": SQL_CORPUS_PREP,
     "rank_stats": SQL_RANK_STATS,
+    "funnel": SQL_FUNNEL,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -386,3 +386,83 @@ def event_sequences(
         .groupby("__part")
         .map_groups(seq_partition, batch_format="pandas")
     )
+
+
+def funnel_steps(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Ordered funnel analysis: how many keys (users) complete step 1,
+    then step 2 STRICTLY AFTER their first step 1, then step 3 strictly
+    after that, ... Returns one row per step with the cumulative count
+    of keys reaching at least that depth — the product-analytics /
+    curriculum-ordering primitive.
+
+    Scale shape: one key-hash shuffle (a user's events land in one
+    partition), then K vectorized passes per partition — pass i is a
+    boolean mask + unsorted scatter-min (``np.minimum.at``) over
+    factorized user codes, no sort and no per-user Python. Partitions
+    emit K-row depth partials; the driver folds #partitions x K rows.
+    """
+    from .dedup import _splitmix64
+
+    K = len(steps)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    SENT = np.iinfo(np.int64).max
+
+    def depths_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"depth": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        codes, uniq = pd.factorize(g[key_col].to_numpy())
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        types = g[type_col].to_numpy()
+        n_users = len(uniq)
+        prev = np.full(n_users, np.iinfo(np.int64).min, dtype=np.int64)
+        depth = np.zeros(n_users, dtype=np.int64)
+        for s in steps:
+            cand = (types == s) & (ts > prev[codes])
+            m = np.full(n_users, SENT, dtype=np.int64)
+            np.minimum.at(m, codes[cand], ts[cand])
+            reached = m < SENT
+            depth += reached
+            prev = np.where(reached, m, SENT)  # unreached: block next step
+        counts = np.bincount(depth, minlength=K + 1)
+        return pd.DataFrame(
+            {"depth": np.arange(K + 1, dtype=np.int64),
+             "n": counts.astype(np.int64)}
+        )
+
+    partials = (
+        ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(depths_partition, batch_format="pandas")
+        .to_pandas()  # <= num_partitions x (K+1) rows
+    )
+    by_depth = (
+        partials.groupby("depth")["n"].sum().reindex(
+            range(K + 1), fill_value=0
+        )
+    )
+    # cumulative: users reaching AT LEAST depth i
+    at_least = by_depth[::-1].cumsum()[::-1]
+    return pd.DataFrame(
+        {
+            "step": [f"step{i+1}_{s}" for i, s in enumerate(steps)],
+            "users": [np.int64(at_least[i + 1]) for i in range(K)],
+        }
+    )

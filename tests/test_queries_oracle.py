@@ -85,6 +85,7 @@ CHECKED = [
     ("weighted_sample", 0),
     ("corpus_prep", 0),
     ("rank_stats", 0),
+    ("funnel", 0),
 ]
 
 

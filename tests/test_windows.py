@@ -106,3 +106,29 @@ def test_running_aggregate_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     assert (again["running_sum"].values == want["running_sum"].values).all()
+
+
+def test_funnel_steps_strict_ordering(ray_session):
+    """A step counts only strictly AFTER the user's previous step: user 1
+    completes all three, user 2 has click BEFORE view (depth 1), user 3
+    has simultaneous view+click timestamps (strict > blocks click)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.windows import funnel_steps
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    sec = np.timedelta64(1, "s")
+    rows = [
+        (1, t0 + 1 * sec, "view"), (1, t0 + 2 * sec, "click"),
+        (1, t0 + 3 * sec, "purchase"),
+        (2, t0 + 5 * sec, "click"), (2, t0 + 6 * sec, "view"),
+        (3, t0 + 1 * sec, "view"), (3, t0 + 1 * sec, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = funnel_steps(
+        ray.data.from_pandas(df).repartition(3),
+        "user_id", "ts", "event_type", ["view", "click", "purchase"],
+    )
+    assert list(out["users"]) == [3, 1, 1]
