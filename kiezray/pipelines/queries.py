@@ -2602,6 +2602,139 @@ ORDER BY doc_id
 """
 
 
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue by customer nation within one region.
+    5-table plan with the two join regimes used where each belongs:
+    lineitem revenue pre-aggregated per orderkey (combiner) -> shuffle
+    join orders -> per-custkey fold -> shuffle join customer (fact-sized
+    side) -> per-nation fold -> region+nation dimension chain resolved
+    driver-side (a few rows) and applied as a broadcast lookup."""
+    from ..relops import broadcast_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t["l_orderkey"], pa.int64()),
+                "revenue": pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+            }
+        )
+
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())), pa.int32()
+        )
+        return t.append_column("__part", part)
+
+    def sum_partition(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["revenue"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        return pa.table(
+            {
+                "k": pa.array(k[starts], pa.int64()),
+                "revenue": pa.array(np.add.reduceat(v, starts), pa.float64()),
+            }
+        )
+
+    def fold(ds):
+        return (
+            ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__part")
+            .map_groups(sum_partition, batch_format="pyarrow")
+        )
+
+    per_order = fold(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = fold(
+        per_order.join(orders, join_type="inner", num_partitions=8,
+                       on=("k",))
+        .map_batches(
+            lambda t: pa.table({"k": t["o_custkey"], "revenue": t["revenue"]}),
+            batch_format="pyarrow",
+        )
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    per_nation = fold(
+        broadcast_join(
+            per_cust.map_batches(
+                lambda t: pa.table({"ck": t["k"], "revenue": t["revenue"]}),
+                batch_format="pyarrow",
+            ),
+            cust,
+            "ck",
+            "c_custkey",
+        ).map_batches(
+            lambda t: pa.table(
+                {"k": pc.cast(t["c_nationkey"], pa.int64()),
+                 "revenue": t["revenue"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # dimension chain: nation ⋈ region filtered to one region — a few
+    # dozen rows; resolved driver-side, applied as a broadcast lookup
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = nation.merge(
+        region[region["r_name"] == "ASIA"],
+        left_on="n_regionkey", right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    out = per_nation.to_pandas().rename(columns={"k": "n_nationkey"})
+    out = out.merge(dim, on="n_nationkey")  # per-nation rows: tiny
+    out["revenue"] = round_away(out["revenue"], 2)
+    return (
+        out[["n_name", "revenue"]]
+        .sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def q_funnel(sf_dir: str):
     """Ordered view -> click -> purchase funnel over events: cumulative
     users reaching each step strictly after the previous one. One
@@ -3871,6 +4004,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "rank_stats": q_rank_stats,
     "funnel": q_funnel,
+    "nation_revenue": q_nation_revenue,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
 }
@@ -3954,6 +4088,7 @@ ORACLE_SQL = {
     "corpus_prep": SQL_CORPUS_PREP,
     "rank_stats": SQL_RANK_STATS,
     "funnel": SQL_FUNNEL,
+    "nation_revenue": SQL_NATION_REVENUE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -86,6 +86,7 @@ CHECKED = [
     ("corpus_prep", 0),
     ("rank_stats", 0),
     ("funnel", 0),
+    ("nation_revenue", 0),
 ]
 
 
