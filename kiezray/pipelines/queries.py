@@ -3906,6 +3906,107 @@ def q_video_dedup(sf_dir: str):
     )
 
 
+def q_edit_pairs(sf_dir: str):
+    """Blocked exact edit-distance pairs: every document pair sharing a
+    lowercased 16-char text prefix, with its exact Levenshtein distance
+    (batch-vectorized DP — the min-plus prefix-scan kernel). One
+    prefix-hash shuffle; pair universe bounded by the block sizes."""
+    from ..dedup import edit_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return edit_pairs(docs, "doc_id", "text", prefix_len=16)
+
+
+SQL_EDIT_PAIRS = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         lower(substr(coalesce(text, ''), 1, 16)) AS pfx
+  FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.t, b.t) AS dist
+FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+ORDER BY a_id, b_id
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user Markov transition counts over the event stream (LAG
+    adjacency): one user-hash shuffle, lexsort + shifted compare per
+    partition, driver folds alphabet^2-sized partials."""
+    from ..windows import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_transitions(ev, "user_id", "ts", "event_id", "event_type")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH w AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS prev_type, event_type, count(*) AS n
+FROM w WHERE prev IS NOT NULL
+GROUP BY prev, event_type ORDER BY prev_type, event_type
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix: distinct users active k weeks
+    after their first-event (Monday-truncated) week. One user-hash
+    shuffle; per-partition factorize/scatter-min + lexsort dedup;
+    driver folds cohort x horizon cell partials."""
+    from ..windows import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev, "user_id", "ts")
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cw
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS aw, f.cw
+  FROM events e JOIN f USING (user_id))
+SELECT (epoch(cw) / 86400)::BIGINT AS cohort_day,
+       ((epoch(aw) - epoch(cw)) / 604800)::BIGINT AS week_offset,
+       count(*) AS users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_props_agg(sf_dir: str):
+    """JSON-metadata extraction aggregate: integer field `k` pulled out
+    of the props JSON string with one compiled-regex pandas pass,
+    bucketed by k % 10 — shuffle-free combiner partials."""
+    from ..textops import json_field_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props", "value"]
+    )
+    return json_field_agg(ev, "props", "value", field="k", modulus=10)
+
+
+SQL_PROPS_AGG = """
+WITH x AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+  FROM events)
+SELECT ((k % 10) + 10) % 10 AS k_mod,
+       count(*) AS n,
+       round(sum(value), 2) + 0 AS sum_value
+FROM x WHERE k IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -4007,6 +4108,10 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
+    "edit_pairs": q_edit_pairs,
+    "event_transitions": q_event_transitions,
+    "cohort_retention": q_cohort_retention,
+    "props_agg": q_props_agg,
 }
 
 ORACLE_SQL = {
@@ -4089,6 +4194,10 @@ ORACLE_SQL = {
     "rank_stats": SQL_RANK_STATS,
     "funnel": SQL_FUNNEL,
     "nation_revenue": SQL_NATION_REVENUE,
+    "edit_pairs": SQL_EDIT_PAIRS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "props_agg": SQL_PROPS_AGG,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / simhash_dedup / fingerprint / quality

@@ -1216,3 +1216,66 @@ def normalize_text(
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         norm, batch_format="pandas"
     )
+
+
+def json_field_agg(
+    events_ds: "ray.data.Dataset",
+    props_col: str = "props",
+    value_col: str = "value",
+    field: str = "k",
+    modulus: int = 10,
+) -> pd.DataFrame:
+    """Vectorized JSON-metadata extraction + aggregate: pull integer
+    ``field`` out of a JSON-string column with ONE compiled-regex pandas
+    pass (no per-row json.loads), bucket it by ``% modulus``, and return
+    (k_mod, n, sum_value) — the "group training examples by a property
+    buried in a metadata blob" pass. Semantics match DuckDB
+    ``CAST(json_extract_string(props, '$.field') AS BIGINT)`` for flat
+    integer fields; rows where the field is absent are dropped on both
+    sides.
+
+    Scale shape: pure per-batch combiner partials (modulus-sized count /
+    sum arrays via np.bincount) — NO shuffle at all; the driver folds
+    only partitions x modulus rows.
+    """
+    pat = re.compile(r'"' + re.escape(field) + r'"\s*:\s*(-?\d+)')
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ext = batch[props_col].fillna("").str.extract(pat, expand=False)
+        ok = ext.notna().to_numpy()
+        if not ok.any():
+            return pd.DataFrame(
+                {
+                    "k_mod": pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                    "sum_value": pd.Series(dtype=np.float64),
+                }
+            )
+        k = ext[ok].to_numpy(dtype=np.int64)
+        v = batch[value_col].to_numpy(dtype=np.float64)[ok]
+        mod = k % modulus  # python-style: non-negative for modulus > 0
+        n = np.bincount(mod, minlength=modulus)
+        s = np.bincount(mod, weights=v, minlength=modulus)
+        nz = np.flatnonzero(n)
+        return pd.DataFrame(
+            {
+                "k_mod": nz.astype(np.int64),
+                "n": n[nz].astype(np.int64),
+                "sum_value": s[nz],
+            }
+        )
+
+    partials = (
+        events_ds.select_columns([props_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # partitions x modulus rows — tiny by construction
+    )
+    if len(partials) == 0:
+        return partials
+    out = (
+        partials.groupby("k_mod", sort=True)
+        .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+        .reset_index()
+    )
+    out["sum_value"] = round_away(out["sum_value"].to_numpy(), 2)
+    return out

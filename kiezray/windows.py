@@ -466,3 +466,165 @@ def funnel_steps(
             "users": [np.int64(at_least[i + 1]) for i in range(K)],
         }
     )
+
+
+def event_transitions(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_type",
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Per-key Markov transition counts: for each key's time-ordered
+    event stream, count every adjacent (previous value, value) pair —
+    SQL ``lag(val) OVER (PARTITION BY key ORDER BY ts, id)`` + GROUP
+    BY. Output: (prev_type, event_type, n), the transition matrix a
+    sequence-model data pipeline trains priors from.
+
+    Scale shape: ONE key-hash shuffle (a key never spans two
+    partitions, so every adjacency is visible inside one partition),
+    one lexsort + shifted-compare per partition, then a per-partition
+    pandas groupby emits at most |alphabet|^2 partial rows. The driver
+    folds only partitions x alphabet^2 counts — never event rows.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def trans_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "prev_type": pd.Series(dtype=object),
+                "event_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g[val_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, us, keys))
+        k, v = keys[order], vals[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        sel = np.flatnonzero(same) + 1
+        part = (
+            pd.DataFrame({"prev_type": v[sel - 1], "event_type": v[sel]})
+            .groupby(["prev_type", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return part
+
+    partials = (
+        events.select_columns([id_col, key_col, ts_col, val_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(trans_partition, batch_format="pandas")
+        .to_pandas()  # partitions x alphabet^2 rows — tiny by contract
+    )
+    if len(partials) == 0:
+        return partials
+    out = (
+        partials.groupby(["prev_type", "event_type"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+def cohort_retention(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Weekly cohort-retention matrix: cohort = Monday-start week of a
+    key's FIRST event (DuckDB ``date_trunc('week', ts)`` semantics),
+    and for every (cohort, weeks-since-cohort) cell the number of
+    distinct keys active in that offset week. Output: (cohort_day
+    int64 epoch days of the cohort Monday, week_offset int64, users).
+
+    Scale shape: ONE key-hash shuffle; a key's whole history lands in
+    one partition, so its first week AND its distinct active weeks are
+    computed locally (factorize + scatter-min, lexsort dedup — no
+    per-key Python). Each partition emits at most cohorts x horizon
+    partial cells, already distinct-by-construction (each key counts
+    once per cell because the (key, week) pairs were deduped locally
+    and a key lives in exactly one partition). The driver folds only
+    the tiny cell partials.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def cells_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cohort_day": pd.Series(dtype=np.int64),
+                "week_offset": pd.Series(dtype=np.int64),
+                "users": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        days = us // 86_400_000_000
+        week = days - ((days - 4) % 7)  # Monday start; day 4 = 1970-01-05
+        codes, _ = pd.factorize(keys, sort=False)
+        nk = codes.max() + 1
+        first = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, codes, week)
+        # distinct (key, active week) pairs via one lexsort
+        order = np.lexsort((week, codes))
+        ck, wk = codes[order], week[order]
+        keep = np.concatenate(
+            ([True], (ck[1:] != ck[:-1]) | (wk[1:] != wk[:-1]))
+        )
+        ck, wk = ck[keep], wk[keep]
+        cohort = first[ck]
+        off = (wk - cohort) // 7
+        part = (
+            pd.DataFrame({"cohort_day": cohort, "week_offset": off})
+            .groupby(["cohort_day", "week_offset"], sort=False)
+            .size()
+            .rename("users")
+            .reset_index()
+        )
+        part["users"] = part["users"].astype(np.int64)
+        return part
+
+    partials = (
+        events.select_columns([key_col, ts_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(cells_partition, batch_format="pandas")
+        .to_pandas()  # partitions x cohorts x horizon rows — tiny
+    )
+    if len(partials) == 0:
+        return partials
+    out = (
+        partials.groupby(["cohort_day", "week_offset"], sort=True)["users"]
+        .sum()
+        .reset_index()
+    )
+    return out.sort_values(
+        ["cohort_day", "week_offset"]
+    ).reset_index(drop=True)

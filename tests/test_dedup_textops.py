@@ -346,3 +346,66 @@ def test_dedup_keep_best_prefers_high_score(ray_session):
     )
     # "aa": max q 0.9 tie -> min id 2; "bb": tie -> min id 4
     assert list(out["doc_id"]) == [2, 4]
+
+
+def test_batch_levenshtein_matches_reference_dp():
+    """Vectorized min-plus-scan DP equals the classic per-pair DP on
+    random strings (incl. empties, equal strings, unicode)."""
+    import random
+
+    from kiezray.dedup import batch_levenshtein
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[len(b)]
+
+    rng = random.Random(13)
+    alpha = "abcd éü"
+    pairs = [("", ""), ("", "xy"), ("xy", ""), ("same", "same")]
+    for _ in range(150):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        pairs.append((a, b))
+    got = batch_levenshtein([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([ref(a, b) for a, b in pairs], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_edit_pairs_blocked_and_partition_invariant(ray_session):
+    """edit_pairs emits exactly the within-prefix-block pairs with exact
+    distances, identically at different input partitionings."""
+    import ray
+
+    from kiezray.dedup import edit_pairs
+
+    texts = [
+        "the quick brown fox jumps",
+        "the quick brown fox jumped",   # same 16-prefix as above
+        "the quick brown cat sits",     # same 16-prefix
+        "a totally different text",
+        "A Totally different TEXT here",  # same lowercased prefix
+    ]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64), "text": texts}
+    )
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = (
+            edit_pairs(ds, "doc_id", "text", prefix_len=16)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert set(zip(got["a_id"], got["b_id"])) == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    row = got[(got["a_id"] == 0) & (got["b_id"] == 1)]
+    assert int(row["dist"].iloc[0]) == 2  # jumps -> jumped

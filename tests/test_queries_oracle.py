@@ -87,6 +87,10 @@ CHECKED = [
     ("rank_stats", 0),
     ("funnel", 0),
     ("nation_revenue", 0),
+    ("edit_pairs", 0),
+    ("event_transitions", 0),
+    ("cohort_retention", 0),
+    ("props_agg", 0),
 ]
 
 

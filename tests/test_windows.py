@@ -132,3 +132,92 @@ def test_funnel_steps_strict_ordering(ray_session):
         "user_id", "ts", "event_type", ["view", "click", "purchase"],
     )
     assert list(out["users"]) == [3, 1, 1]
+
+
+def test_event_transitions_matches_pandas(ray_session):
+    """Transition counts equal a pandas LAG groupby, including big
+    (> 2^23) user ids and tie timestamps broken by event_id; output is
+    invariant to input partitioning."""
+    import ray
+
+    from kiezray.windows import event_transitions
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = rng.choice(
+        np.array([3, 9_000_000_001, 2**40 + 7, 12, 99], dtype=np.int64), n
+    )
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = t0 + rng.integers(0, 500, n).astype("timedelta64[s]")
+    types = rng.choice(np.array(["a", "b", "c"], dtype=object), n)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users,
+            "ts": ts,
+            "event_type": types,
+        }
+    )
+    want = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .assign(prev=lambda d: d.groupby("user_id")["event_type"].shift())
+        .dropna(subset=["prev"])
+        .groupby(["prev", "event_type"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .rename(columns={"prev": "prev_type"})
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    for parts in (1, 7):
+        got = event_transitions(
+            ray.data.from_pandas(df).repartition(parts),
+            "user_id", "ts", "event_id", "event_type",
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n": np.int64}), want.astype({"n": np.int64})
+        )
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    """Cohort cells equal a pandas first-week/distinct-week oracle with
+    Monday-start weeks, including big user ids; a user active in its
+    cohort week AND two weeks later lands in offsets 0 and 2 only."""
+    import ray
+
+    from kiezray.windows import cohort_retention
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    users = rng.choice(
+        np.array([1, 2**33 + 5, 42, 2**24 + 1], dtype=np.int64), n
+    )
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")  # a Monday
+    ts = t0 + rng.integers(0, 45 * 86400, n).astype("timedelta64[s]")
+    df = pd.DataFrame({"user_id": users, "ts": ts})
+
+    days = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    days = days // 86_400_000_000
+    week = days - ((days - 4) % 7)
+    w = pd.DataFrame({"user_id": df["user_id"], "week": week})
+    first = w.groupby("user_id")["week"].min().rename("cohort")
+    act = w.drop_duplicates().join(first, on="user_id")
+    act["week_offset"] = (act["week"] - act["cohort"]) // 7
+    want = (
+        act.groupby(["cohort", "week_offset"])
+        .size()
+        .rename("users")
+        .reset_index()
+        .rename(columns={"cohort": "cohort_day"})
+        .sort_values(["cohort_day", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = cohort_retention(
+        ray.data.from_pandas(df).repartition(5), "user_id", "ts"
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"users": np.int64}), want.astype({"users": np.int64})
+    )
+    # sanity: a user in its own cohort week is offset 0
+    assert (got["week_offset"] >= 0).all()
