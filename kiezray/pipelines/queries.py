@@ -3906,6 +3906,193 @@ def q_video_dedup(sf_dir: str):
     )
 
 
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: per order-year share of ASIA-customer revenue
+    supplied by NATION_7 suppliers. 7-table plan: supplier->nation flag
+    applied as a BROADCAST lookup on the lineitem scan (no shuffle for
+    the dimension), per-orderkey combiner fold BEFORE the orders shuffle
+    join, customer nation via broadcast join, region+nation chains
+    resolved driver-side, per-year conditional sums folded from
+    partials. The only all-to-all exchange is the orders join."""
+    from ..relops import broadcast_join
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    asia_keys = set(
+        nation.merge(
+            region[region["r_name"] == "ASIA"],
+            left_on="n_regionkey",
+            right_on="r_regionkey",
+        )["n_nationkey"]
+    )
+    target_nk = int(
+        nation.loc[nation["n_name"] == "NATION_7", "n_nationkey"].iloc[0]
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    tagged = broadcast_join(li, supp, "l_suppkey", "s_suppkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        # FIXED-POINT revenue: price and discount carry exactly 2
+        # decimals, so price*100 and discount*100 are integers (up to
+        # float representation noise, never near .5) — revenue in
+        # 1e-4 units is an exact int64 and every partial sum is
+        # partition-ORDER-INDEPENDENT. Float sums of ~1e8-scale values
+        # are not (a same-values different-order sum flipped a 2-decimal
+        # rounding boundary at sf0.01); int sums make the aggregate
+        # byte-exact under any partitioning. Overflow bound: total must
+        # stay < 2^53 for the final /1e4 division (1e13 at sf0.1).
+        p100 = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d100 = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        r = p100 * (100 - d100)
+        flag = (
+            t["s_nationkey"].to_numpy(zero_copy_only=False) == target_nk
+        )
+        return pa.table(
+            {
+                "k": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev": pa.array(r, pa.int64()),
+                "rev_t": pa.array(np.where(flag, r, 0), pa.int64()),
+            }
+        )
+
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())), pa.int32()
+        )
+        return t.append_column("__part", part)
+
+    def sum_partition(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["rev"].to_numpy(zero_copy_only=False)
+        vt = g["rev_t"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v, vt = k[order], v[order], vt[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        return pa.table(
+            {
+                "k": pa.array(k[starts], pa.int64()),
+                "rev": pa.array(np.add.reduceat(v, starts), pa.int64()),
+                "rev_t": pa.array(np.add.reduceat(vt, starts), pa.int64()),
+            }
+        )
+
+    per_order = (
+        tagged.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(sum_partition, batch_format="pyarrow")
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = broadcast_join(
+        per_order.join(orders, join_type="inner", num_partitions=8,
+                       on=("k",)),
+        cust,
+        "o_custkey",
+        "c_custkey",
+    )
+
+    def year_partials(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, np.fromiter(asia_keys, np.int64))
+        yr = t["yr"].to_numpy(zero_copy_only=False)[keep]
+        v = t["rev"].to_numpy(zero_copy_only=False)[keep]
+        vt = t["rev_t"].to_numpy(zero_copy_only=False)[keep]
+        u, inv = np.unique(yr, return_inverse=True)
+        # bincount weights are float64, but the weights are integers and
+        # every partial stays < 2^53 — each addition is exact, so the
+        # partial is the exact integer sum regardless of order
+        return pa.table(
+            {
+                "yr": pa.array(u, pa.int64()),
+                "rev": pa.array(
+                    np.bincount(inv, weights=v).astype(np.int64), pa.int64()
+                ),
+                "rev_t": pa.array(
+                    np.bincount(inv, weights=vt).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = joined.map_batches(
+        year_partials, batch_format="pyarrow"
+    ).to_pandas()  # partitions x years rows — tiny
+    out = (
+        partials.groupby("yr", sort=True)[["rev", "rev_t"]].sum().reset_index()
+    )
+    rev_i = out["rev"].to_numpy().astype(np.int64)
+    revt_i = out["rev_t"].to_numpy().astype(np.int64)
+    # ONE IEEE double division of exact integer operands per output
+    # value — bit-identical to DuckDB's HUGEINT-sum / double division
+    share = revt_i.astype(np.float64) / rev_i.astype(np.float64)
+    return pd.DataFrame(
+        {
+            "yr": out["yr"].astype(np.int64),
+            "share": round_away(share, 6),
+            "revenue": round_away(rev_i / 1e4, 2),
+        }
+    )
+
+
+SQL_MARKET_SHARE = """
+-- fixed-point revenue (1e-4 units): price/discount carry exactly two
+-- decimals, so the sums are exact integers on both sides and the
+-- result is independent of partition/addition order
+SELECT year(o.o_orderdate) AS yr,
+       round(sum(CASE WHEN ns.n_name = 'NATION_7'
+                      THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                      ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))),
+             6) + 0 AS share,
+       round(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+             / 10000.0, 2) + 0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY yr ORDER BY yr
+"""
+
+
 def q_edit_pairs(sf_dir: str):
     """Blocked exact edit-distance pairs: every document pair sharing a
     lowercased 16-char text prefix, with its exact Levenshtein distance
@@ -4109,6 +4296,7 @@ QUERIES = {
     "video_features": q_video_features,
     "video_dedup": q_video_dedup,
     "edit_pairs": q_edit_pairs,
+    "market_share": q_market_share,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "props_agg": q_props_agg,
@@ -4195,6 +4383,7 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "nation_revenue": SQL_NATION_REVENUE,
     "edit_pairs": SQL_EDIT_PAIRS,
+    "market_share": SQL_MARKET_SHARE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "props_agg": SQL_PROPS_AGG,

@@ -88,6 +88,7 @@ CHECKED = [
     ("funnel", 0),
     ("nation_revenue", 0),
     ("edit_pairs", 0),
+    ("market_share", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("props_agg", 0),
