@@ -4118,6 +4118,59 @@ ORDER BY a_id, b_id
 """
 
 
+def q_length_deciles(sf_dir: str):
+    """Equi-depth document-length bucketing: exact global NTILE(10)
+    over (n_chars, doc_id) via the sampled-boundary global_rank (one
+    range shuffle), then per-batch (decile, count, min, max) partials
+    folded driver-side — the corpus profiling pass before length-based
+    curriculum or filtering."""
+    from ..relops import global_ntile
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    tiled = global_ntile(docs, "n_chars", "doc_id", k=10)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tl = t["tile"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(tl, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        mx = np.full(len(u), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, nc)
+        np.maximum.at(mx, inv, nc)
+        return pa.table(
+            {
+                "decile": pa.array(u, pa.int64()),
+                "n_docs": pa.array(np.bincount(inv), pa.int64()),
+                "mn": pa.array(mn, pa.int64()),
+                "mx": pa.array(mx, pa.int64()),
+            }
+        )
+
+    partials = tiled.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()  # blocks x 10 rows — tiny
+    out = (
+        partials.groupby("decile", sort=True)
+        .agg(n_docs=("n_docs", "sum"), min_chars=("mn", "min"),
+             max_chars=("mx", "max"))
+        .reset_index()
+    )
+    return out.astype(np.int64)
+
+
+SQL_LENGTH_DECILES = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents)
+SELECT decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM r GROUP BY decile ORDER BY decile
+"""
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user Markov transition counts over the event stream (LAG
     adjacency): one user-hash shuffle, lexsort + shifted compare per
@@ -4297,6 +4350,7 @@ QUERIES = {
     "video_dedup": q_video_dedup,
     "edit_pairs": q_edit_pairs,
     "market_share": q_market_share,
+    "length_deciles": q_length_deciles,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "props_agg": q_props_agg,
@@ -4384,6 +4438,7 @@ ORACLE_SQL = {
     "nation_revenue": SQL_NATION_REVENUE,
     "edit_pairs": SQL_EDIT_PAIRS,
     "market_share": SQL_MARKET_SHARE,
+    "length_deciles": SQL_LENGTH_DECILES,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "props_agg": SQL_PROPS_AGG,

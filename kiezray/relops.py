@@ -1452,3 +1452,40 @@ def grouped_rank_stats(
         .groupby("__part")
         .map_groups(stats_partition, batch_format="pandas")
     )
+
+
+def global_ntile(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    tie_col: str,
+    k: int,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Exact global NTILE(k) over (``order_col``, ``tie_col``) — the
+    equi-depth bucketing pass (assign every row to one of k
+    population-balanced tiles). SQL's uneven-fill rule: with n = total
+    rows, the first ``n % k`` tiles get ``n // k + 1`` rows.
+
+    Scale shape: ``global_rank``'s sampled-boundary machinery does all
+    the heavy lifting (range-tag, per-range count fold, one shuffle);
+    the tile number is then pure per-batch arithmetic on the exact rank
+    — no extra shuffle. The only driver-side values are n and k.
+    """
+    ranked = global_rank(
+        ds, order_col, tie_col, num_partitions=num_partitions
+    )
+    n = ranked.count()
+    q, rem = divmod(n, k)
+    boundary = rem * (q + 1)
+
+    def tile(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        low = (r - 1) // (q + 1) + 1 if q + 1 > 0 else np.ones_like(r)
+        if q > 0:
+            high = rem + (r - boundary - 1) // q + 1
+        else:  # n < k: every row is its own tile
+            high = r
+        tl = np.where(r <= boundary, low, high)
+        return t.append_column("tile", pa.array(tl, pa.int64()))
+
+    return ranked.map_batches(tile, batch_format="pyarrow")

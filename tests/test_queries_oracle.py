@@ -89,6 +89,7 @@ CHECKED = [
     ("nation_revenue", 0),
     ("edit_pairs", 0),
     ("market_share", 0),
+    ("length_deciles", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("props_agg", 0),

@@ -761,3 +761,36 @@ def test_grouped_rank_stats_tie_semantics():
     assert list(out["rank"]) == [1, 1, 1, 4, 5, 1]
     assert list(out["percent_rank"]) == [0, 0, 0, 0.75, 1.0, 0.0]
     assert list(out["cume_dist"]) == [0.6, 0.6, 0.6, 0.8, 1.0, 1.0]
+
+
+def test_global_ntile_uneven_fill_and_tiny_input(ray_session):
+    """NTILE uneven-fill rule (first n%k tiles get one extra row) holds
+    under arbitrary partitioning; n < k degrades to one row per tile."""
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import global_ntile
+
+    rng = np.random.default_rng(3)
+    n, k = 103, 10  # 3 tiles of 11, 7 of 10
+    df = pd.DataFrame(
+        {"v": rng.integers(0, 40, n), "id": np.arange(n, dtype=np.int64)}
+    )
+    got = (
+        global_ntile(ray.data.from_pandas(df).repartition(6), "v", "id", k)
+        .to_pandas()
+        .sort_values(["v", "id"])
+        .reset_index(drop=True)
+    )
+    sizes = got.groupby("tile").size()
+    assert list(sizes) == [11, 11, 11] + [10] * 7
+    # tiles are contiguous in the (v, id) total order
+    assert (np.diff(got["tile"].to_numpy()) >= 0).all()
+    # n < k: every row its own tile, numbered by rank
+    small = pd.DataFrame({"v": [5, 1, 9], "id": [0, 1, 2]})
+    got2 = (
+        global_ntile(ray.data.from_pandas(small), "v", "id", 10)
+        .to_pandas()
+        .sort_values("v")
+    )
+    assert list(got2["tile"]) == [1, 2, 3]
