@@ -437,3 +437,165 @@ def triangle_count(
         .to_pandas()  # <= num_partitions rows
     )
     return int(partials["n"].sum())
+
+
+def pagerank(
+    edges_ds: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 5,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Simplified PageRank (fixed iteration count, NO dangling-mass
+    redistribution — mass leaks at sinks, matching the unrolled SQL
+    recurrence) over a directed (src, dst) edge list:
+
+        r_0(v)   = 1/N
+        r_t+1(v) = (1-d)/N + d * sum_{u->v} r_t(u) / outdeg(u)
+
+    Output: (node int64, rank float64). The iterative SHUFFLE-JOIN
+    regime (contrast: distributed k-means broadcasts its tiny centroid
+    state): the edge relation is joined with the rank table every
+    iteration, so at scale the join partitioning is the whole game —
+    edges and degrees are joined ONCE and pinned (materialized), and
+    each iteration is one hash join on src (rank arrives, edges never
+    move again under Ray's hash-shuffle join) + one coarse-partition
+    reduceat fold per dst + one left join back onto the node table so
+    in-degree-0 nodes keep their base rank. Per-iteration cost is
+    2 shuffles of O(E) and one of O(V); driver holds only N.
+    """
+    from .dedup import _splitmix64
+
+    if num_partitions is None:
+        # join partitions sized to the cluster: every hash join spawns
+        # num_partitions aggregator actors, and an iteration chains two
+        # joins — oversubscribing a small CPU budget deadlocks the
+        # streaming executor (same sizing as ngram_jaccard_pairs)
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        num_partitions = max(2, min(16, cpus // 2))
+
+    edges = edges_ds.select_columns(["src", "dst"]).materialize()
+
+    def as_node(col):
+        return lambda t: pa.table(
+            {"node": pc.cast(t[col], pa.int64())}
+        )
+
+    nodes = (
+        edges.map_batches(as_node("src"), batch_format="pyarrow")
+        .union(edges.map_batches(as_node("dst"), batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Min("node", alias_name="__m"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    # out-degrees: exact int combiner fold, joined to the edges ONCE
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "dsrc": pa.array(u, pa.int64()),
+                "outdeg": pa.array(c, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("dsrc")
+        .aggregate(Sum("outdeg", alias_name="d"))
+    )
+    edges_deg = edges.join(
+        deg,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("dsrc",),
+    ).materialize()
+
+    rank = nodes.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(len(t), 1.0 / n_nodes), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    base = (1.0 - damping) / n_nodes
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dst": pc.cast(t["dst"], pa.int64()),
+                "c": pa.array(r / d, pa.float64()),
+            }
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix64(k) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def sum_partition(g: pa.Table) -> pa.Table:
+        k = g["dst"].to_numpy(zero_copy_only=False)
+        v = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        return pa.table(
+            {
+                "dst": pa.array(k[starts], pa.int64()),
+                "csum": pa.array(np.add.reduceat(v, starts), pa.float64()),
+            }
+        )
+
+    for _ in range(iters):
+        msgs = edges_deg.join(
+            rank,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(contrib, batch_format="pyarrow")
+        folded = (
+            msgs.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sum_partition, batch_format="pyarrow")
+        )
+        rank = (
+            nodes.join(
+                folded,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=("dst",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "r": pa.array(
+                            base
+                            + damping
+                            * np.nan_to_num(
+                                t["csum"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.float64)
+                            ),
+                            pa.float64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()  # pin: next iteration must not re-run this one
+        )
+    return rank

@@ -4118,6 +4118,124 @@ ORDER BY a_id, b_id
 """
 
 
+def q_pagerank(sf_dir: str):
+    """5-iteration PageRank over the symmetrized customer-supplier
+    bipartite graph (distinct trade pairs from orders x lineitem).
+    Iterative SHUFFLE-JOIN propagation: edges+degrees pinned once, each
+    iteration = one hash join (rank onto edges) + one coarse-partition
+    fold + one left join back onto nodes. Node ids are disambiguated
+    as custkey*2 / suppkey*2+1."""
+    from ..cluster import pagerank
+    from ..dedup import dedup_pair_rows
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["o_orderkey"], pa.int64()),
+                "cust": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["l_orderkey"], pa.int64()),
+                "supp": pc.cast(t["l_suppkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = orders.join(
+        li, join_type="inner", num_partitions=8, on=("k",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.add(
+                    pc.multiply(t["cust"], pa.scalar(2, pa.int64())),
+                    pa.scalar(0, pa.int64()),
+                ),
+                "b": pc.add(
+                    pc.multiply(t["supp"], pa.scalar(2, pa.int64())),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    distinct = dedup_pair_rows(pairs)
+    edges = distinct.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = pagerank(edges, damping=0.85, iters=5)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "pr": pa.array(
+                    round_away(
+                        t["r"].to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PAGERANK = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS v FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+r1 AS (SELECT n.v, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * coalesce(sum(p.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.v
+       LEFT JOIN r0 p ON p.v = e.src LEFT JOIN deg ON deg.src = e.src
+       GROUP BY n.v),
+r2 AS (SELECT n.v, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * coalesce(sum(p.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.v
+       LEFT JOIN r1 p ON p.v = e.src LEFT JOIN deg ON deg.src = e.src
+       GROUP BY n.v),
+r3 AS (SELECT n.v, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * coalesce(sum(p.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.v
+       LEFT JOIN r2 p ON p.v = e.src LEFT JOIN deg ON deg.src = e.src
+       GROUP BY n.v),
+r4 AS (SELECT n.v, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * coalesce(sum(p.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.v
+       LEFT JOIN r3 p ON p.v = e.src LEFT JOIN deg ON deg.src = e.src
+       GROUP BY n.v),
+r5 AS (SELECT n.v, (1 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * coalesce(sum(p.r / deg.d), 0) AS r
+       FROM nodes n LEFT JOIN e ON e.dst = n.v
+       LEFT JOIN r4 p ON p.v = e.src LEFT JOIN deg ON deg.src = e.src
+       GROUP BY n.v)
+SELECT v AS node, round(r, 6) + 0 AS pr FROM r5 ORDER BY node
+"""
+
+
 def q_length_deciles(sf_dir: str):
     """Equi-depth document-length bucketing: exact global NTILE(10)
     over (n_chars, doc_id) via the sampled-boundary global_rank (one
@@ -4351,6 +4469,7 @@ QUERIES = {
     "edit_pairs": q_edit_pairs,
     "market_share": q_market_share,
     "length_deciles": q_length_deciles,
+    "pagerank": q_pagerank,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "props_agg": q_props_agg,
@@ -4439,6 +4558,7 @@ ORACLE_SQL = {
     "edit_pairs": SQL_EDIT_PAIRS,
     "market_share": SQL_MARKET_SHARE,
     "length_deciles": SQL_LENGTH_DECILES,
+    "pagerank": SQL_PAGERANK,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "props_agg": SQL_PROPS_AGG,

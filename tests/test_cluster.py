@@ -121,3 +121,38 @@ def test_kmeans_recovers_planted_blobs(ray_session):
     again, _ = kmeans(ds.repartition(9), "vid", "emb", k=3, iters=8, seed=1)
     out2 = again.to_pandas().sort_values("vid").reset_index(drop=True)
     assert (out["cluster"].values == out2["cluster"].values).all()
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """5-iteration simplified PageRank equals the dense matrix recurrence
+    on a small directed graph with a sink (no dangling redistribution)
+    and is invariant to edge partitioning."""
+    import pandas as pd
+    import ray
+
+    from kiezray.cluster import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4)]
+    # node 4 is a sink (no out-edges): its mass leaks, matching the
+    # simplified recurrence
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    for _ in range(5):
+        nxt = np.full(n, (1 - 0.85) / n)
+        for s, d in edges:
+            nxt[d] += 0.85 * r[s] / outdeg[s]
+        r = nxt
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+    for parts in (1, 3):
+        got = (
+            pagerank(ray.data.from_pandas(df).repartition(parts), iters=5)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert list(got["node"]) == nodes
+        np.testing.assert_allclose(got["r"].to_numpy(), r, atol=1e-12)

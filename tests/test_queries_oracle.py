@@ -90,6 +90,7 @@ CHECKED = [
     ("edit_pairs", 0),
     ("market_share", 0),
     ("length_deciles", 0),
+    ("pagerank", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("props_agg", 0),
