@@ -239,3 +239,53 @@ def cube_sum_count(
     out = pd.concat(frames, ignore_index=True)
     out["c"] = out["c"].astype(np.int64)
     return out
+
+
+def dim_stats(
+    ds: "ray.data.Dataset", emb_col: str = "embedding"
+) -> pd.DataFrame:
+    """Per-dimension mean / population-std over a vector column — the
+    embedding-normalization calibration pass (what you'd feed a whitening
+    or standard-scaler stage). Output: (d 1-based int64, mean_v, std_v
+    rounded 6).
+
+    Scale shape: each batch's list column is ONE zero-copy (n, dim)
+    matrix; partials are three length-dim vectors (count, sum, sumsq)
+    per batch — NO shuffle, the driver folds blocks x dim scalars.
+    Sums run in float64 regardless of storage dtype.
+    """
+    from .arrowutil import emb_to_matrix, round_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = emb_to_matrix(t[emb_col]).astype(np.float64)
+        return pa.table(
+            {
+                "d": pa.array(
+                    np.arange(1, m.shape[1] + 1, dtype=np.int64), pa.int64()
+                ),
+                "n": pa.array(
+                    np.full(m.shape[1], m.shape[0], dtype=np.int64),
+                    pa.int64(),
+                ),
+                "s": pa.array(m.sum(axis=0), pa.float64()),
+                "ss": pa.array((m * m).sum(axis=0), pa.float64()),
+            }
+        )
+
+    partials = (
+        ds.select_columns([emb_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # blocks x dim rows — tiny
+    )
+    agg = partials.groupby("d", sort=True)[["n", "s", "ss"]].sum()
+    n = agg["n"].to_numpy().astype(np.float64)
+    mean = agg["s"].to_numpy() / n
+    var = agg["ss"].to_numpy() / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    return pd.DataFrame(
+        {
+            "d": agg.index.to_numpy().astype(np.int64),
+            "mean_v": round_away(mean, 6),
+            "std_v": round_away(std, 6),
+        }
+    )

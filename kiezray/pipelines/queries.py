@@ -4118,6 +4118,29 @@ ORDER BY a_id, b_id
 """
 
 
+def q_dim_stats(sf_dir: str):
+    """Per-dimension embedding mean/std: zero-copy (n, dim) matrix per
+    batch, three dim-length partial vectors per block, no shuffle."""
+    from ..moments import dim_stats
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return dim_stats(emb, "embedding")
+
+
+SQL_DIM_STATS = """
+SELECT d,
+       round(sum(v) / count(*), 6) + 0 AS mean_v,
+       round(sqrt(greatest(sum(v * v) / count(*)
+                           - (sum(v) / count(*)) ^ 2, 0)), 6) + 0 AS std_v
+FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings)
+GROUP BY d ORDER BY d
+"""
+
+
 def q_pagerank(sf_dir: str):
     """5-iteration PageRank over the symmetrized customer-supplier
     bipartite graph (distinct trade pairs from orders x lineitem).
@@ -4470,6 +4493,7 @@ QUERIES = {
     "market_share": q_market_share,
     "length_deciles": q_length_deciles,
     "pagerank": q_pagerank,
+    "dim_stats": q_dim_stats,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "props_agg": q_props_agg,
@@ -4559,6 +4583,7 @@ ORACLE_SQL = {
     "market_share": SQL_MARKET_SHARE,
     "length_deciles": SQL_LENGTH_DECILES,
     "pagerank": SQL_PAGERANK,
+    "dim_stats": SQL_DIM_STATS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "props_agg": SQL_PROPS_AGG,

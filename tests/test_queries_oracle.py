@@ -91,6 +91,7 @@ CHECKED = [
     ("market_share", 0),
     ("length_deciles", 0),
     ("pagerank", 0),
+    ("dim_stats", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("props_agg", 0),
