@@ -290,3 +290,53 @@ def test_blocking_metrics_vs_bruteforce(ray_session):
     assert out["pair_completeness"] == covered / len(gl)
     assert abs(out["distinct_pairs"] - len(pairs)) / len(pairs) < 0.05
     assert out["reduction_ratio"] > 0.9
+
+
+def test_batched_scorer_matches_per_block_path():
+    """The size-batched __call__ emits exactly the per-block score_block
+    pair multiset (id pairs + rounded scores) on random blocks of mixed
+    sizes, including singletons and a max-size block."""
+    import numpy as np
+    import pyarrow as pa
+    import pandas as pd
+
+    from kiezray.pipelines.er import BlockPairScorer
+
+    rng = np.random.RandomState(3)
+    scorer = BlockPairScorer(n_candidates=4, sim_threshold=0.2, hubness="csls")
+    ids, keys, vecs = [], [], []
+    nid = 0
+    for b, size in enumerate([1, 2, 2, 3, 5, 8, 1, 13, 4, 30]):
+        base = rng.rand(8)
+        for _ in range(size):
+            ids.append(f"d{nid:04d}")
+            keys.append(b)
+            v = base + 0.15 * rng.rand(8)
+            vecs.append(v / np.linalg.norm(v))
+            nid += 1
+    mat = np.asarray(vecs)
+    ids_np = np.asarray(ids, dtype=object)
+    keys_np = np.asarray(keys, dtype=np.int64)
+
+    # reference: per-block score_block over each key group
+    want = set()
+    for b in np.unique(keys_np):
+        sel = np.flatnonzero(keys_np == b)
+        a, bb, sc = scorer.score_block(ids_np[sel], mat[sel])
+        want |= set(zip(a.tolist(), bb.tolist(), np.round(sc, 6).tolist()))
+
+    part = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "block_hash": pa.array(keys, pa.int64()),
+        }
+    )
+    out = scorer(part, lookup=(pd.Index(ids), mat))
+    got = set(
+        zip(
+            out["a"].to_pylist(),
+            out["b"].to_pylist(),
+            [round(x, 6) for x in out["score"].to_pylist()],
+        )
+    )
+    assert got == want
