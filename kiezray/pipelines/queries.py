@@ -4337,6 +4337,36 @@ GROUP BY prev, event_type ORDER BY prev_type, event_type
 """
 
 
+def q_followup_counts(sf_dir: str):
+    """Attribution pass: purchases within 1 hour strictly after each
+    click, per user. One key-hash shuffle; every anchor answered by two
+    global searchsorted calls over segment-offset timestamps plus one
+    prefix-sum lookup (no per-key loop)."""
+    from ..windows import followup_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return followup_counts(
+        ev, "user_id", "ts", "event_id", "event_type",
+        type_a="click", type_b="purchase", horizon_us=3_600_000_000,
+    )
+
+
+SQL_FOLLOWUP_COUNTS = """
+SELECT a.event_id, count(b.event_id) AS n_follow
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id
+  AND b.event_type = 'purchase'
+  AND b.ts > a.ts
+  AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click'
+GROUP BY a.event_id ORDER BY a.event_id
+"""
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort-retention matrix: distinct users active k weeks
     after their first-event (Monday-truncated) week. One user-hash
@@ -4496,6 +4526,7 @@ QUERIES = {
     "dim_stats": q_dim_stats,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
+    "followup_counts": q_followup_counts,
     "props_agg": q_props_agg,
 }
 
@@ -4586,6 +4617,7 @@ ORACLE_SQL = {
     "dim_stats": SQL_DIM_STATS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "followup_counts": SQL_FOLLOWUP_COUNTS,
     "props_agg": SQL_PROPS_AGG,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline

@@ -628,3 +628,80 @@ def cohort_retention(
     return out.sort_values(
         ["cohort_day", "week_offset"]
     ).reset_index(drop=True)
+
+
+def followup_counts(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    type_a: str = "click",
+    type_b: str = "purchase",
+    horizon_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-anchor interval count: for every ``type_a`` event, how many
+    ``type_b`` events the SAME key produced strictly after it and within
+    ``horizon_us`` — SQL ``LEFT JOIN ... ON b.ts > a.ts AND b.ts <=
+    a.ts + horizon`` + GROUP BY, the attribution / conversion-latency
+    pass. Output: (id_col, n_follow int64), zero-followup anchors kept.
+
+    Scale shape: ONE key-hash shuffle; inside a partition every key's
+    events form one contiguous ts-sorted segment, and all anchors are
+    answered with TWO global ``searchsorted`` calls + one prefix-sum
+    lookup — segments are made jointly monotonic by adding a per-segment
+    stride offset (stride = ts span + horizon + 2), so there is no
+    per-key loop at all. Requires n_segments * stride < 2^63 per
+    partition (asserted): ~1e6 keys x a month of microseconds per
+    partition is 3e18, inside int64; repartition finer long before that.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def count_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "n_follow": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        types = g[type_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, us, keys))
+        k, i, e, v = keys[order], ids[order], us[order], types[order]
+        is_a = v == type_a
+        if not is_a.any():
+            return empty
+        seg = np.cumsum(np.concatenate(([0], (k[1:] != k[:-1]).astype(np.int64))))
+        e0 = e - e.min()
+        stride = np.int64(int(e0.max()) + horizon_us + 2)
+        assert (int(seg[-1]) + 1) * int(stride) < 2**63, (
+            "segment-offset key would overflow int64; repartition finer"
+        )
+        flat = seg * stride + e0  # jointly monotonic across segments
+        cum_b = np.concatenate(([0], np.cumsum((v == type_b).astype(np.int64))))
+        a_idx = np.flatnonzero(is_a)
+        lo = np.searchsorted(flat, flat[a_idx], side="right")
+        hi = np.searchsorted(flat, flat[a_idx] + horizon_us, side="right")
+        n_follow = cum_b[hi] - cum_b[lo]
+        return pd.DataFrame(
+            {id_col: i[a_idx], "n_follow": n_follow.astype(np.int64)}
+        )
+
+    return (
+        events.select_columns([id_col, key_col, ts_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_partition, batch_format="pandas")
+    )

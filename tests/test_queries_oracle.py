@@ -94,6 +94,7 @@ CHECKED = [
     ("dim_stats", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
+    ("followup_counts", 0),
     ("props_agg", 0),
 ]
 

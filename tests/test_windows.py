@@ -221,3 +221,52 @@ def test_cohort_retention_matches_pandas(ray_session):
     )
     # sanity: a user in its own cohort week is offset 0
     assert (got["week_offset"] >= 0).all()
+
+
+def test_followup_counts_matches_bruteforce(ray_session):
+    """Interval counts equal an O(n^2) pandas oracle, including strict
+    same-timestamp exclusion, horizon-boundary inclusion, zero-followup
+    anchors, and big user ids; invariant to input partitioning."""
+    import ray
+
+    from kiezray.windows import followup_counts
+
+    rng = np.random.default_rng(9)
+    n = 2500
+    users = rng.choice(
+        np.array([1, 2**34 + 3, 7, 8, 99], dtype=np.int64), n
+    )
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = t0 + rng.integers(0, 7200, n).astype("timedelta64[s]")
+    types = rng.choice(np.array(["click", "purchase", "view"], dtype=object), n)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users,
+            "ts": ts,
+            "event_type": types,
+        }
+    )
+    H = np.timedelta64(900, "s")  # 15 min
+    want = {}
+    for _, a in df[df["event_type"] == "click"].iterrows():
+        m = (
+            (df["user_id"] == a["user_id"])
+            & (df["event_type"] == "purchase")
+            & (df["ts"] > a["ts"])
+            & (df["ts"] <= a["ts"] + H)
+        )
+        want[int(a["event_id"])] = int(m.sum())
+    for parts in (1, 6):
+        got = (
+            followup_counts(
+                ray.data.from_pandas(df).repartition(parts),
+                "user_id", "ts", "event_id", "event_type",
+                type_a="click", type_b="purchase",
+                horizon_us=900_000_000,
+            )
+            .to_pandas()
+            .set_index("event_id")["n_follow"]
+            .to_dict()
+        )
+        assert got == want
