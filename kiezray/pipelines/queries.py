@@ -4118,6 +4118,57 @@ ORDER BY a_id, b_id
 """
 
 
+def q_skyline(sf_dir: str):
+    """2-D Pareto frontier of orders (maximize total price AND
+    recency): shuffle-free — skyline is a morphism under union, so
+    each batch ships only its local frontier and the driver folds
+    frontier partials."""
+    from ..relops import skyline
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price": t["o_totalprice"],
+                "ts_us": pc.cast(
+                    pc.multiply(
+                        pc.cast(
+                            pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                            pa.int64(),
+                        ),
+                        pa.scalar(1, pa.int64()),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = skyline(orders, "price", "ts_us", carry_cols=("o_orderkey",))
+    return (
+        out[["o_orderkey", "price", "ts_us"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+SQL_SKYLINE = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice AS price, epoch_us(o_orderdate) AS ts_us
+  FROM orders)
+SELECT o_orderkey, price, ts_us
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.price >= a.price AND b.ts_us >= a.ts_us
+    AND (b.price > a.price OR b.ts_us > a.ts_us))
+ORDER BY o_orderkey
+"""
+
+
 def q_dim_stats(sf_dir: str):
     """Per-dimension embedding mean/std: zero-copy (n, dim) matrix per
     batch, three dim-length partial vectors per block, no shuffle."""
@@ -4524,6 +4575,7 @@ QUERIES = {
     "length_deciles": q_length_deciles,
     "pagerank": q_pagerank,
     "dim_stats": q_dim_stats,
+    "skyline": q_skyline,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "followup_counts": q_followup_counts,
@@ -4615,6 +4667,7 @@ ORACLE_SQL = {
     "length_deciles": SQL_LENGTH_DECILES,
     "pagerank": SQL_PAGERANK,
     "dim_stats": SQL_DIM_STATS,
+    "skyline": SQL_SKYLINE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "followup_counts": SQL_FOLLOWUP_COUNTS,

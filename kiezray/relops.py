@@ -1489,3 +1489,66 @@ def global_ntile(
         return t.append_column("tile", pa.array(tl, pa.int64()))
 
     return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+def _local_skyline(x: np.ndarray, y: np.ndarray):
+    """Strict-dominance 2-D skyline (maximize both) survivor mask,
+    duplicates of a frontier point all kept. Vectorized: sort by x desc,
+    per-x-group max via reduceat, exclusive running max from
+    strictly-greater x groups."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    starts = np.flatnonzero(np.concatenate(([True], xs[1:] != xs[:-1])))
+    gmax = np.maximum.reduceat(ys, starts)
+    # running max of group maxes from STRICTLY greater x (exclusive)
+    run = np.concatenate(([-np.inf], np.maximum.accumulate(gmax)[:-1]))
+    gidx = np.cumsum(np.concatenate(([0], (xs[1:] != xs[:-1]).astype(np.int64))))
+    keep_sorted = (ys == gmax[gidx]) & (ys > run[gidx])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+    carry_cols: tuple = (),
+) -> pd.DataFrame:
+    """Distributed 2-D Pareto frontier (maximize ``x_col`` and
+    ``y_col``, strict dominance, frontier duplicates kept). The
+    multi-objective "best examples" selection pass.
+
+    Scale shape: NO shuffle at all — the skyline operator is a
+    morphism under union (skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B))), so each batch emits only its local frontier
+    (typically O(log n) points) and the driver merges frontier
+    partials with one more local pass. Worst case (anti-correlated
+    dims) partials grow; they stream through the driver fold either
+    way, never the raw rows.
+    """
+    cols = [x_col, y_col, *carry_cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = _local_skyline(xv, yv)
+        return t.select(cols).take(
+            pa.array(np.flatnonzero(keep), pa.int64())
+        )
+
+    parts = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # frontier partials only
+    )
+    if len(parts) == 0:
+        return parts
+    keep = _local_skyline(
+        parts[x_col].to_numpy().astype(np.float64),
+        parts[y_col].to_numpy().astype(np.float64),
+    )
+    return parts[keep].reset_index(drop=True)

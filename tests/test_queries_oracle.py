@@ -92,6 +92,7 @@ CHECKED = [
     ("length_deciles", 0),
     ("pagerank", 0),
     ("dim_stats", 0),
+    ("skyline", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("followup_counts", 0),

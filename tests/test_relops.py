@@ -794,3 +794,37 @@ def test_global_ntile_uneven_fill_and_tiny_input(ray_session):
         .sort_values("v")
     )
     assert list(got2["tile"]) == [1, 2, 3]
+
+
+def test_skyline_matches_bruteforce_with_ties(ray_session):
+    """Skyline equals the O(n^2) strict-dominance oracle, including
+    duplicate frontier points (all kept) and same-x/same-y tie chains;
+    invariant to input partitioning."""
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import skyline
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    x = rng.integers(0, 40, n).astype(np.float64)  # coarse: real ties
+    y = rng.integers(0, 40, n).astype(np.float64)
+    # plant an exact duplicate pair on the frontier
+    x[0] = x[1] = x.max() + 1
+    y[0] = y[1] = y.max() + 1
+    df = pd.DataFrame({"x": x, "y": y, "id": np.arange(n, dtype=np.int64)})
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = bool(
+            (
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            ).any()
+        )
+    want = set(df.loc[~dominated, "id"])
+    assert 0 in want and 1 in want  # both duplicates survive
+    for parts in (1, 5):
+        got = skyline(
+            ray.data.from_pandas(df).repartition(parts),
+            "x", "y", carry_cols=("id",),
+        )
+        assert set(got["id"]) == want
