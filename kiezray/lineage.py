@@ -135,7 +135,7 @@ def run_stage(
 
 def run_stage_sharded(
     name: str,
-    fp: str,
+    fp: "str | list[str]",
     make_shard_ds,
     n_shards: int,
     ckpt_dir: str | None,
@@ -146,6 +146,10 @@ def run_stage_sharded(
     individually skipped on resume, so a failed run redoes only the
     unfinished shards. ``make_shard_ds(i)`` must return shard i's rows
     (a deterministic, disjoint cover of the stage output).
+
+    ``fp`` may be a list of per-shard fingerprints (content-addressed
+    shards): a re-run then recomputes exactly the shards whose
+    fingerprint changed — the incremental-maintenance path.
     """
     if ckpt_dir is None:
         parts = [make_shard_ds(i) for i in range(n_shards)]
@@ -155,7 +159,7 @@ def run_stage_sharded(
     for i in range(n_shards):
         sub = run_stage(
             f"{name}.shard{i:04d}",
-            fp,
+            fp[i] if isinstance(fp, list) else fp,
             lambda i=i: make_shard_ds(i),
             ckpt_dir,
             resume,

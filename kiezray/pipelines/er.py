@@ -253,17 +253,116 @@ class BlockPairScorer:
         )
 
 
+def _docs_fingerprint(docs_ds: "ray.data.Dataset") -> str:
+    """Order-independent content fingerprint of the input corpus:
+    XOR-fold of per-doc hashes over (doc_id, span count, total span-text
+    length), plus the row count. One streaming pass, combiner partials
+    only — makes every whole-stage checkpoint input-addressed, so a
+    changed corpus can NEVER silently reuse a stale checkpoint."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..dedup import _splitmix64
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(ids.astype(object)).astype(np.uint64)
+        if "spans" in t.column_names:
+            col = t["spans"].combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            nspans = np.diff(offs).astype(np.uint64)
+            tlen = pc.coalesce(
+                pc.utf8_length(col.values.field("text")), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(tlen)))
+            per_doc = (csum[offs[1:]] - csum[offs[:-1]]).astype(np.uint64)
+            h = _splitmix64(
+                h ^ _splitmix64(nspans * np.uint64(1315423911) + per_doc)
+            )
+        elif "text" in t.column_names:
+            tl = pc.utf8_length(
+                pc.coalesce(t["text"], "")
+            ).to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = _splitmix64(h ^ _splitmix64(tl))
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table(
+            {
+                "x": pa.array([np.int64(np.uint64(x))], pa.int64()),
+                "c": pa.array([len(h)], pa.int64()),
+            }
+        )
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    x = np.bitwise_xor.reduce(parts["x"].to_numpy().view(np.uint64))
+    return f"{int(parts['c'].sum())}-{int(x):016x}"
+
+
+def _shard_fingerprints(
+    keys_ds: "ray.data.Dataset", n_shards: int, P: int = 64
+) -> list[str]:
+    """Per-scoring-shard content fingerprints: XOR-fold of hashed
+    (doc_id, block_hash) rows grouped by shard = (block_hash % P) %
+    n_shards, plus per-shard counts. A new/changed/removed doc flips
+    exactly the shards its blocks map to, so resume re-scores ONLY
+    those — incremental ER maintenance with byte-identical results (a
+    block never spans partitions, so per-shard outputs compose).
+
+    Identity proxy: a doc is its (id, band-signature set). Band keys
+    are minhashes of the full span text, so a content change that
+    leaves every band key identical has probability ~ sim^perms — the
+    standard LSH identity assumption, documented here explicitly."""
+    from ..dedup import _splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bh = t["block_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hid = pd.util.hash_array(ids.astype(object)).astype(np.uint64)
+        row = _splitmix64(hid ^ _splitmix64(bh))
+        shard = ((bh % np.uint64(P)) % np.uint64(n_shards)).astype(np.int64)
+        x = np.zeros(n_shards, dtype=np.uint64)
+        np.bitwise_xor.at(x, shard, row)
+        c = np.bincount(shard, minlength=n_shards)
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(n_shards), pa.int64()),
+                "x": pa.array(x.view(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = keys_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    xs = parts["x"].to_numpy().view(np.uint64).reshape(-1, n_shards)
+    cs = parts["c"].to_numpy().reshape(-1, n_shards)
+    x = np.bitwise_xor.reduce(xs, axis=0)
+    c = cs.sum(axis=0)
+    return [f"{int(c[i])}-{int(x[i]):016x}" for i in range(n_shards)]
+
+
 def run_er(
     docs_ds: "ray.data.Dataset",
     config: ERConfig | None = None,
 ) -> dict:
     """Run the full pipeline; returns dict with 'clusters' (doc_id,
-    cluster_id), 'pairs' (a, b, score), and 'embedded' Datasets."""
+    cluster_id), 'pairs' (a, b, score), and 'embedded' Datasets.
+
+    With a checkpoint_dir, every stage fingerprint is INPUT-ADDRESSED
+    (corpus content fingerprint mixed in) and the expensive scoring
+    stage is fingerprinted PER SHARD from the blocking outcome — so
+    re-running over a grown/changed corpus recomputes the cheap linear
+    stages plus only the scoring shards whose blocks changed, and the
+    clusters are byte-identical to a from-scratch run (incremental ER
+    maintenance; see test_incremental_er_matches_full_run)."""
     import time as _time
 
     cfg = config or ERConfig()
-    cfg_fp = fingerprint(asdict(cfg))
+    cfg_fp = fingerprint(asdict(cfg))  # config identity (scoring params)
     ck = cfg.checkpoint_dir
+    # whole-stage checkpoints are input-addressed (config + corpus
+    # content); scoring shards use per-shard blocking-content fps below
+    stage_fp = (
+        fingerprint(cfg_fp, _docs_fingerprint(docs_ds))
+        if ck is not None
+        else cfg_fp
+    )
     stage_seconds: dict[str, float] = {}
 
     def _timed(name, fn):
@@ -274,7 +373,7 @@ def run_er(
 
     embedded = _timed("embed", lambda: run_stage(
         "embed",
-        fingerprint(cfg_fp, "embed"),
+        fingerprint(stage_fp, "embed"),
         lambda: embed_docs(
             docs_ds, dim=cfg.dim, concurrency=cfg.concurrency
         ),
@@ -302,7 +401,7 @@ def run_er(
         return split_oversized_blocks(keys, max_block=cfg.max_block)
 
     keys = _timed("block", lambda: run_stage(
-        "block", fingerprint(cfg_fp, "block"), make_keys, ck, cfg.resume
+        "block", fingerprint(stage_fp, "block"), make_keys, ck, cfg.resume
     ))
 
     def make_scored(shard: int | None = None, n_shards: int = 1):
@@ -427,7 +526,7 @@ def run_er(
     if ck is None:
         pairs = _timed("score_pairs", lambda: run_stage(
             "pairs",
-            fingerprint(cfg_fp, "pairs"),
+            fingerprint(stage_fp, "pairs"),
             # exact pair dedup keeping the best score (hash-partitioned
             # vectorized unique; multi-key aggregates are slow in this Ray)
             lambda: dedup_pair_rows(make_scored(), score_col="score"),
@@ -436,12 +535,19 @@ def run_er(
         ))
     else:
         # per-PARTITION lineage (north rule): scoring — the expensive
-        # stage — checkpoints in N_SHARDS independently-resumable shards;
-        # the cheap global pair dedup runs over their union
+        # stage — checkpoints in N_SHARDS independently-resumable shards.
+        # Shard fingerprints are CONTENT-ADDRESSED from the blocking
+        # outcome (per-shard XOR of hashed (doc_id, block_hash) rows), so
+        # re-running over a grown corpus recomputes only the shards whose
+        # blocks changed — incremental ER with byte-identical clusters.
         N_SHARDS = int(cfg.extra.get("pair_shards", 8))
+        shard_fps = _shard_fingerprints(keys, N_SHARDS)
         scored_all = _timed("score", lambda: run_stage_sharded(
             "pairs_scored",
-            fingerprint(cfg_fp, "pairs_scored"),
+            [
+                fingerprint(cfg_fp, "pairs_scored", shard_fps[i])
+                for i in range(N_SHARDS)
+            ],
             lambda i: make_scored(shard=i, n_shards=N_SHARDS),
             N_SHARDS,
             ck,
@@ -449,7 +555,7 @@ def run_er(
         ))
         pairs = _timed("pair_dedup", lambda: run_stage(
             "pairs",
-            fingerprint(cfg_fp, "pairs"),
+            fingerprint(stage_fp, "pairs"),
             lambda: dedup_pair_rows(scored_all, score_col="score"),
             ck,
             cfg.resume,
@@ -468,7 +574,7 @@ def run_er(
         )
 
     clusters = _timed("cluster", lambda: run_stage(
-        "clusters", fingerprint(cfg_fp, "clusters"), make_clusters, ck, cfg.resume
+        "clusters", fingerprint(stage_fp, "clusters"), make_clusters, ck, cfg.resume
     ))
 
     return {

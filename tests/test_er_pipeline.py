@@ -340,3 +340,63 @@ def test_batched_scorer_matches_per_block_path():
         )
     )
     assert got == want
+
+
+def test_incremental_er_matches_full_run(tmp_path):
+    """Incremental maintenance: after adding new docs to a checkpointed
+    corpus, a re-run (a) produces clusters byte-identical to a
+    from-scratch run over the union, and (b) reuses at least one
+    unaffected scoring shard verbatim while recomputing the affected
+    ones (content-addressed shard fingerprints)."""
+    import pyarrow as pa
+
+    docs, _, _ = generate_docs(n_entities=40, seed=7, hub_entities=1,
+                               hub_copies=8)
+    # split off the docs of the LAST few entities as the "new" batch so
+    # most blocks are untouched
+    ids = docs["doc_id"].to_pylist()
+    new_mask = [i.startswith(("ent000038", "ent000039")) for i in ids]
+    old_tbl = docs.filter(pa.array([not m for m in new_mask]))
+    assert 0 < docs.num_rows - old_tbl.num_rows < docs.num_rows
+
+    ck = str(tmp_path / "ckpt")
+    n_shards = 16
+    cfg = ERConfig(checkpoint_dir=ck, extra={"pair_shards": n_shards})
+
+    run_er(ray.data.from_arrow(old_tbl).repartition(2), cfg)
+    mtimes1 = {
+        i: os.path.getmtime(
+            os.path.join(ck, f"stage=pairs_scored.shard{i:04d}",
+                         "_lineage.json")
+        )
+        for i in range(n_shards)
+    }
+
+    # incremental: same checkpoint dir, grown corpus
+    out_inc = run_er(ray.data.from_arrow(docs).repartition(2), cfg)
+    c_inc = (
+        out_inc["clusters"].to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    mtimes2 = {
+        i: os.path.getmtime(
+            os.path.join(ck, f"stage=pairs_scored.shard{i:04d}",
+                         "_lineage.json")
+        )
+        for i in range(n_shards)
+    }
+    reused = [i for i in range(n_shards) if mtimes1[i] == mtimes2[i]]
+    recomputed = [i for i in range(n_shards) if mtimes1[i] != mtimes2[i]]
+    assert reused, "no scoring shard was reused"
+    assert recomputed, "no scoring shard was recomputed"
+
+    # from-scratch ground truth over the union
+    cfg2 = ERConfig(
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        extra={"pair_shards": n_shards},
+    )
+    c_full = (
+        run_er(ray.data.from_arrow(docs).repartition(2), cfg2)["clusters"]
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert c_inc.equals(c_full)
