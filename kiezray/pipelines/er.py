@@ -70,7 +70,7 @@ class ERConfig:
     seed: int = 42
     n_candidates: int = 8
     sim_threshold: float = 0.70
-    hubness: str = "csls"  # 'csls' | 'none'
+    hubness: str = "csls"  # 'csls' | 'nicdm' | 'ls' | 'none'
     max_block: int = 256
     checkpoint_dir: str | None = None
     resume: bool = True
@@ -126,11 +126,23 @@ class BlockPairScorer:
         order = np.argsort(dvals, kind="stable", axis=1)
         I = np.take_along_axis(idx, order, axis=1)
         D = np.take_along_axis(dvals, order, axis=1)
-        if self.hubness == "csls":
-            from ..rerank import CalibrationStats
+        if self.hubness in ("csls", "nicdm", "ls"):
+            from ..rerank import CalibrationStats, local_scaling
+            from ..rerank import nicdm as nicdm_kernel
 
-            stats = CalibrationStats(method="csls", r_mean=D.mean(axis=1))
-            sec = csls(D, I, stats)
+            if self.hubness == "csls":
+                stats = CalibrationStats(
+                    method="csls", r_mean=D.mean(axis=1)
+                )
+                sec = csls(D, I, stats)
+            elif self.hubness == "nicdm":
+                stats = CalibrationStats(
+                    method="nicdm", r_mean=D.mean(axis=1)
+                )
+                sec = nicdm_kernel(D, I, stats)
+            else:  # 'ls' standard local scaling
+                stats = CalibrationStats(method="ls", r_kth=D[:, -1])
+                sec = local_scaling(D, I, stats)
             order2 = np.argsort(sec, kind="stable", axis=1)
             I = np.take_along_axis(I, order2, axis=1)
             D = np.take_along_axis(D, order2, axis=1)
@@ -217,10 +229,23 @@ class BlockPairScorer:
             else:
                 I3 = np.argsort(dist, kind="stable", axis=2)[:, :, :c]
                 D3 = np.take_along_axis(dist, I3, axis=2)
-            if self.hubness == "csls":
-                r = D3.mean(axis=2)  # block-local calibration means (B, s)
+            if self.hubness in ("csls", "nicdm", "ls"):
                 bidx = np.arange(B)[:, None, None]
-                sec = 2.0 * D3 - r[:, :, None] - r[bidx, I3]
+                # block-local calibration per row: candidate-mean (csls /
+                # nicdm) or kth-candidate distance (ls) — same formulas as
+                # the 2-D rerank kernels, batched over blocks
+                r = (
+                    D3[:, :, -1]
+                    if self.hubness == "ls"
+                    else D3.mean(axis=2)
+                )  # (B, s)
+                rI = r[bidx, I3]
+                if self.hubness == "csls":
+                    sec = 2.0 * D3 - r[:, :, None] - rI
+                elif self.hubness == "nicdm":
+                    sec = D3 / np.sqrt(r[:, :, None] * rI)
+                else:
+                    sec = 1.0 - np.exp(-(D3**2) / (r[:, :, None] * rI))
                 o2 = np.argsort(sec, kind="stable", axis=2)
                 I3 = np.take_along_axis(I3, o2, axis=2)
                 D3 = np.take_along_axis(D3, o2, axis=2)
@@ -610,9 +635,19 @@ def oracle_clusters(
     c = min(cfg.n_candidates, n - 1)
     idx = np.argsort(dist, axis=1)[:, :c]
     D = np.take_along_axis(dist, idx, axis=1)
-    if cfg.hubness == "csls":
-        stats = CalibrationStats(method="csls", r_mean=D.mean(axis=1))
-        sec = csls(D, idx, stats)
+    if cfg.hubness in ("csls", "nicdm", "ls"):
+        from ..rerank import local_scaling
+        from ..rerank import nicdm as nicdm_kernel
+
+        if cfg.hubness == "csls":
+            stats = CalibrationStats(method="csls", r_mean=D.mean(axis=1))
+            sec = csls(D, idx, stats)
+        elif cfg.hubness == "nicdm":
+            stats = CalibrationStats(method="nicdm", r_mean=D.mean(axis=1))
+            sec = nicdm_kernel(D, idx, stats)
+        else:
+            stats = CalibrationStats(method="ls", r_kth=D[:, -1])
+            sec = local_scaling(D, idx, stats)
         order2 = np.argsort(sec, kind="stable", axis=1)
         idx = np.take_along_axis(idx, order2, axis=1)
         D = np.take_along_axis(D, order2, axis=1)

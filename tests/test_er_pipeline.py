@@ -292,10 +292,12 @@ def test_blocking_metrics_vs_bruteforce(ray_session):
     assert out["reduction_ratio"] > 0.9
 
 
-def test_batched_scorer_matches_per_block_path():
+@pytest.mark.parametrize("hubness", ["csls", "nicdm", "ls", "none"])
+def test_batched_scorer_matches_per_block_path(hubness):
     """The size-batched __call__ emits exactly the per-block score_block
     pair multiset (id pairs + rounded scores) on random blocks of mixed
-    sizes, including singletons and a max-size block."""
+    sizes, including singletons and a max-size block — for every
+    within-block hubness-reduction variant."""
     import numpy as np
     import pyarrow as pa
     import pandas as pd
@@ -303,7 +305,7 @@ def test_batched_scorer_matches_per_block_path():
     from kiezray.pipelines.er import BlockPairScorer
 
     rng = np.random.RandomState(3)
-    scorer = BlockPairScorer(n_candidates=4, sim_threshold=0.2, hubness="csls")
+    scorer = BlockPairScorer(n_candidates=4, sim_threshold=0.2, hubness=hubness)
     ids, keys, vecs = [], [], []
     nid = 0
     for b, size in enumerate([1, 2, 2, 3, 5, 8, 1, 13, 4, 30]):
@@ -400,3 +402,19 @@ def test_incremental_er_matches_full_run(tmp_path):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert c_inc.equals(c_full)
+
+
+@pytest.mark.parametrize("hubness", ["nicdm", "ls"])
+def test_er_hubness_variants_end_to_end(hubness, tmp_path):
+    """The flagship runs with every within-block hubness variant and
+    matches its own straight-line oracle at F1 >= 0.99."""
+    docs, _, _ = generate_docs(n_entities=15, seed=3, hub_entities=1,
+                               hub_copies=6)
+    cfg = ERConfig(hubness=hubness)
+    out = run_er(ray.data.from_arrow(docs).repartition(2), cfg)
+    pred_tbl = out["clusters"].to_pandas()
+    assert len(pred_tbl) == docs.num_rows
+    pred = dict(zip(pred_tbl["doc_id"], pred_tbl["cluster_id"]))
+    oracle = oracle_clusters(docs, cfg)
+    res = pairwise_scores(pred, oracle)
+    assert res["f1"] >= 0.99, res
