@@ -4118,6 +4118,65 @@ ORDER BY a_id, b_id
 """
 
 
+def q_vocab_entropy(sf_dir: str):
+    """Per-language token-distribution Shannon entropy over exact
+    (lang, token) counts — one token-hash shuffle of combiner partials,
+    then per-partition (T, sum n ln n) scalars; the vocabulary never
+    reaches the driver."""
+    from ..textops import vocab_entropy
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return vocab_entropy(docs, "lang")
+
+
+SQL_VOCAB_ENTROPY = """
+WITH toks AS (
+  SELECT lang, u.t AS tok
+  FROM (SELECT lang,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '\\s+'), t -> t <> '') AS ts
+        FROM documents), unnest(ts) AS u(t)),
+c AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+t AS (SELECT lang, sum(n) AS T, sum(n * ln(n)) AS S FROM c GROUP BY lang)
+SELECT lang, CAST(T AS BIGINT) AS n_tokens,
+       round(ln(CAST(T AS DOUBLE)) - S / T, 6) + 0 AS entropy
+FROM t ORDER BY lang
+"""
+
+
+def q_ks_drift(sf_dir: str):
+    """Exact two-sample KS statistic between click and view value
+    distributions — distribution drift between corpus slices. Combiner
+    partials keyed by distinct value; no raw-row shuffle."""
+    from ..moments import ks_statistic
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+    return ks_statistic(ev, "value", "event_type", "click", "view")
+
+
+SQL_KS_DRIFT = """
+WITH s AS (SELECT value AS v, event_type FROM events
+           WHERE event_type IN ('click', 'view')),
+c AS (SELECT v,
+             count(*) FILTER (WHERE event_type = 'click') AS n1,
+             count(*) FILTER (WHERE event_type = 'view') AS n2
+      FROM s GROUP BY v),
+t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c),
+g AS (SELECT sum(n1) OVER (ORDER BY v) / (SELECT CAST(t1 AS DOUBLE) FROM t)
+           - sum(n2) OVER (ORDER BY v) / (SELECT CAST(t2 AS DOUBLE) FROM t)
+           AS gap
+      FROM c)
+SELECT round(max(abs(gap)), 6) + 0 AS ks,
+       (SELECT t1 FROM t) AS n_a,
+       (SELECT t2 FROM t) AS n_b
+FROM g
+"""
+
+
 def q_skyline(sf_dir: str):
     """2-D Pareto frontier of orders (maximize total price AND
     recency): shuffle-free — skyline is a morphism under union, so
@@ -4576,6 +4635,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "dim_stats": q_dim_stats,
     "skyline": q_skyline,
+    "ks_drift": q_ks_drift,
+    "vocab_entropy": q_vocab_entropy,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "followup_counts": q_followup_counts,
@@ -4668,6 +4729,8 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "dim_stats": SQL_DIM_STATS,
     "skyline": SQL_SKYLINE,
+    "ks_drift": SQL_KS_DRIFT,
+    "vocab_entropy": SQL_VOCAB_ENTROPY,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "followup_counts": SQL_FOLLOWUP_COUNTS,

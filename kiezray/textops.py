@@ -1279,3 +1279,107 @@ def json_field_agg(
     )
     out["sum_value"] = round_away(out["sum_value"].to_numpy(), 2)
     return out
+
+
+def vocab_entropy(
+    docs_ds: "ray.data.Dataset",
+    by_col: str = "lang",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Per-group token-distribution Shannon entropy (nats) — the corpus
+    diversity / degenerate-text diagnostic: H = ln(T) - sum(n ln n) / T
+    over the group's exact token counts. Output: (by_col, n_tokens,
+    entropy rounded 6).
+
+    Scale shape: exact (group, token) counts via the same two-lexsort
+    combiner + token-hash fold as ``top_terms`` (a (group, token) pair
+    never spans two partitions), then each token partition reduces to
+    per-group (T, sum n ln n) scalars — the driver folds only
+    partitions x groups rows, never the vocabulary."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                by_col: pd.Series(dtype=object),
+                "token": pd.Series(dtype=object),
+                "cnt": pd.Series(dtype=np.int64),
+                "__tpart": pd.Series(dtype=np.int32),
+            }
+        )
+        texts = batch["text"].fillna("")
+        tok_lists = texts.str.lower().str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        grp = np.repeat(batch[by_col].to_numpy(), lens)
+        cg, ug = pd.factorize(grp)
+        ct, ut = pd.factorize(flat)
+        order = np.lexsort((ct, cg))
+        sg, st = cg[order], ct[order]
+        first = np.concatenate(
+            ([True], (sg[1:] != sg[:-1]) | (st[1:] != st[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, total))
+        toks = ut[st[starts]]
+        part = (
+            pd.util.hash_array(toks).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {
+                by_col: ug[sg[starts]],
+                "token": toks,
+                "cnt": cnt.astype(np.int64),
+                "__tpart": part,
+            }
+        )
+
+    def entropy_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    by_col: pd.Series(dtype=object),
+                    "T": pd.Series(dtype=np.int64),
+                    "S": pd.Series(dtype=np.float64),
+                }
+            )
+        cg, ug = pd.factorize(g[by_col].to_numpy())
+        ct, ut = pd.factorize(g["token"].to_numpy())
+        cnt = g["cnt"].to_numpy()
+        order = np.lexsort((ct, cg))
+        sg, st, sc = cg[order], ct[order], cnt[order]
+        first = np.concatenate(
+            ([True], (sg[1:] != sg[:-1]) | (st[1:] != st[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        n = np.add.reduceat(sc, starts).astype(np.float64)
+        grp = sg[starts]
+        t = np.zeros(len(ug), dtype=np.int64)
+        s = np.zeros(len(ug), dtype=np.float64)
+        np.add.at(t, grp, n.astype(np.int64))
+        np.add.at(s, grp, n * np.log(n))
+        return pd.DataFrame({by_col: ug, "T": t, "S": s})
+
+    partials = (
+        docs_ds.map_batches(partial, batch_format="pandas")
+        .groupby("__tpart")
+        .map_groups(entropy_partials, batch_format="pandas")
+        .to_pandas()  # partitions x groups rows — tiny
+    )
+    agg = partials.groupby(by_col, sort=True)[["T", "S"]].sum().reset_index()
+    T = agg["T"].to_numpy().astype(np.float64)
+    H = np.log(T) - agg["S"].to_numpy() / T
+    return pd.DataFrame(
+        {
+            by_col: agg[by_col],
+            "n_tokens": agg["T"].astype(np.int64),
+            "entropy": round_away(H, 6),
+        }
+    )

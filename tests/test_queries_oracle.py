@@ -93,6 +93,8 @@ CHECKED = [
     ("pagerank", 0),
     ("dim_stats", 0),
     ("skyline", 0),
+    ("ks_drift", 0),
+    ("vocab_entropy", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("followup_counts", 0),
