@@ -1073,3 +1073,150 @@ def edit_pairs(
         .groupby("__part")
         .map_groups(pairs_partition, batch_format="pandas")
     )
+
+
+def batch_weighted_minhash(
+    texts: list[str], num_perm: int = 64, seed: int = 7
+) -> np.ndarray:
+    """Ioffe consistent weighted sampling (ICWS, "Improved Consistent
+    Sampling, Weighted Minhash and L1 Sketching", ICDM 2010) over
+    whitespace-token COUNT vectors: (n_docs, num_perm) uint64
+    signatures with P[sig_k(A) == sig_k(B)] = weighted Jaccard
+    sum_t min(w_A, w_B) / sum_t max(w_A, w_B) — the sketch tier for
+    repetition-aware near-dup (plain minhash saturates on duplicated
+    boilerplate because set semantics drop counts).
+
+    Fully vectorized: one flat (token-hash, count) array across the
+    batch; per permutation the Gamma(2,1)/uniform draws come from
+    splitmix chains on (token-hash, perm), and the per-doc argmin is a
+    ``minimum.reduceat`` + first-match gather — no per-doc Python in
+    the permutation loop. Signature element = hash(token, t) of the
+    winning feature, so equal samples collide exactly as ICWS requires.
+    """
+    n = len(texts)
+    sigs = np.zeros((n, num_perm), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    hs, ws, lens = [], [], np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hh = pd.util.hash_array(u).astype(np.uint64)
+        hs.append(hh)
+        ws.append(c.astype(np.float64))
+        lens[i] = len(u)
+    if not hs:
+        return sigs
+    nonempty = lens > 0
+    h = np.concatenate(hs)
+    lnw = np.log(np.concatenate(ws))
+    ne_lens = lens[nonempty]
+    offsets = np.zeros(len(ne_lens), dtype=np.int64)
+    np.cumsum(ne_lens[:-1], out=offsets[1:])
+    seg = np.repeat(np.arange(len(ne_lens)), ne_lens)
+    out_ne = np.empty((len(ne_lens), num_perm), dtype=np.uint64)
+
+    def uniforms(z: np.ndarray) -> np.ndarray:
+        # (0, 1] uniform from the top 53 bits; never exactly 0
+        return ((z >> np.uint64(11)) + np.uint64(1)) * (2.0 ** -53)
+
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            z = _splitmix64(h ^ _splitmix64(np.uint64(seed + p)))
+            u1 = uniforms(z)
+            z = _splitmix64(z)
+            u2 = uniforms(z)
+            z = _splitmix64(z)
+            u3 = uniforms(z)
+            z = _splitmix64(z)
+            u4 = uniforms(z)
+            z = _splitmix64(z)
+            beta = uniforms(z)
+            r = -np.log(u1 * u2)  # Gamma(2, 1)
+            lnc = np.log(-np.log(u3 * u4))  # ln of Gamma(2, 1)
+            t = np.floor(lnw / r + beta)
+            ln_a = lnc - r * (t - beta) - r
+            mins = np.minimum.reduceat(ln_a, offsets)
+            eq = ln_a == np.repeat(mins, ne_lens)
+            pos = np.flatnonzero(eq)
+            _, first = np.unique(seg[pos], return_index=True)
+            win = pos[first]
+            out_ne[:, p] = _splitmix64(
+                h[win] ^ _splitmix64(t[win].astype(np.int64).astype(np.uint64))
+            )
+    sigs[nonempty] = out_ne
+    return sigs
+
+
+def dedup_weighted_minhash(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Weighted-Jaccard near-dup clustering: ICWS signatures -> LSH band
+    buckets -> in-bucket signature-collision verify (the collision
+    fraction IS the weighted-jaccard estimate) -> connected components.
+    Same banding-explode / int64-packed-bucket / in-group verify shape
+    as ``dedup_minhash_lsh`` (signatures ride the explode; nothing
+    passes through the driver); the sketch differs, not the shuffle
+    plan."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    class WeightedSigner:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            sigs = batch_weighted_minhash(texts, num_perm, seed)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "minhash": pa.FixedSizeListArray.from_arrays(
+                        pa.array(
+                            sigs.ravel().view(np.int64), pa.int64()
+                        ),
+                        num_perm,
+                    ),
+                }
+            )
+
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        WeightedSigner, concurrency=(1, 8), batch_size=4096,
+        batch_format="pyarrow",
+    )
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t["minhash"].combine_chunks()
+        S = col.values.to_numpy(zero_copy_only=False).reshape(
+            len(ids), num_perm
+        )
+        view = S.view(np.uint64).reshape(len(ids), bands, rows_per_band)
+        mix = view[:, :, 0]
+        for r in range(1, rows_per_band):
+            mix = _splitmix64(mix ^ view[:, :, r])
+        band_idx = np.tile(np.arange(bands), len(ids))
+        rep = np.repeat(np.arange(len(ids)), bands)
+        flat = pa.array(S[rep].ravel(), pa.int64())
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, bands)),
+                "bucket": _pack_bucket(band_idx, mix.ravel()),
+                "minhash": pa.FixedSizeListArray.from_arrays(flat, num_perm),
+            }
+        )
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    edges = _verified_pairs_from_buckets(
+        exploded, id_col, num_perm=num_perm, threshold=threshold,
+        distinct=False,
+    )
+    nodes = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
+    )
+    return connected_components(edges, extra_nodes_ds=nodes)

@@ -792,6 +792,35 @@ def q_minhash_dedup(sf_dir: str):
     return dedup_minhash_lsh(docs.union(dups), threshold=0.9)
 
 
+def q_weighted_dedup(sf_dir: str):
+    """Rows-only: weighted-Jaccard (ICWS) near-dup components — the
+    repetition-aware sketch tier — over documents with an injected
+    duplicate of every 8th doc. Same banding shuffle plan as
+    minhash_dedup; the sketch honours token COUNTS."""
+    from ..dedup import dedup_weighted_minhash
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    dups = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.cast(pc.bit_wise_and(t["doc_id"], 7), pa.int64()), 0)
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.add(t["doc_id"], 100000), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return dedup_weighted_minhash(docs.union(dups))
+
+
 def q_lang_id(sf_dir: str):
     from ..textops import language_id
 
@@ -4637,6 +4666,7 @@ QUERIES = {
     "skyline": q_skyline,
     "ks_drift": q_ks_drift,
     "vocab_entropy": q_vocab_entropy,
+    "weighted_dedup": q_weighted_dedup,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
     "followup_counts": q_followup_counts,
@@ -4737,7 +4767,7 @@ ORACLE_SQL = {
     "props_agg": SQL_PROPS_AGG,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
-    # / minhash_dedup / simhash_dedup / fingerprint / quality
+    # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality
     # (hash-function-defined semantics), ann_graph / ann_pq / ann_rpforest
     # (approximate by construction; recall-tested vs the exact oracle),
     # kmeans_clusters (iterative algorithm; planted-blob recovery tests),

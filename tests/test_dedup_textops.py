@@ -409,3 +409,63 @@ def test_edit_pairs_blocked_and_partition_invariant(ray_session):
     assert set(zip(got["a_id"], got["b_id"])) == {(0, 1), (0, 2), (1, 2), (3, 4)}
     row = got[(got["a_id"] == 0) & (got["b_id"] == 1)]
     assert int(row["dist"].iloc[0]) == 2  # jumps -> jumped
+
+
+def test_weighted_minhash_estimates_weighted_jaccard():
+    """ICWS collision rate estimates weighted Jaccard of token-count
+    vectors (Ioffe 2010): known-weight example within Monte-Carlo error;
+    identical docs collide exactly; disjoint docs never do."""
+    from kiezray.dedup import batch_weighted_minhash
+
+    A = " ".join(["x"] * 8 + ["y"] * 2)
+    B = " ".join(["x"] * 4 + ["y"] * 2 + ["z"] * 4)
+    sig = batch_weighted_minhash([A, B, A, ""], num_perm=512, seed=3)
+    est = (sig[0] == sig[1]).mean()
+    true = (4 + 2) / (8 + 2 + 4)
+    assert abs(est - true) < 0.07  # se ~ 0.022 at 512 perms
+    assert (sig[0] == sig[2]).all()
+    assert (sig[3] == 0).all()  # empty doc -> zero signature
+    C = "totally different tokens here"
+    sig2 = batch_weighted_minhash([A, C], num_perm=128)
+    assert (sig2[0] == sig2[1]).mean() < 0.05
+    # count sensitivity: plain-set view would say A == D (same tokens),
+    # weighted view must NOT collide everywhere
+    D = " ".join(["x"] * 2 + ["y"] * 8)
+    sig3 = batch_weighted_minhash([A, D], num_perm=512, seed=3)
+    frac = (sig3[0] == sig3[1]).mean()
+    true_ad = (2 + 2) / (8 + 8)
+    assert abs(frac - true_ad) < 0.07
+
+
+def test_dedup_weighted_minhash_clusters_planted_dups(ray_session):
+    """The ICWS pipeline co-clusters exact duplicates and keeps distinct
+    docs apart on a deterministic corpus."""
+    import ray
+
+    from kiezray.dedup import dedup_weighted_minhash
+    from kiezray.synth import generate_docs
+
+    rng = np.random.default_rng(5)
+    words = [f"w{j:03d}" for j in range(400)]
+    texts, ids = [], []
+    for i in range(60):
+        body = " ".join(rng.choice(words, 30).tolist()) + f" unique{i}"
+        texts.append(body)
+        ids.append(i)
+    # plant exact dups of every 6th doc
+    planted = [(i + 1000, texts[i]) for i in range(0, 60, 6)]
+    ids += [p[0] for p in planted]
+    texts += [p[1] for p in planted]
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    comp = (
+        dedup_weighted_minhash(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+    )
+    lab = dict(zip(comp["node"], comp["component"]))
+    assert len(lab) == len(ids)
+    for i in range(0, 60, 6):
+        assert lab[i] == lab[i + 1000], f"planted dup {i} not co-clustered"
+    # distinct docs stay apart
+    assert len(set(lab.values())) >= 55
