@@ -4147,6 +4147,29 @@ ORDER BY a_id, b_id
 """
 
 
+def q_grouped_mode(sf_dir: str):
+    """Per-user dominant event type (ties: count desc, value asc) —
+    two combiner-sized exchanges over the (key x value) space."""
+    from ..relops import grouped_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+SQL_GROUPED_MODE = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (
+                 PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT user_id, event_type AS mode_value, n
+FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
 def q_vocab_entropy(sf_dir: str):
     """Per-language token-distribution Shannon entropy over exact
     (lang, token) counts — one token-hash shuffle of combiner partials,
@@ -4666,6 +4689,7 @@ QUERIES = {
     "skyline": q_skyline,
     "ks_drift": q_ks_drift,
     "vocab_entropy": q_vocab_entropy,
+    "grouped_mode": q_grouped_mode,
     "weighted_dedup": q_weighted_dedup,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
@@ -4761,6 +4785,7 @@ ORACLE_SQL = {
     "skyline": SQL_SKYLINE,
     "ks_drift": SQL_KS_DRIFT,
     "vocab_entropy": SQL_VOCAB_ENTROPY,
+    "grouped_mode": SQL_GROUPED_MODE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "followup_counts": SQL_FOLLOWUP_COUNTS,

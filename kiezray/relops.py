@@ -1552,3 +1552,88 @@ def skyline(
         parts[y_col].to_numpy().astype(np.float64),
     )
     return parts[keep].reset_index(drop=True)
+
+
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Most frequent value per key (deterministic ties: highest count,
+    then smallest value) — the per-user dominant-category pass. Output:
+    (key_col, mode_value, n).
+
+    Scale shape: per-batch (key, value) count combiners (one lexsort +
+    run-length per batch — the raw rows never shuffle), partials
+    key-hash partitioned (a key never spans two partitions), each
+    partition folds counts and takes the per-key argmax with one more
+    lexsort. Two tiny exchanges over the (key x value) space, not the
+    row space.
+    """
+    from .dedup import _splitmix64
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        v = g[val_col].to_numpy(dtype=object)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        first = np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(ks)))
+        kk = ks[starts]
+        part = (
+            _splitmix64(kk.astype(np.uint64))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {
+                key_col: kk,
+                val_col: vs[starts],
+                "n": cnt.astype(np.int64),
+                "__part": part,
+            }
+        )
+
+    def mode_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=np.int64),
+                "mode_value": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        k = g[key_col].to_numpy()
+        v = g[val_col].to_numpy(dtype=object)
+        c = g["n"].to_numpy()
+        # fold duplicate (key, value) partials
+        order = np.lexsort((v, k))
+        ks, vs, cs = k[order], v[order], c[order]
+        first = np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(cs, starts)
+        ks, vs = ks[starts], vs[starts]
+        # per-key argmax: sort by (key, -count, value); first row per key
+        order2 = np.lexsort((vs, -tot, ks))
+        ks, vs, tot = ks[order2], vs[order2], tot[order2]
+        top = np.concatenate(([True], ks[1:] != ks[:-1]))
+        return pd.DataFrame(
+            {
+                key_col: ks[top],
+                "mode_value": vs[top],
+                "n": tot[top].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(mode_partition, batch_format="pandas")
+    )

@@ -95,6 +95,7 @@ CHECKED = [
     ("skyline", 0),
     ("ks_drift", 0),
     ("vocab_entropy", 0),
+    ("grouped_mode", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("followup_counts", 0),
