@@ -418,3 +418,31 @@ def test_er_hubness_variants_end_to_end(hubness, tmp_path):
     oracle = oracle_clusters(docs, cfg)
     res = pairwise_scores(pred, oracle)
     assert res["f1"] >= 0.99, res
+
+
+def test_docs_fingerprint_order_invariant_content_sensitive(ray_session):
+    """The corpus fingerprint ignores row order / partitioning but
+    changes when any doc's content or the row multiset changes."""
+    from kiezray.pipelines.er import _docs_fingerprint
+
+    docs, _, _ = generate_docs(n_entities=8, seed=11)
+    base = _docs_fingerprint(ray.data.from_arrow(docs).repartition(1))
+    shuf = _docs_fingerprint(
+        ray.data.from_arrow(docs.take(
+            pa.array(np.random.RandomState(0).permutation(docs.num_rows))
+        )).repartition(5)
+    )
+    assert base == shuf
+    fewer = _docs_fingerprint(
+        ray.data.from_arrow(docs.slice(0, docs.num_rows - 1))
+    )
+    assert fewer != base
+    # content change: drop one span from one doc
+    import pandas as pd
+
+    pdf = docs.to_pandas()
+    pdf.loc[0, "spans"] = pdf.loc[0, "spans"][:-1]
+    changed = _docs_fingerprint(
+        ray.data.from_arrow(pa.Table.from_pandas(pdf, schema=docs.schema))
+    )
+    assert changed != base
