@@ -379,6 +379,38 @@ def _candidate_pairs_from_buckets(
     return dedup_pair_rows(cand)
 
 
+def _explode_band_buckets(
+    t: pa.Table,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    carry_sigs: bool,
+) -> pa.Table:
+    """Shared LSH banding explode: one (id, int64-packed bucket) row per
+    (doc, band); with ``carry_sigs`` the signature rides each row so the
+    in-bucket verify needs no second shuffle. The ONE copy of the
+    band-mix logic — every LSH pipeline (minhash, weighted minhash,
+    ngram candidates) calls this."""
+    rows_per_band = num_perm // bands
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    col = t["minhash"].combine_chunks()
+    S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
+    view = S.astype(np.uint64).reshape(len(ids), bands, rows_per_band)
+    mix = view[:, :, 0]
+    for r in range(1, rows_per_band):
+        mix = _splitmix64(mix ^ view[:, :, r])
+    band_idx = np.tile(np.arange(bands), len(ids))
+    cols = {
+        id_col: pa.array(np.repeat(ids, bands)),
+        "bucket": _pack_bucket(band_idx, mix.ravel()),
+    }
+    if carry_sigs:
+        rep = np.repeat(np.arange(len(ids)), bands)
+        flat = pa.array(S[rep].astype(np.int64).ravel(), pa.int64())
+        cols["minhash"] = pa.FixedSizeListArray.from_arrays(flat, num_perm)
+    return pa.table(cols)
+
+
 def dedup_minhash_lsh(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -401,29 +433,13 @@ def dedup_minhash_lsh(
         [id_col, "minhash"]
     )
 
-    def explode_bands(t: pa.Table) -> pa.Table:
-        # signatures RIDE the banding explode (one copy per (doc, band)
-        # row) so the verify happens inside the bucket group — no
-        # whole-corpus driver dict, no second shuffle
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        col = t["minhash"].combine_chunks()
-        S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
-        band_idx = np.tile(np.arange(bands), len(ids))
-        view = S.astype(np.uint64).reshape(len(ids), bands, rows_per_band)
-        mix = view[:, :, 0]
-        for r in range(1, rows_per_band):
-            mix = _splitmix64(mix ^ view[:, :, r])
-        rep = np.repeat(np.arange(len(ids)), bands)
-        flat = pa.array(S[rep].astype(np.int64).ravel(), pa.int64())
-        return pa.table(
-            {
-                id_col: pa.array(np.repeat(ids, bands)),
-                "bucket": _pack_bucket(band_idx, mix.ravel()),
-                "minhash": pa.FixedSizeListArray.from_arrays(flat, num_perm),
-            }
-        )
-
-    exploded = sig_tbl.map_batches(explode_bands, batch_format="pyarrow")
+    # signatures RIDE the banding explode (one copy per (doc, band)
+    # row) so the verify happens inside the bucket group — no
+    # whole-corpus driver dict, no second shuffle
+    exploded = sig_tbl.map_batches(
+        lambda t: _explode_band_buckets(t, id_col, num_perm, bands, True),
+        batch_format="pyarrow",
+    )
     # distinct=False: connected components tolerates duplicate edges
     # (band-collision repeats), so the pair-dedup shuffle is skipped
     edges = _verified_pairs_from_buckets(
@@ -680,24 +696,9 @@ def ngram_jaccard_pairs(
     sigs = minhash_signatures(ds, text_col, num_perm, shingle_k)
     rows_per_band = num_perm // bands
 
-    def explode_bands(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        col = t["minhash"].combine_chunks()
-        S = col.values.to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
-        view = S.astype(np.uint64).reshape(len(ids), bands, rows_per_band)
-        mix = view[:, :, 0]
-        for r in range(1, rows_per_band):
-            mix = _splitmix64(mix ^ view[:, :, r])
-        band_idx = np.tile(np.arange(bands), len(ids))
-        return pa.table(
-            {
-                id_col: pa.array(np.repeat(ids, bands)),
-                "bucket": _pack_bucket(band_idx, mix.ravel()),
-            }
-        )
-
     exploded = sigs.select_columns([id_col, "minhash"]).map_batches(
-        explode_bands, batch_format="pyarrow"
+        lambda t: _explode_band_buckets(t, id_col, num_perm, bands, False),
+        batch_format="pyarrow",
     )
     cand = _candidate_pairs_from_buckets(exploded, id_col)
 
@@ -1022,8 +1023,13 @@ def edit_pairs(
     from .block import _run_pairs
 
     def add_key(t: pa.Table) -> pa.Table:
-        pfx = pc.utf8_slice_codeunits(
-            pc.utf8_lower(pc.coalesce(t[text_col], "")), 0, prefix_len
+        # slice THEN lower, matching SQL lower(substr(...)): lowering
+        # first can change codepoint length (e.g. U+0130 -> 2 codepoints)
+        # and shift which characters the prefix covers
+        pfx = pc.utf8_lower(
+            pc.utf8_slice_codeunits(
+                pc.coalesce(t[text_col], ""), 0, prefix_len
+            )
         )
         # vectorized string hash (pd.util.hash_array over the prefix
         # column) — the same no-per-row-Python keying as dedup_exact
@@ -1190,28 +1196,10 @@ def dedup_weighted_minhash(
         batch_format="pyarrow",
     )
 
-    def explode_bands(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        col = t["minhash"].combine_chunks()
-        S = col.values.to_numpy(zero_copy_only=False).reshape(
-            len(ids), num_perm
-        )
-        view = S.view(np.uint64).reshape(len(ids), bands, rows_per_band)
-        mix = view[:, :, 0]
-        for r in range(1, rows_per_band):
-            mix = _splitmix64(mix ^ view[:, :, r])
-        band_idx = np.tile(np.arange(bands), len(ids))
-        rep = np.repeat(np.arange(len(ids)), bands)
-        flat = pa.array(S[rep].ravel(), pa.int64())
-        return pa.table(
-            {
-                id_col: pa.array(np.repeat(ids, bands)),
-                "bucket": _pack_bucket(band_idx, mix.ravel()),
-                "minhash": pa.FixedSizeListArray.from_arrays(flat, num_perm),
-            }
-        )
-
-    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    exploded = sigs.map_batches(
+        lambda t: _explode_band_buckets(t, id_col, num_perm, bands, True),
+        batch_format="pyarrow",
+    )
     edges = _verified_pairs_from_buckets(
         exploded, id_col, num_perm=num_perm, threshold=threshold,
         distinct=False,

@@ -32,6 +32,12 @@ from ..lineage import fingerprint, run_stage, run_stage_sharded
 from ..rerank import csls
 
 
+# coarse scoring-partition count: make_scored's add_part AND
+# _shard_fingerprints MUST use the same value — shard membership is
+# (block_hash % SCORE_PARTITIONS) % n_shards on both sides, and a
+# divergence would let incremental resume reuse a stale shard
+SCORE_PARTITIONS = 64
+
 _LOOKUP_CACHE: dict = {}
 
 
@@ -209,58 +215,21 @@ class BlockPairScorer:
         starts = bounds[:-1]
         sizes = np.diff(bounds)
         out_a, out_b, out_s = [], [], []
+        # bound the (B, s, s) distance tensor to ~64 MB per chunk: the
+        # old per-block path peaked at O(max_block^2); without a cap,
+        # thousands of max_block-sized chunks landing in one partition
+        # (hub-heavy corpora) would build a multi-GB tensor at once
+        TENSOR_BUDGET = 64 << 20
         for s in np.unique(sizes):
             if s < 2:
                 continue
-            sel = starts[sizes == s]
-            B = len(sel)
-            idx = sel[:, None] + np.arange(s)  # (B, s) global row indices
-            M = mat[idx]  # (B, s, d)
-            dist = 1.0 - np.einsum("bij,bkj->bik", M, M, optimize=True)
-            ii = np.arange(s)
-            dist[:, ii, ii] = np.inf
-            c = min(self.c, s - 1)
-            if c < s - 1:
-                I3 = np.argpartition(dist, kth=c - 1, axis=2)[:, :, :c]
-                D3 = np.take_along_axis(dist, I3, axis=2)
-                o = np.argsort(D3, kind="stable", axis=2)
-                I3 = np.take_along_axis(I3, o, axis=2)
-                D3 = np.take_along_axis(D3, o, axis=2)
-            else:
-                I3 = np.argsort(dist, kind="stable", axis=2)[:, :, :c]
-                D3 = np.take_along_axis(dist, I3, axis=2)
-            if self.hubness in ("csls", "nicdm", "ls"):
-                bidx = np.arange(B)[:, None, None]
-                # block-local calibration per row: candidate-mean (csls /
-                # nicdm) or kth-candidate distance (ls) — same formulas as
-                # the 2-D rerank kernels, batched over blocks
-                r = (
-                    D3[:, :, -1]
-                    if self.hubness == "ls"
-                    else D3.mean(axis=2)
-                )  # (B, s)
-                rI = r[bidx, I3]
-                if self.hubness == "csls":
-                    sec = 2.0 * D3 - r[:, :, None] - rI
-                elif self.hubness == "nicdm":
-                    sec = D3 / np.sqrt(r[:, :, None] * rI)
-                else:
-                    sec = 1.0 - np.exp(-(D3**2) / (r[:, :, None] * rI))
-                o2 = np.argsort(sec, kind="stable", axis=2)
-                I3 = np.take_along_axis(I3, o2, axis=2)
-                D3 = np.take_along_axis(D3, o2, axis=2)
-            score = 1.0 - D3
-            keep = score >= self.tau
-            if not keep.any():
-                continue
-            bidx = np.arange(B)[:, None, None]
-            a_glob = np.broadcast_to(idx[:, :, None], I3.shape)[keep]
-            b_glob = idx[np.broadcast_to(bidx, I3.shape), I3][keep]
-            a_ids = ids[a_glob]
-            b_ids = ids[b_glob]
-            out_a.append(np.minimum(a_ids, b_ids))
-            out_b.append(np.maximum(a_ids, b_ids))
-            out_s.append(np.round(score[keep], 6))
+            sel_all = starts[sizes == s]
+            b_max = max(1, int(TENSOR_BUDGET // (int(s) * int(s) * 8)))
+            for chunk in range(0, len(sel_all), b_max):
+                self._score_size_group(
+                    ids, mat, sel_all[chunk : chunk + b_max], int(s),
+                    out_a, out_b, out_s,
+                )
         if not out_a:
             return pa.table(
                 {
@@ -277,13 +246,70 @@ class BlockPairScorer:
             }
         )
 
+    def _score_size_group(
+        self, ids, mat, sel, s, out_a, out_b, out_s
+    ) -> None:
+        """Score one bounded chunk of same-size blocks as (B, s, ...)
+        tensors; appends surviving pairs to the out_* accumulators."""
+        B = len(sel)
+        if B == 0:
+            return
+        idx = sel[:, None] + np.arange(s)  # (B, s) global row indices
+        M = mat[idx]  # (B, s, d)
+        dist = 1.0 - np.einsum("bij,bkj->bik", M, M, optimize=True)
+        ii = np.arange(s)
+        dist[:, ii, ii] = np.inf
+        c = min(self.c, s - 1)
+        if c < s - 1:
+            I3 = np.argpartition(dist, kth=c - 1, axis=2)[:, :, :c]
+            D3 = np.take_along_axis(dist, I3, axis=2)
+            o = np.argsort(D3, kind="stable", axis=2)
+            I3 = np.take_along_axis(I3, o, axis=2)
+            D3 = np.take_along_axis(D3, o, axis=2)
+        else:
+            I3 = np.argsort(dist, kind="stable", axis=2)[:, :, :c]
+            D3 = np.take_along_axis(dist, I3, axis=2)
+        if self.hubness in ("csls", "nicdm", "ls"):
+            bidx = np.arange(B)[:, None, None]
+            # block-local calibration per row: candidate-mean (csls /
+            # nicdm) or kth-candidate distance (ls) — same formulas as
+            # the 2-D rerank kernels, batched over blocks
+            r = (
+                D3[:, :, -1]
+                if self.hubness == "ls"
+                else D3.mean(axis=2)
+            )  # (B, s)
+            rI = r[bidx, I3]
+            if self.hubness == "csls":
+                sec = 2.0 * D3 - r[:, :, None] - rI
+            elif self.hubness == "nicdm":
+                sec = D3 / np.sqrt(r[:, :, None] * rI)
+            else:
+                sec = 1.0 - np.exp(-(D3**2) / (r[:, :, None] * rI))
+            o2 = np.argsort(sec, kind="stable", axis=2)
+            I3 = np.take_along_axis(I3, o2, axis=2)
+            D3 = np.take_along_axis(D3, o2, axis=2)
+        score = 1.0 - D3
+        keep = score >= self.tau
+        if not keep.any():
+            return
+        bidx = np.arange(B)[:, None, None]
+        a_glob = np.broadcast_to(idx[:, :, None], I3.shape)[keep]
+        b_glob = idx[np.broadcast_to(bidx, I3.shape), I3][keep]
+        a_ids = ids[a_glob]
+        b_ids = ids[b_glob]
+        out_a.append(np.minimum(a_ids, b_ids))
+        out_b.append(np.maximum(a_ids, b_ids))
+        out_s.append(np.round(score[keep], 6))
+
 
 def _docs_fingerprint(docs_ds: "ray.data.Dataset") -> str:
-    """Order-independent content fingerprint of the input corpus:
-    XOR-fold of per-doc hashes over (doc_id, span count, total span-text
-    length), plus the row count. One streaming pass, combiner partials
-    only — makes every whole-stage checkpoint input-addressed, so a
-    changed corpus can NEVER silently reuse a stale checkpoint."""
+    """Order-independent CONTENT fingerprint of the input corpus:
+    XOR-fold of per-doc hashes over (doc_id, full span sequence — kind,
+    text, media_ref, position), plus the row count. One streaming pass,
+    combiner partials only — makes every whole-stage checkpoint
+    input-addressed, so a changed corpus (including a same-length text
+    edit) can never silently reuse a stale checkpoint."""
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
@@ -294,20 +320,32 @@ def _docs_fingerprint(docs_ds: "ray.data.Dataset") -> str:
         if "spans" in t.column_names:
             col = t["spans"].combine_chunks()
             offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            nspans = np.diff(offs).astype(np.uint64)
-            tlen = pc.coalesce(
-                pc.utf8_length(col.values.field("text")), 0
-            ).to_numpy(zero_copy_only=False).astype(np.int64)
-            csum = np.concatenate(([0], np.cumsum(tlen)))
-            per_doc = (csum[offs[1:]] - csum[offs[:-1]]).astype(np.uint64)
-            h = _splitmix64(
-                h ^ _splitmix64(nspans * np.uint64(1315423911) + per_doc)
-            )
+            # content hash of every span field (vectorized siphash over
+            # the flat child arrays), order-mixed by within-doc position
+            flat = col.values
+            hs = np.zeros(len(flat), dtype=np.uint64)
+            for fname in ("kind", "text", "media_ref"):
+                if fname in [f.name for f in flat.type]:
+                    vals = flat.field(fname).to_pandas().to_numpy(dtype=object)
+                    with np.errstate(over="ignore"):
+                        hs = _splitmix64(
+                            hs ^ pd.util.hash_array(vals).astype(np.uint64)
+                        )
+            pos = (
+                np.arange(len(flat), dtype=np.int64)
+                - np.repeat(offs[:-1], np.diff(offs))
+            ).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                hs = _splitmix64(hs + pos * np.uint64(0x9E3779B97F4A7C15))
+            per_doc = np.zeros(len(ids), dtype=np.uint64)
+            seg = np.repeat(np.arange(len(ids)), np.diff(offs))
+            np.bitwise_xor.at(per_doc, seg, hs)
+            h = _splitmix64(h ^ _splitmix64(per_doc))
         elif "text" in t.column_names:
-            tl = pc.utf8_length(
-                pc.coalesce(t["text"], "")
-            ).to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = _splitmix64(h ^ _splitmix64(tl))
+            th = pd.util.hash_array(
+                t["text"].to_pandas().fillna("").to_numpy(dtype=object)
+            ).astype(np.uint64)
+            h = _splitmix64(h ^ _splitmix64(th))
         x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
         return pa.table(
             {
@@ -322,7 +360,7 @@ def _docs_fingerprint(docs_ds: "ray.data.Dataset") -> str:
 
 
 def _shard_fingerprints(
-    keys_ds: "ray.data.Dataset", n_shards: int, P: int = 64
+    keys_ds: "ray.data.Dataset", n_shards: int, P: int | None = None
 ) -> list[str]:
     """Per-scoring-shard content fingerprints: XOR-fold of hashed
     (doc_id, block_hash) rows grouped by shard = (block_hash % P) %
@@ -336,6 +374,9 @@ def _shard_fingerprints(
     leaves every band key identical has probability ~ sim^perms — the
     standard LSH identity assumption, documented here explicitly."""
     from ..dedup import _splitmix64
+
+    if P is None:
+        P = SCORE_PARTITIONS
 
     def partial(t: pa.Table) -> pa.Table:
         bh = t["block_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -463,7 +504,7 @@ def run_er(
         # coarse hash partitions: each map_groups call scores MANY whole
         # blocks with numpy (per-tiny-block overhead killed); a block never
         # spans two partitions because partition = f(block_key)
-        P = 64
+        P = SCORE_PARTITIONS
 
         def add_part(t: pa.Table) -> pa.Table:
             if "block_hash" in t.column_names:  # vectorized int path

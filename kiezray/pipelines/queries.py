@@ -4053,9 +4053,11 @@ def q_market_share(sf_dir: str):
         "c_custkey",
     )
 
+    asia_arr = np.fromiter(asia_keys, np.int64)
+
     def year_partials(t: pa.Table) -> pa.Table:
         nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        keep = np.isin(nk, np.fromiter(asia_keys, np.int64))
+        keep = np.isin(nk, asia_arr)
         yr = t["yr"].to_numpy(zero_copy_only=False)[keep]
         v = t["rev"].to_numpy(zero_copy_only=False)[keep]
         vt = t["rev_t"].to_numpy(zero_copy_only=False)[keep]
@@ -4245,13 +4247,7 @@ def q_skyline(sf_dir: str):
                 "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
                 "price": t["o_totalprice"],
                 "ts_us": pc.cast(
-                    pc.multiply(
-                        pc.cast(
-                            pc.cast(t["o_orderdate"], pa.timestamp("us")),
-                            pa.int64(),
-                        ),
-                        pa.scalar(1, pa.int64()),
-                    ),
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")),
                     pa.int64(),
                 ),
             }

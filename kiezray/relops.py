@@ -1473,7 +1473,7 @@ def global_ntile(
     """
     ranked = global_rank(
         ds, order_col, tie_col, num_partitions=num_partitions
-    )
+    ).materialize()  # count() + tile pass must not run the rank twice
     n = ranked.count()
     q, rem = divmod(n, k)
     boundary = rem * (q + 1)

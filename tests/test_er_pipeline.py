@@ -446,3 +446,24 @@ def test_docs_fingerprint_order_invariant_content_sensitive(ray_session):
         ray.data.from_arrow(pa.Table.from_pandas(pdf, schema=docs.schema))
     )
     assert changed != base
+    # SAME-LENGTH text edit must also change the fingerprint (a
+    # length-only hash would silently reuse stale checkpoints)
+    pdf2 = docs.to_pandas()
+    sp = [dict(x) for x in pdf2.loc[0, "spans"]]
+    t0 = sp[0]["text"]
+    sp[0]["text"] = ("X" + t0[1:]) if t0 else "X"
+    pdf2.at[0, "spans"] = sp
+    edited = _docs_fingerprint(
+        ray.data.from_arrow(pa.Table.from_pandas(pdf2, schema=docs.schema))
+    )
+    assert edited != base
+    # span ORDER within a doc is part of the identity
+    pdf3 = docs.to_pandas()
+    sp3 = list(pdf3.loc[0, "spans"])
+    if len(sp3) >= 2 and sp3[0] != sp3[1]:
+        sp3[0], sp3[1] = sp3[1], sp3[0]
+        pdf3.at[0, "spans"] = sp3
+        swapped = _docs_fingerprint(
+            ray.data.from_arrow(pa.Table.from_pandas(pdf3, schema=docs.schema))
+        )
+        assert swapped != base
