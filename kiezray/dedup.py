@@ -1017,6 +1017,11 @@ def edit_pairs(
     the block-size distribution, exactly like the LSH buckets in
     ``dedup_minhash_lsh``; oversized natural-key blocks should be
     pre-split upstream (``block.split_oversized_blocks``).
+
+    Oracle parity note: the lowercased prefix matches SQL
+    ``lower(substr(text, 1, n))`` exactly for text whose lowercase is
+    1:1 (all ASCII); locale-special mappings (e.g. U+0130) lowercase
+    differently across unicode libraries and may block differently.
     """
     import pyarrow.compute as pc
 
