@@ -4149,6 +4149,72 @@ ORDER BY a_id, b_id
 """
 
 
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average event value (interval to next
+    event as weight) — one key-hash shuffle, lexsort + bincounts."""
+    from ..windows import time_weighted_avg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return time_weighted_avg(ev, "user_id", "ts", "event_id", "value")
+
+
+SQL_TWAP = """
+WITH w AS (
+  SELECT user_id, value, epoch_us(ts) AS es,
+         lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       round(sum(value * (nxt - es)) / sum(nxt - es), 6) + 0 AS twap
+FROM w WHERE nxt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_stratified_quota(sf_dir: str):
+    """Exactly 20 orders per order priority, deterministic Knuth
+    priorities (HUGEINT-lockstep oracle) — combiner partial top-n per
+    stratum, one tiny shuffle."""
+    from ..sample import stratified_quota
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return stratified_quota(
+        orders, "o_orderpriority", "o_orderkey", n_per_stratum=20, seed=7
+    )
+
+
+SQL_STRATIFIED_QUOTA = """
+WITH p AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS s,
+         ((CAST(o_orderkey AS HUGEINT) + 7) * 11400714819323198485)
+             % 18446744073709551616 AS pri
+  FROM orders),
+v AS (SELECT k, s,
+             CASE WHEN pri < 9223372036854775808 THEN pri
+                  ELSE pri - 18446744073709551616 END AS iv
+      FROM p),
+r AS (SELECT k, s,
+             row_number() OVER (PARTITION BY s ORDER BY iv DESC, k) AS rk
+      FROM v)
+SELECT k AS o_orderkey, s AS o_orderpriority
+FROM r WHERE rk <= 20 ORDER BY s, k
+"""
+
+
 def q_grouped_mode(sf_dir: str):
     """Per-user dominant event type (ties: count desc, value asc) —
     two combiner-sized exchanges over the (key x value) space."""
@@ -4686,6 +4752,8 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "vocab_entropy": q_vocab_entropy,
     "grouped_mode": q_grouped_mode,
+    "stratified_quota": q_stratified_quota,
+    "twap": q_twap,
     "weighted_dedup": q_weighted_dedup,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
@@ -4782,6 +4850,8 @@ ORACLE_SQL = {
     "ks_drift": SQL_KS_DRIFT,
     "vocab_entropy": SQL_VOCAB_ENTROPY,
     "grouped_mode": SQL_GROUPED_MODE,
+    "stratified_quota": SQL_STRATIFIED_QUOTA,
+    "twap": SQL_TWAP,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "followup_counts": SQL_FOLLOWUP_COUNTS,

@@ -203,3 +203,42 @@ def weighted_sample(
         .repartition(1)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def stratified_quota(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Exact ``n_per_stratum`` rows from every stratum (or all of a
+    smaller stratum), chosen by deterministic Knuth hash priority on
+    ``key_col`` — uniform within the stratum, partition-invariant, and
+    reproducible. The "balanced eval set: exactly N examples per
+    language" pass; the fraction-based ``stratified_sample`` cannot
+    guarantee exact quotas.
+
+    Scale shape: delegates to ``relops.grouped_topk`` — per-batch
+    partial top-n per stratum (combiner), ONE stratum-hash shuffle of
+    the tiny partials, one lexsort per partition. Keys must be
+    non-negative int64 (``_priority`` oracle-parity contract).
+    """
+    import pyarrow as pa
+
+    from .relops import grouped_topk
+
+    def add_priority(t: "pa.Table") -> "pa.Table":
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = _priority(k, seed).astype(np.int64)  # int64 view of uint64
+        return t.append_column("__pri", pa.array(pri, pa.int64()))
+
+    out = grouped_topk(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        stratum_col,
+        "__pri",
+        k=n_per_stratum,
+        descending=True,  # int64 view ordering — mirrored in the oracle
+        tie_col=key_col,
+    )
+    return out.drop_columns(["__pri", "rank"])

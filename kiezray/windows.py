@@ -705,3 +705,70 @@ def followup_counts(
         .groupby("__part")
         .map_groups(count_partition, batch_format="pandas")
     )
+
+
+def time_weighted_avg(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key time-weighted average: each event's value weighted by the
+    interval until the key's NEXT event (the last event carries no
+    interval) — SQL ``sum(v * (lead(ts) - ts)) / sum(lead(ts) - ts)``.
+    The irregular-time-series mean (sensor/price/engagement TWAP).
+    Output: (key_col, twap float64 rounded 6); single-event keys are
+    omitted (no interval).
+
+    Scale shape: ONE key-hash shuffle, one lexsort + shifted diff per
+    partition, per-key numerator/denominator via two bincounts — same
+    no-per-key-Python regime as ``event_gaps``.
+    """
+    from .arrowutil import round_away
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def twap_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=np.int64),
+                "twap": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g[val_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((ids, us, keys))
+        k, e, v = keys[order], us[order], vals[order]
+        same = k[:-1] == k[1:]  # rows 0..n-2 whose successor shares the key
+        if not same.any():
+            return empty
+        sel = np.flatnonzero(same)
+        dt = (e[sel + 1] - e[sel]).astype(np.float64)
+        codes, uk = pd.factorize(k[sel], sort=False)
+        num = np.bincount(codes, weights=v[sel] * dt)
+        den = np.bincount(codes, weights=dt)
+        return pd.DataFrame(
+            {
+                key_col: uk,
+                "twap": round_away(num / den, 6),
+            }
+        )
+
+    return (
+        events.select_columns([id_col, key_col, ts_col, val_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(twap_partition, batch_format="pandas")
+    )

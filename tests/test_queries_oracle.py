@@ -96,6 +96,8 @@ CHECKED = [
     ("ks_drift", 0),
     ("vocab_entropy", 0),
     ("grouped_mode", 0),
+    ("stratified_quota", 0),
+    ("twap", 0),
     ("event_transitions", 0),
     ("cohort_retention", 0),
     ("followup_counts", 0),

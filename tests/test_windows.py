@@ -270,3 +270,55 @@ def test_followup_counts_matches_bruteforce(ray_session):
             .to_dict()
         )
         assert got == want
+
+
+def test_time_weighted_avg_matches_pandas(ray_session):
+    """TWAP equals a pandas lead-interval oracle, incl. big user ids,
+    tie timestamps broken by event_id, and single-event users omitted."""
+    import ray
+
+    from kiezray.windows import time_weighted_avg
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    users = rng.choice(
+        np.array([5, 2**35 + 1, 11, 999], dtype=np.int64), n
+    )
+    users[0] = 424242  # a single-event user -> no output row
+    t0 = np.datetime64("2025-03-01T00:00:00", "us")
+    ts = t0 + rng.integers(0, 10**6, n).astype("timedelta64[us]")
+    vals = np.round(rng.random(n) * 50, 2)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users,
+            "ts": ts,
+            "value": vals,
+        }
+    )
+    d = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    es = d["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    d["es"] = es
+    d["nxt"] = d.groupby("user_id")["es"].shift(-1)
+    d = d[d["nxt"].notna()]
+    dt = d["nxt"].to_numpy() - d["es"].to_numpy()
+    d["num"] = d["value"].to_numpy() * dt
+    d["den"] = dt
+    want = (
+        d.groupby("user_id")[["num", "den"]].sum()
+        .assign(twap=lambda x: np.round(x["num"] / x["den"], 6))
+        .reset_index()[["user_id", "twap"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        time_weighted_avg(
+            ray.data.from_pandas(df).repartition(6),
+            "user_id", "ts", "event_id", "value",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert 424242 not in set(got["user_id"])
+    pd.testing.assert_frame_equal(got, want, atol=1e-9, check_exact=False)
