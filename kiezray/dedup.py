@@ -1213,3 +1213,139 @@ def dedup_weighted_minhash(
         lambda t: pa.table({"node": t[id_col]}), batch_format="pyarrow"
     )
     return connected_components(edges, extra_nodes_ds=nodes)
+
+
+def source_overlap(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Cross-source contamination census: for every pair of sources,
+    how many distinct bag-of-words documents (identical unique-token
+    sets) appear in BOTH — the "did split A leak into split B" check a
+    training-data pipeline runs before mixing corpora. Token-set
+    identity (not raw-string identity) so reorderings and repetitions
+    of the same vocabulary still count as the same content.
+
+    Output: (source_a, source_b, n_shared) with source_a < source_b.
+
+    Scale shape: each batch computes a 128-bit COMMUTATIVE token-set
+    hash per doc (flat token array -> per-doc unique codes -> two
+    independent summed splitmix64 mixes via ``np.add.reduceat``; set
+    equality needs no canonical string rebuild and no per-row Python),
+    dedupes (key, source) within the batch, and ships only those tiny
+    rows. One hash shuffle on the key (a token-set never spans two
+    partitions), then each partition counts source pairs per key with a
+    vectorized self-merge and emits (source_a, source_b, partial_n)
+    combiner rows; the final fold is a groupby-sum over O(|sources|^2)
+    rows. Raw texts never shuffle; no stage holds more than a batch.
+    """
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        texts = pd.Series(
+            t[text_col].to_numpy(zero_copy_only=False)
+        ).fillna("")
+        tok_lists = texts.str.split(" ")
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if len(texts) == 0 or total == 0:
+            return pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "__k1": pd.Series(dtype=np.int64),
+                        "__k2": pd.Series(dtype=np.int64),
+                        group_col: pd.Series(dtype=object),
+                        "__part": pd.Series(dtype=np.int32),
+                    }
+                ),
+                preserve_index=False,
+            )
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        doc = np.repeat(np.arange(len(texts)), lens)
+        ct, ut = pd.factorize(flat)
+        # per-doc unique token codes (sorted within doc => dedupe adjacents)
+        order = np.lexsort((ct, doc))
+        sd, st = doc[order], ct[order]
+        keep = np.concatenate(
+            ([True], (sd[1:] != sd[:-1]) | (st[1:] != st[:-1]))
+        )
+        kd, kt = sd[keep], st[keep]
+        th1 = _splitmix64(
+            pd.util.hash_array(ut).astype(np.uint64)
+        )
+        th2 = _splitmix64(
+            pd.util.hash_array(ut, hash_key="kiezraysetovlap1").astype(
+                np.uint64
+            )
+        )
+        starts = np.flatnonzero(
+            np.concatenate(([True], kd[1:] != kd[:-1]))
+        )
+        with np.errstate(over="ignore"):
+            h1 = np.add.reduceat(th1[kt], starts)
+            h2 = np.add.reduceat(th2[kt], starts)
+        src = t[group_col].to_numpy(zero_copy_only=False)[kd[starts]]
+        out = pd.DataFrame(
+            {
+                "__k1": h1.astype(np.int64),
+                "__k2": h2.astype(np.int64),
+                group_col: src,
+            }
+        ).drop_duplicates()
+        part = (
+            out["__k1"].to_numpy().astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(
+            out.assign(__part=part), preserve_index=False
+        )
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source_a": pd.Series(dtype=object),
+                "source_b": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.drop_duplicates(["__k1", "__k2", group_col])
+        k1 = g["__k1"].to_numpy()
+        k2 = g["__k2"].to_numpy()
+        order = np.lexsort((k2, k1))
+        s1, s2 = k1[order], k2[order]
+        kc = np.cumsum(
+            np.concatenate(([True], (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])))
+        )
+        d = pd.DataFrame(
+            {"kc": kc, "src": g[group_col].to_numpy()[order]}
+        )
+        m = d.merge(d, on="kc")
+        m = m[m["src_x"] < m["src_y"]]
+        if len(m) == 0:
+            return empty
+        out = (
+            m.groupby(["src_x", "src_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out.columns = ["source_a", "source_b", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.select_columns([text_col, group_col])
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_partition, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )

@@ -351,3 +351,119 @@ def ks_statistic(
             "n_b": np.array([t2], dtype=np.int64),
         }
     )
+
+
+def grouped_corr(
+    ds: "ray.data.Dataset", key_col: str, x_col: str, y_col: str
+) -> pd.DataFrame:
+    """Per-key Pearson correlation — SQL ``corr(x, y) GROUP BY key`` —
+    from one streaming pass of 6 per-key moment partials.
+
+    Scale shape: each batch emits one (key, n, sx, sy, sxx, syy, sxy)
+    row per key seen (bincount over the batch's key codes), a single
+    small ``groupby`` folds the partials, and the finalize runs on
+    O(distinct keys) rows. The raw rows are never shuffled — the same
+    combiner regime as ``grouped_moments``; at 100 TB the all-to-all
+    traffic is O(keys x blocks) tiny partials.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        m = len(uk)
+        return pd.DataFrame(
+            {
+                key_col: uk,
+                "n": np.bincount(inv, minlength=m).astype(np.float64),
+                "sx": np.bincount(inv, weights=x, minlength=m),
+                "sy": np.bincount(inv, weights=y, minlength=m),
+                "sxx": np.bincount(inv, weights=x * x, minlength=m),
+                "syy": np.bincount(inv, weights=y * y, minlength=m),
+                "sxy": np.bincount(inv, weights=x * y, minlength=m),
+            }
+        )
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    folded = (
+        ds.select_columns([key_col, x_col, y_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()  # O(distinct keys)
+    )
+    n = folded["n"].to_numpy()
+    sx, sy = folded["sx"].to_numpy(), folded["sy"].to_numpy()
+    cov = folded["sxy"].to_numpy() - sx * sy / n
+    vx = folded["sxx"].to_numpy() - sx * sx / n
+    vy = folded["syy"].to_numpy() - sy * sy / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = np.where((vx > 0) & (vy > 0), cov / np.sqrt(vx * vy), np.nan)
+    from .arrowutil import round_away
+
+    return pd.DataFrame(
+        {
+            key_col: folded[key_col],
+            "corr": round_away(r, 6),
+            "n": n.astype(np.int64),
+        }
+    ).sort_values(key_col, ignore_index=True)
+
+
+def contingency_chi2(
+    ds: "ray.data.Dataset", a_col: str, b_col: str
+) -> pd.DataFrame:
+    """Chi-squared statistic of independence for two categorical columns
+    (corpus-bias diagnostic: is ``lang`` independent of ``source``?).
+
+    Uses the observed-cells identity chi2 = N * sum(o^2 / (rowtot *
+    coltot)) - N, which needs no zero-cell enumeration, so the SQL
+    oracle and the engine agree cell-for-cell.
+
+    Scale shape: per-batch (a, b, n) pair counts via one np.unique (the
+    combiner), one tiny groupby fold over O(cells) rows, finalize on the
+    driver over the folded contingency table. Raw rows never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {a_col: [], b_col: [], "n": np.array([], dtype=np.int64)}
+            )
+        ca, ua = pd.factorize(df[a_col], sort=False)
+        cb, ub = pd.factorize(df[b_col], sort=False)
+        code = ca.astype(np.int64) * len(ub) + cb
+        uc, counts = np.unique(code, return_counts=True)
+        return pd.DataFrame(
+            {
+                a_col: ua.take(uc // len(ub)),
+                b_col: ub.take(uc % len(ub)),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    cells = (
+        ds.select_columns([a_col, b_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([a_col, b_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(cells)
+    )
+    o = cells["n"].to_numpy(dtype=np.float64)
+    total = o.sum()
+    rt = cells.groupby(a_col)["n"].transform("sum").to_numpy(np.float64)
+    ct = cells.groupby(b_col)["n"].transform("sum").to_numpy(np.float64)
+    chi2 = total * float((o * o / (rt * ct)).sum()) - total
+    dof = (cells[a_col].nunique() - 1) * (cells[b_col].nunique() - 1)
+    from .arrowutil import round_away
+
+    return pd.DataFrame(
+        {
+            "chi2": round_away(np.array([chi2]), 6),
+            "dof": np.array([dof], dtype=np.int64),
+            "n": np.array([int(total)], dtype=np.int64),
+        }
+    )

@@ -4642,6 +4642,107 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_rolling_avg(sf_dir: str):
+    """Per-user rolling mean over the last 4 events (bounded ROWS
+    frame) — one key-hash shuffle, one lexsort + exact fixed-point
+    cumsum-difference per partition."""
+    from ..windows import rolling_window_mean
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_window_mean(
+        ev, "user_id", "ts", "event_id", "value", frame_rows=4
+    )
+
+
+SQL_ROLLING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) + 0
+           AS rolling_avg
+FROM events ORDER BY user_id, event_id
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source bag-of-words contamination census: distinct shared
+    token-sets per source pair — commutative 128-bit set hashes as
+    combiner rows, one key shuffle, vectorized per-partition self-merge."""
+    from ..dedup import source_overlap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return source_overlap(docs, "text", "source")
+
+
+SQL_SOURCE_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ' ') AS k,
+         source
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extendedprice
+    — six per-key moment partials per batch, one tiny fold, no row
+    shuffle."""
+    from ..moments import grouped_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+SQL_GROUPED_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_chi2(sf_dir: str):
+    """Chi-squared independence of lang x source (corpus-bias
+    diagnostic) — per-batch contingency partials, O(cells) fold,
+    driver finalize via the observed-cells identity."""
+    from ..moments import contingency_chi2
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return contingency_chi2(docs, "lang", "source")
+
+
+SQL_CHI2 = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+  FROM documents GROUP BY 1, 2),
+ tot AS (SELECT sum(o) AS n FROM c),
+ r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1),
+ s AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1)
+SELECT round((SELECT n FROM tot)
+             * sum(c.o * c.o / (r.rt * s.ct))
+             - (SELECT n FROM tot), 6) + 0 AS chi2,
+       CAST(((SELECT count(DISTINCT lang) FROM c) - 1)
+            * ((SELECT count(DISTINCT source) FROM c) - 1) AS BIGINT)
+           AS dof,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n
+FROM c JOIN r USING (lang) JOIN s USING (source)
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -4759,6 +4860,10 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "followup_counts": q_followup_counts,
     "props_agg": q_props_agg,
+    "rolling_avg": q_rolling_avg,
+    "source_overlap": q_source_overlap,
+    "grouped_corr": q_grouped_corr,
+    "chi2_independence": q_chi2,
 }
 
 ORACLE_SQL = {
@@ -4856,6 +4961,10 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "followup_counts": SQL_FOLLOWUP_COUNTS,
     "props_agg": SQL_PROPS_AGG,
+    "rolling_avg": SQL_ROLLING_AVG,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "grouped_corr": SQL_GROUPED_CORR,
+    "chi2_independence": SQL_CHI2,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -772,3 +772,82 @@ def time_weighted_avg(
         .groupby("__part")
         .map_groups(twap_partition, batch_format="pandas")
     )
+
+
+def rolling_window_mean(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    frame_rows: int = 4,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key rolling mean over the last ``frame_rows`` events (current
+    row inclusive) — the bounded ROWS frame ``avg(v) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT
+    ROW)``, which Ray Data has no native operator for. Complements
+    ``running_aggregate`` (UNBOUNDED PRECEDING) with the moving-average
+    shape every metrics pipeline needs. ``id_col`` must be unique per key
+    so the order is deterministic and partitioning-invariant.
+
+    Output: (id_col, key_col, rolling_avg float64 rounded 6).
+
+    Scale shape: ONE key-hash shuffle (a key never spans two partitions,
+    so no frame ever crosses workers), then each partition orders all its
+    keys with ONE lexsort and computes every frame sum from a single
+    global cumulative sum (window start clamped to the key's first row).
+    Sums run in int64 fixed-point (values are 2-decimal; float cumsum
+    differences would drift with partition length), so the frame sum is
+    EXACT and the only float op is the final division — byte-stable
+    across repartitioning. Hot keys are bounded by one key's event
+    volume, same caveat as ``sessionize``.
+    """
+    from .arrowutil import round_away
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def roll_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    key_col: pd.Series(dtype=np.int64),
+                    "rolling_avg": pd.Series(dtype=np.float64),
+                }
+            )
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g[val_col].to_numpy(dtype=np.float64)
+        cents = np.round(v * 100.0).astype(np.int64)
+        order = np.lexsort((ids, us, keys))
+        k, i, c = keys[order], ids[order], cents[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        pos = np.arange(len(k))
+        win_start = np.maximum(starts[grp], pos - (frame_rows - 1))
+        cs = np.concatenate(([0], np.cumsum(c)))
+        frame_sum = cs[pos + 1] - cs[win_start]
+        cnt = pos - win_start + 1
+        avg = frame_sum / 100.0 / cnt
+        return pd.DataFrame(
+            {
+                id_col: i,
+                key_col: k,
+                "rolling_avg": round_away(avg, 6),
+            }
+        )
+
+    return (
+        events.select_columns([id_col, key_col, ts_col, val_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(roll_partition, batch_format="pandas")
+    )

@@ -469,3 +469,37 @@ def test_dedup_weighted_minhash_clusters_planted_dups(ray_session):
         assert lab[i] == lab[i + 1000], f"planted dup {i} not co-clustered"
     # distinct docs stay apart
     assert len(set(lab.values())) >= 55
+
+
+def test_source_overlap_counts_shared_token_sets(ray_session):
+    """Two sources sharing a bag-of-words (reordered/repeated tokens)
+    count as overlap; unique-content sources do not."""
+    import pandas as pd
+    import ray.data
+
+    from kiezray.dedup import source_overlap
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "alpha beta gamma",
+                "gamma alpha beta beta",   # same token set, reordered+rep
+                "alpha beta gamma",        # same set again, third source
+                "delta epsilon",
+                "zeta eta theta",
+                "delta epsilon delta",     # same set as doc 3, source A
+            ],
+            "source": ["A", "B", "C", "A", "B", "A"],
+        }
+    )
+    out = (
+        source_overlap(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .sort_values(["source_a", "source_b"], ignore_index=True)
+    )
+    # {alpha,beta,gamma} shared by A,B,C -> 3 pairs; {delta,epsilon}
+    # appears twice but only within A -> no pair
+    assert out[["source_a", "source_b"]].values.tolist() == [
+        ["A", "B"], ["A", "C"], ["B", "C"]
+    ]
+    assert out["n_shared"].tolist() == [1, 1, 1]

@@ -247,3 +247,40 @@ def test_lm_score_matches_direct_computation():
     assert list(out["n_tokens"]) == [3, 2]
     assert out.loc[0, "lm_score"] == pytest.approx(want1, abs=1e-6)
     assert out.loc[1, "lm_score"] == pytest.approx(want2, abs=1e-6)
+
+
+def test_grouped_corr_matches_numpy():
+    from kiezray.moments import grouped_corr
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    key = rng.randint(0, 5, n).astype(np.int64)
+    x = rng.rand(n) * 10
+    y = 0.5 * x + rng.rand(n)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": key, "x": x, "y": y})
+    ).repartition(6)
+    got = grouped_corr(ds, "k", "x", "y").set_index("k")
+    for k in np.unique(key):
+        m = key == k
+        want = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(got.loc[k, "corr"] - round(want, 6)) < 1e-6
+        assert got.loc[k, "n"] == m.sum()
+
+
+def test_contingency_chi2_matches_direct():
+    from kiezray.moments import contingency_chi2
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    a = rng.choice(["x", "y", "z"], n)
+    b = rng.choice(["p", "q"], n, p=[0.3, 0.7])
+    ds = ray.data.from_pandas(pd.DataFrame({"a": a, "b": b})).repartition(5)
+    got = contingency_chi2(ds, "a", "b")
+    # direct full-table chi2 with zero cells included
+    ct = pd.crosstab(pd.Series(a), pd.Series(b)).to_numpy(dtype=float)
+    e = ct.sum(1)[:, None] * ct.sum(0)[None, :] / ct.sum()
+    want = ((ct - e) ** 2 / e).sum()
+    assert abs(got["chi2"][0] - round(want, 6)) < 1e-6
+    assert got["dof"][0] == (3 - 1) * (2 - 1)
+    assert got["n"][0] == n

@@ -102,6 +102,10 @@ CHECKED = [
     ("cohort_retention", 0),
     ("followup_counts", 0),
     ("props_agg", 0),
+    ("rolling_avg", 0),
+    ("source_overlap", 0),
+    ("grouped_corr", 0),
+    ("chi2_independence", 0),
 ]
 
 

@@ -322,3 +322,45 @@ def test_time_weighted_avg_matches_pandas(ray_session):
     )
     assert 424242 not in set(got["user_id"])
     pd.testing.assert_frame_equal(got, want, atol=1e-9, check_exact=False)
+
+
+def test_rolling_window_mean_matches_pandas_large_keys():
+    """ROWS-frame rolling mean matches a pandas oracle, with user ids
+    above 2^23 (regression scope: no packed-key arithmetic anywhere)."""
+    from kiezray.windows import rolling_window_mean
+
+    rng = np.random.RandomState(11)
+    n = 2000
+    uid = (rng.randint(0, 7, n).astype(np.int64) * 2**40) + 5
+    ts = rng.randint(0, 86400, n).astype("datetime64[s]")
+    val = np.round(rng.rand(n) * 200, 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts),
+            "value": pa.array(val),
+        }
+    )
+    got = (
+        rolling_window_mean(
+            ray.data.from_arrow(t).repartition(5),
+            "user_id", "ts", "event_id", "value", frame_rows=4,
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = (
+        df.groupby("user_id")["value"]
+        .rolling(4, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    df["rolling_avg"] = np.round(want, 6)
+    df = df.sort_values("event_id", ignore_index=True)
+    assert len(got) == n
+    np.testing.assert_allclose(
+        got["rolling_avg"].to_numpy(), df["rolling_avg"].to_numpy(),
+        atol=1e-9,
+    )
