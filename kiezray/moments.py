@@ -353,19 +353,11 @@ def ks_statistic(
     )
 
 
-def grouped_corr(
+def _grouped_xy_moments(
     ds: "ray.data.Dataset", key_col: str, x_col: str, y_col: str
 ) -> pd.DataFrame:
-    """Per-key Pearson correlation — SQL ``corr(x, y) GROUP BY key`` —
-    from one streaming pass of 6 per-key moment partials.
-
-    Scale shape: each batch emits one (key, n, sx, sy, sxx, syy, sxy)
-    row per key seen (bincount over the batch's key codes), a single
-    small ``groupby`` folds the partials, and the finalize runs on
-    O(distinct keys) rows. The raw rows are never shuffled — the same
-    combiner regime as ``grouped_moments``; at 100 TB the all-to-all
-    traffic is O(keys x blocks) tiny partials.
-    """
+    """Folded per-key bivariate moments (n, sx, sy, sxx, syy, sxy) —
+    the shared combiner behind ``grouped_corr`` / ``grouped_regression``."""
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -387,13 +379,29 @@ def grouped_corr(
         )
 
     cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
-    folded = (
+    return (
         ds.select_columns([key_col, x_col, y_col])
         .map_batches(partial, batch_format="pandas")
         .groupby(key_col)
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
         .to_pandas()  # O(distinct keys)
     )
+
+
+def grouped_corr(
+    ds: "ray.data.Dataset", key_col: str, x_col: str, y_col: str
+) -> pd.DataFrame:
+    """Per-key Pearson correlation — SQL ``corr(x, y) GROUP BY key`` —
+    from one streaming pass of 6 per-key moment partials.
+
+    Scale shape: each batch emits one (key, n, sx, sy, sxx, syy, sxy)
+    row per key seen (bincount over the batch's key codes), a single
+    small ``groupby`` folds the partials, and the finalize runs on
+    O(distinct keys) rows. The raw rows are never shuffled — the same
+    combiner regime as ``grouped_moments``; at 100 TB the all-to-all
+    traffic is O(keys x blocks) tiny partials.
+    """
+    folded = _grouped_xy_moments(ds, key_col, x_col, y_col)
     n = folded["n"].to_numpy()
     sx, sy = folded["sx"].to_numpy(), folded["sy"].to_numpy()
     cov = folded["sxy"].to_numpy() - sx * sy / n
@@ -467,3 +475,37 @@ def contingency_chi2(
             "n": np.array([int(total)], dtype=np.int64),
         }
     )
+
+
+def grouped_regression(
+    ds: "ray.data.Dataset", key_col: str, x_col: str, y_col: str
+) -> pd.DataFrame:
+    """Per-key simple OLS regression of y on x — SQL ``regr_slope /
+    regr_intercept / regr_r2 GROUP BY key`` — from the same one-pass
+    bivariate moment partials as ``grouped_corr``.
+
+    slope = cov(x,y)/var(x), intercept = mean(y) - slope*mean(x),
+    r2 = corr^2. Scale shape identical to ``grouped_corr``: raw rows
+    never shuffle; the only exchange is O(keys x blocks) tiny partials.
+    """
+    folded = _grouped_xy_moments(ds, key_col, x_col, y_col)
+    n = folded["n"].to_numpy()
+    sx, sy = folded["sx"].to_numpy(), folded["sy"].to_numpy()
+    cov = folded["sxy"].to_numpy() - sx * sy / n
+    vx = folded["sxx"].to_numpy() - sx * sx / n
+    vy = folded["syy"].to_numpy() - sy * sy / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(vx > 0, cov / vx, np.nan)
+        intercept = sy / n - slope * sx / n
+        r2 = np.where((vx > 0) & (vy > 0), cov * cov / (vx * vy), np.nan)
+    from .arrowutil import round_away
+
+    return pd.DataFrame(
+        {
+            key_col: folded[key_col],
+            "slope": round_away(slope, 6),
+            "intercept": round_away(intercept, 6),
+            "r2": round_away(r2, 6),
+            "n": n.astype(np.int64),
+        }
+    ).sort_values(key_col, ignore_index=True)

@@ -4743,6 +4743,114 @@ FROM c JOIN r USING (lang) JOIN s USING (source)
 """
 
 
+def q_quantiles_cont(sf_dir: str):
+    """Interpolated (percentile_cont) price quantiles — the same exact
+    histogram-refinement selection as `quantiles`, tracking two straddle
+    ranks per q; no sort, no shuffle."""
+    from ..arrowutil import round_away
+    from ..quantile import exact_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    t = exact_quantiles(
+        li, "l_extendedprice", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+        interp="cont",
+    )
+    import pandas as pd
+
+    df = t.to_pandas()
+    df["value"] = round_away(df["value"].to_numpy(), 6)
+    return df
+
+
+SQL_QUANTILES_CONT = """
+SELECT q, round(value, 6) + 0 AS value FROM (
+  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+         unnest(quantile_cont(l_extendedprice,
+                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value
+  FROM lineitem)
+ORDER BY q
+"""
+
+
+def q_grouped_regression(sf_dir: str):
+    """Per-returnflag OLS slope/intercept/r2 of extendedprice on
+    quantity — six moment partials per batch, one tiny fold, no row
+    shuffle."""
+    from ..moments import grouped_regression
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_regression(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+SQL_GROUPED_REGRESSION = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) + 0 AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) + 0
+           AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) + 0 AS r2,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_vocab_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard similarity — distinct
+    (source, token) combiner rows, token-hash partition, vectorized
+    self-merge intersections, O(sources^2) fold."""
+    from ..textops import vocab_jaccard
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return vocab_jaccard(docs, "text", "source")
+
+
+SQL_VOCAB_JACCARD = """
+WITH v AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+ s AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+ i AS (SELECT a.source AS sa, b.source AS sb,
+              CAST(count(*) AS BIGINT) AS ni
+       FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT i.sa AS source_a, i.sb AS source_b, i.ni AS n_inter,
+       round(CAST(i.ni AS DOUBLE) / (x.n + y.n - i.ni), 6) + 0 AS jaccard
+FROM i JOIN s x ON i.sa = x.source JOIN s y ON i.sb = y.source
+ORDER BY 1, 2
+"""
+
+
+def q_above_avg_users(sf_dir: str):
+    """Users whose total spend beats the mean per-user total — the
+    HAVING + scalar-subquery shape; exact int64 fixed-point threshold,
+    per-key combiner partials, totals never leave the cluster."""
+    from ..relops import having_above_global_avg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return having_above_global_avg(ev, "user_id", "value")
+
+
+SQL_ABOVE_AVG_USERS = """
+WITH u AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS tot
+  FROM events GROUP BY 1)
+SELECT user_id, CAST(tot AS DOUBLE) AS total
+FROM u
+WHERE tot * (SELECT count(*) FROM u) > (SELECT sum(tot) FROM u)
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -4864,6 +4972,10 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "grouped_corr": q_grouped_corr,
     "chi2_independence": q_chi2,
+    "quantiles_cont": q_quantiles_cont,
+    "grouped_regression": q_grouped_regression,
+    "vocab_jaccard": q_vocab_jaccard,
+    "above_avg_users": q_above_avg_users,
 }
 
 ORACLE_SQL = {
@@ -4965,6 +5077,10 @@ ORACLE_SQL = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "grouped_corr": SQL_GROUPED_CORR,
     "chi2_independence": SQL_CHI2,
+    "quantiles_cont": SQL_QUANTILES_CONT,
+    "grouped_regression": SQL_GROUPED_REGRESSION,
+    "vocab_jaccard": SQL_VOCAB_JACCARD,
+    "above_avg_users": SQL_ABOVE_AVG_USERS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -55,12 +55,22 @@ def exact_quantiles(
     num_bins: int = 2048,
     collect_threshold: int = 65536,
     max_rounds: int = 8,
+    interp: str = "disc",
 ) -> "pa.Table":
-    """Exact ``quantile_disc``-semantics quantiles of ``ds[col]``.
+    """Exact quantiles of ``ds[col]``.
+
+    ``interp="disc"`` selects the rank-``ceil(q*n)-1`` element (DuckDB
+    ``quantile_disc``); ``interp="cont"`` linearly interpolates between
+    the two order statistics straddling rank ``q*(n-1)`` (DuckDB
+    ``quantile_cont`` / SQL ``percentile_cont``). Both run the same
+    rank-driven histogram refinement — cont just tracks (up to) two
+    ranks per quantile and interpolates on the driver.
 
     Returns a small driver-side table (q, value) — order statistics are
     scalars, so the result is intentionally not a Dataset.
     """
+    if interp not in ("disc", "cont"):
+        raise ValueError(f"interp must be 'disc' or 'cont', got {interp!r}")
     base = ds.select_columns([col])
 
     def minmax_partial(t: pa.Table) -> pa.Table:
@@ -94,7 +104,23 @@ def exact_quantiles(
         )
     glo, ghi = float(parts["lo"].min()), float(parts["hi"].max())
 
-    # per-quantile state: candidate interval [lo, hi) (hi_inc marks the
+    # target 0-based global ranks: one per q (disc) or the floor/ceil
+    # straddle of q*(n-1) plus its interpolation fraction (cont)
+    if interp == "disc":
+        combine = [
+            (max(int(np.ceil(q * n_total)) - 1, 0), None, 0.0) for q in qs
+        ]
+    else:
+        combine = []
+        for q in qs:
+            r = q * (n_total - 1)
+            k1, k2 = int(np.floor(r)), int(np.ceil(r))
+            combine.append((k1, k2 if k2 != k1 else None, r - k1))
+    uniq_ranks = sorted(
+        {k for k1, k2, _ in combine for k in (k1, k2) if k is not None}
+    )
+
+    # per-rank state: candidate interval [lo, hi) (hi_inc marks the
     # inclusive top at the tracked max), rank to select WITHIN the
     # interval, and the interval's tracked row count
     state = [
@@ -102,11 +128,11 @@ def exact_quantiles(
             "lo": glo,
             "hi": ghi,
             "hi_inc": True,
-            "rank": max(int(np.ceil(q * n_total)) - 1, 0),
+            "rank": k,
             "count": n_total,
             "done": False,
         }
-        for q in qs
+        for k in uniq_ranks
     ]
 
     for _ in range(max_rounds):
@@ -196,13 +222,20 @@ def exact_quantiles(
     coll = base.map_batches(
         collect_partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    values = []
+    rank_val = {}
     for j, s in enumerate(state):
         vals = np.sort(coll.loc[coll["iv"] == j, "v"].to_numpy())
         assert len(vals) == s["count"], (
             f"interval {j}: collected {len(vals)} != tracked {s['count']}"
         )
-        values.append(float(vals[s["rank"]]))
+        rank_val[uniq_ranks[j]] = float(vals[s["rank"]])
+    values = []
+    for k1, k2, frac in combine:
+        v1 = rank_val[k1]
+        if k2 is None:
+            values.append(v1)
+        else:
+            values.append(v1 + (rank_val[k2] - v1) * frac)
     return pa.table(
         {
             "q": pa.array(list(qs), pa.float64()),

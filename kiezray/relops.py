@@ -1637,3 +1637,63 @@ def grouped_mode(
         .groupby("__part")
         .map_groups(mode_partition, batch_format="pandas")
     )
+
+
+def having_above_global_avg(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+) -> "ray.data.Dataset":
+    """Keys whose total ``val_col`` exceeds the mean per-key total —
+    the HAVING-with-scalar-subquery shape (``HAVING sum(v) > (SELECT
+    avg(tot) FROM per_key_totals)``).
+
+    Values are 2-decimal money: sums run in int64 fixed-point cents and
+    the threshold test is EXACT integer arithmetic (``cents > q`` /
+    ``cents >= q+1`` from ``divmod(grand, n_keys)`` — no float compare
+    can flip a key on the boundary, matching a DECIMAL-exact oracle).
+
+    Scale shape: per-batch per-key cent partials (factorize + bincount,
+    the combiner), ONE small groupby folds them to O(keys) totals that
+    STAY distributed; the scalar (grand total, key count) folds from
+    that tiny table; the filter is a stateless map over the totals.
+    Raw rows never shuffle.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        cents = np.round(
+            df[val_col].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        return pd.DataFrame(
+            {
+                key_col: uk,
+                "cents": np.bincount(inv, weights=cents, minlength=len(uk))
+                .astype(np.int64),
+            }
+        )
+
+    totals = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    sc = totals.aggregate(
+        Sum("cents", alias_name="grand"), Count(alias_name="nk")
+    )
+    grand, nk = int(sc["grand"]), int(sc["nk"])
+    # keep iff cents > grand/nk = q + r/nk, i.e. cents >= q + 1 (strict >
+    # over integers beats any float-threshold compare on the boundary)
+    thr = grand // nk + 1
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = df["cents"].to_numpy()
+        mask = cents >= thr
+        out = df.loc[mask, [key_col]].copy()
+        out["total"] = cents[mask] / 100.0
+        return out
+
+    return totals.map_batches(keep, batch_format="pandas")

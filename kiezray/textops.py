@@ -1383,3 +1383,132 @@ def vocab_entropy(
             "entropy": round_away(H, 6),
         }
     )
+
+
+def vocab_jaccard(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard similarity between sources — the
+    "how lexically similar are these corpora" diagnostic run before
+    mixing or re-weighting training sources. Only pairs with a
+    non-empty intersection are emitted (disjoint vocabularies are
+    implicit zeros).
+
+    Output: (source_a, source_b, n_inter, jaccard) with source_a <
+    source_b; jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), exact.
+
+    Scale shape: each batch collapses to distinct (source, token) rows
+    with one factorize + unique (the combiner — the token stream never
+    leaves the worker un-deduplicated), rows hash-partition on the
+    TOKEN (a token never spans two partitions), each partition dedupes
+    exactly and emits two kinds of tiny partials: per-source distinct
+    counts and per-token source-pair intersection rows (vectorized
+    self-merge, bounded by |sources|^2 per token). The driver folds
+    O(sources^2 + sources) rows. Raw texts never shuffle.
+    """
+
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                group_col: pd.Series(dtype=object),
+                "token": pd.Series(dtype=object),
+                "__part": pd.Series(dtype=np.int32),
+            }
+        )
+        texts = batch[text_col].fillna("")
+        tok_lists = texts.str.split(" ")
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        src = np.repeat(batch[group_col].to_numpy(), lens)
+        cs, us = pd.factorize(src)
+        ct, ut = pd.factorize(flat)
+        code = cs.astype(np.int64) * len(ut) + ct
+        uc = np.unique(code)
+        toks = ut[uc % len(ut)]
+        part = (
+            pd.util.hash_array(toks).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {
+                group_col: us[uc // len(ut)],
+                "token": toks,
+                "__part": part,
+            }
+        )
+
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source_a": pd.Series(dtype=object),
+                "source_b": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.drop_duplicates([group_col, "token"])
+        # per-source distinct-token partial counts ride along as
+        # (source, source, n) self-rows — folded by the same groupby
+        sizes = (
+            g.groupby(group_col, sort=False).size().reset_index(name="n")
+        )
+        sizes = pd.DataFrame(
+            {
+                "source_a": sizes[group_col],
+                "source_b": sizes[group_col],
+                "n": sizes["n"].astype(np.int64),
+            }
+        )
+        ct, _ = pd.factorize(g["token"].to_numpy())
+        d = pd.DataFrame({"kc": ct, "src": g[group_col].to_numpy()})
+        m = d.merge(d, on="kc")
+        m = m[m["src_x"] < m["src_y"]]
+        if len(m) == 0:
+            return sizes
+        inter = (
+            m.groupby(["src_x", "src_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        inter.columns = ["source_a", "source_b", "n"]
+        inter["n"] = inter["n"].astype(np.int64)
+        return pd.concat([sizes, inter], ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        docs.select_columns([text_col, group_col])
+        .map_batches(distinct_pairs, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fold_partition, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(sources^2)
+    )
+    self_rows = folded["source_a"] == folded["source_b"]
+    size = dict(
+        zip(folded.loc[self_rows, "source_a"], folded.loc[self_rows, "n"])
+    )
+    pairs = folded.loc[~self_rows].reset_index(drop=True)
+    na = pairs["source_a"].map(size).to_numpy(dtype=np.float64)
+    nb = pairs["source_b"].map(size).to_numpy(dtype=np.float64)
+    ni = pairs["n"].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "source_a": pairs["source_a"],
+            "source_b": pairs["source_b"],
+            "n_inter": pairs["n"].astype(np.int64),
+            "jaccard": round_away(ni / (na + nb - ni), 6),
+        }
+    ).sort_values(["source_a", "source_b"], ignore_index=True)

@@ -503,3 +503,23 @@ def test_source_overlap_counts_shared_token_sets(ray_session):
         ["A", "B"], ["A", "C"], ["B", "C"]
     ]
     assert out["n_shared"].tolist() == [1, 1, 1]
+
+
+def test_vocab_jaccard_planted(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kiezray.textops import vocab_jaccard
+
+    docs = pd.DataFrame(
+        {
+            "text": ["a b c d", "c d e", "x y", "a b"],
+            "source": ["S1", "S2", "S3", "S1"],
+        }
+    )
+    out = vocab_jaccard(ray.data.from_pandas(docs).repartition(2))
+    out = out.sort_values(["source_a", "source_b"], ignore_index=True)
+    # S1 vocab {a,b,c,d}, S2 {c,d,e}, S3 {x,y}
+    assert out[["source_a", "source_b"]].values.tolist() == [["S1", "S2"]]
+    assert out["n_inter"].tolist() == [2]
+    assert abs(out["jaccard"][0] - 2 / 5) < 1e-9

@@ -284,3 +284,24 @@ def test_contingency_chi2_matches_direct():
     assert abs(got["chi2"][0] - round(want, 6)) < 1e-6
     assert got["dof"][0] == (3 - 1) * (2 - 1)
     assert got["n"][0] == n
+
+
+def test_grouped_regression_matches_polyfit():
+    from kiezray.moments import grouped_regression
+
+    rng = np.random.RandomState(9)
+    n = 3000
+    key = rng.randint(0, 4, n).astype(np.int64)
+    x = rng.rand(n) * 10
+    y = 2.5 * x - 3.0 + rng.randn(n)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": key, "x": x, "y": y})
+    ).repartition(5)
+    got = grouped_regression(ds, "k", "x", "y").set_index("k")
+    for k in np.unique(key):
+        m = key == k
+        slope, intercept = np.polyfit(x[m], y[m], 1)
+        assert abs(got.loc[k, "slope"] - slope) < 1e-6
+        assert abs(got.loc[k, "intercept"] - intercept) < 1e-6
+        r = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(got.loc[k, "r2"] - r * r) < 1e-6

@@ -1,7 +1,9 @@
 """Exact distributed quantiles (histogram-refinement selection)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data
 
 from kiezray.quantile import exact_quantiles
@@ -83,3 +85,23 @@ def test_grouped_quantiles_matches_pandas(ray_session):
         for q in (0.25, 0.5, 0.9):
             want = sub[max(int(np.ceil(q * len(sub))) - 1, 0)]
             assert got.loc[(k, q)] == want, (k, q)
+
+
+def test_exact_quantiles_cont_matches_numpy_linear():
+    from kiezray.quantile import exact_quantiles
+
+    rng = np.random.RandomState(5)
+    v = np.round(rng.rand(5000) * 100, 1)  # heavy duplicates
+    ds = ray.data.from_pandas(pd.DataFrame({"v": v})).repartition(7)
+    qs = (0.0, 0.1, 0.5, 0.9, 0.999, 1.0)
+    got = exact_quantiles(ds, "v", qs=qs, interp="cont").to_pandas()
+    want = np.percentile(v, [q * 100 for q in qs], method="linear")
+    np.testing.assert_allclose(got["value"].to_numpy(), want, atol=1e-9)
+
+
+def test_exact_quantiles_cont_rejects_bad_interp():
+    from kiezray.quantile import exact_quantiles
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="interp"):
+        exact_quantiles(ds, "v", interp="nearest")

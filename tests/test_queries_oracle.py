@@ -106,6 +106,10 @@ CHECKED = [
     ("source_overlap", 0),
     ("grouped_corr", 0),
     ("chi2_independence", 0),
+    ("quantiles_cont", 0),
+    ("grouped_regression", 0),
+    ("vocab_jaccard", 0),
+    ("above_avg_users", 0),
 ]
 
 

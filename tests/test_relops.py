@@ -828,3 +828,28 @@ def test_skyline_matches_bruteforce_with_ties(ray_session):
             "x", "y", carry_cols=("id",),
         )
         assert set(got["id"]) == want
+
+
+def test_having_above_global_avg_exact_boundary():
+    """A key landing EXACTLY on the mean per-key total is excluded
+    (strict >) — the int64 fixed-point threshold cannot flip it."""
+    import pandas as pd
+
+    from kiezray.relops import having_above_global_avg
+
+    # totals: 10.00, 20.00, 30.00 -> avg 20.00; key 2 sits on the mean
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3, 3, 3],
+            "v": [4.0, 6.0, 20.0, 10.0, 10.0, 10.0],
+        }
+    )
+    out = (
+        having_above_global_avg(
+            ray.data.from_pandas(df).repartition(3), "k", "v"
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert out["k"].tolist() == [3]
+    assert out["total"].tolist() == [30.0]
