@@ -4851,6 +4851,44 @@ ORDER BY user_id
 """
 
 
+def q_bm25(sf_dir: str):
+    """BM25 top-20 for a 3-term query — two streaming text passes
+    (stats partials, then broadcast-idf scoring + per-batch partial
+    top-k), no shuffle."""
+    from ..textops import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, ("fast", "join", "merge"), k=20)
+
+
+SQL_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+ dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+ stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                  CAST(sum(len) AS DOUBLE)
+                      / (SELECT count(*) FROM documents) AS avgdl
+           FROM dl),
+ q AS (SELECT unnest(['fast', 'join', 'merge']) AS term),
+ df AS (SELECT tok AS term, count(DISTINCT doc_id) AS df
+        FROM toks JOIN q ON tok = q.term GROUP BY 1),
+ tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+        FROM toks JOIN q ON tok = q.term GROUP BY 1, 2),
+ sc AS (SELECT tf.doc_id,
+               sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.len / stats.avgdl)))
+                   AS s
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+        GROUP BY 1)
+SELECT doc_id, round(s, 6) + 0 AS score
+FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -4976,6 +5014,7 @@ QUERIES = {
     "grouped_regression": q_grouped_regression,
     "vocab_jaccard": q_vocab_jaccard,
     "above_avg_users": q_above_avg_users,
+    "bm25_topk": q_bm25,
 }
 
 ORACLE_SQL = {
@@ -5081,6 +5120,7 @@ ORACLE_SQL = {
     "grouped_regression": SQL_GROUPED_REGRESSION,
     "vocab_jaccard": SQL_VOCAB_JACCARD,
     "above_avg_users": SQL_ABOVE_AVG_USERS,
+    "bm25_topk": SQL_BM25,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -1512,3 +1512,110 @@ def vocab_jaccard(
             "jaccard": round_away(ni / (na + nb - ni), 6),
         }
     ).sort_values(["source_a", "source_b"], ignore_index=True)
+
+
+def bm25_topk(
+    docs: "ray.data.Dataset",
+    query_terms: tuple,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Top-``k`` documents by BM25 score for a bag-of-terms query — the
+    standard full-text relevance ranking (Lucene idf variant:
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``). Only documents containing at
+    least one query term are candidates; ranking is on the score ROUNDED
+    to 6 decimals with ``id_col`` ascending tie-break, so the top-k cut
+    is deterministic and libm-stable.
+
+    Scale shape: TWO streaming text passes, no shuffle. Pass 1 emits one
+    tiny partial row per batch (n_docs, total token length, per-term
+    document frequencies via a vectorized isin + bincount) and the
+    driver folds O(batches) rows into idf/avgdl scalars. Pass 2
+    broadcasts those few floats in the task closure, scores each batch
+    with one searchsorted + one (docs x terms) bincount matrix, and
+    emits only its LOCAL top-k candidate rows; the driver folds
+    O(k x batches) rows to the global top-k. Raw token streams never
+    leave their worker.
+    """
+    terms = np.sort(np.asarray(sorted(set(query_terms)), dtype=object))
+    m = len(terms)
+
+    def flat_tokens(batch: pd.DataFrame):
+        texts = batch[text_col].fillna("")
+        tok_lists = texts.str.split(" ")
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        doc = np.repeat(np.arange(len(texts)), lens)
+        return flat, doc, lens
+
+    def tf_matrix(flat, doc, n_docs):
+        hit = np.isin(flat, terms)
+        sel = np.flatnonzero(hit)
+        ti = np.searchsorted(terms, flat[sel])
+        tf = np.bincount(
+            doc[sel] * m + ti, minlength=n_docs * m
+        ).reshape(n_docs, m)
+        return tf
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, doc, lens = flat_tokens(batch)
+        tf = tf_matrix(flat, doc, len(lens))
+        row = {
+            "n": np.array([len(lens)], dtype=np.int64),
+            "slen": np.array([int(lens.sum())], dtype=np.int64),
+        }
+        for j in range(m):
+            row[f"df{j}"] = np.array(
+                [int((tf[:, j] > 0).sum())], dtype=np.int64
+            )
+        return pd.DataFrame(row)
+
+    stats = (
+        docs.select_columns([text_col])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()  # one row per batch
+        .sum()
+    )
+    n_total = int(stats["n"])
+    avgdl = int(stats["slen"]) / n_total
+    df = np.array([int(stats[f"df{j}"]) for j in range(m)], dtype=np.float64)
+    idf = np.log((n_total - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        flat, doc, lens = flat_tokens(batch)
+        tf = tf_matrix(flat, doc, len(lens)).astype(np.float64)
+        norm = k1 * (1.0 - b + b * lens / avgdl)
+        s = (idf[None, :] * tf * (k1 + 1.0) / (tf + norm[:, None])).sum(
+            axis=1
+        )
+        hit = s > 0
+        if not hit.any():
+            return empty
+        ids = batch[id_col].to_numpy()[hit]
+        sc = round_away(s[hit], 6)
+        order = np.lexsort((ids, -sc))[:k]  # local top-k candidates
+        return pd.DataFrame({id_col: ids[order], "score": sc[order]})
+
+    cand = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(score_partial, batch_format="pandas")
+        .to_pandas()  # O(k x batches)
+    )
+    order = np.lexsort((cand[id_col].to_numpy(), -cand["score"].to_numpy()))
+    return cand.iloc[order[:k]].reset_index(drop=True)

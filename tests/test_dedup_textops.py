@@ -523,3 +523,48 @@ def test_vocab_jaccard_planted(ray_session):
     assert out[["source_a", "source_b"]].values.tolist() == [["S1", "S2"]]
     assert out["n_inter"].tolist() == [2]
     assert abs(out["jaccard"][0] - 2 / 5) < 1e-9
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from kiezray.textops import bm25_topk
+
+    rng = np.random.RandomState(13)
+    vocab = ["fast", "join", "merge", "scan", "sort", "row", "col"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(3, 30)))
+        for _ in range(200)
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                         "text": texts})
+    terms = ("fast", "merge")
+    got = bm25_topk(
+        ray.data.from_pandas(docs).repartition(4), terms, k=10
+    )
+    # brute force
+    toks = [t.split(" ") for t in texts]
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks) / N
+    scores = {}
+    for term in terms:
+        df = sum(1 for t in toks if term in t)
+        idf = math.log((N - df + 0.5) / (df + 0.5) + 1)
+        for i, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                dl = len(t)
+                scores[i] = scores.get(i, 0.0) + idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
+                )
+    want = sorted(
+        ((round(s, 6), i) for i, s in scores.items()),
+        key=lambda p: (-p[0], p[1]),
+    )[:10]
+    assert got["doc_id"].tolist() == [i for _, i in want]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [s for s, _ in want], atol=1e-9
+    )

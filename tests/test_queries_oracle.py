@@ -110,6 +110,7 @@ CHECKED = [
     ("grouped_regression", 0),
     ("vocab_jaccard", 0),
     ("above_avg_users", 0),
+    ("bm25_topk", 0),
 ]
 
 
