@@ -4889,6 +4889,70 @@ FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 20
 """
 
 
+def q_wow_change(sf_dir: str):
+    """Week-over-week per-user revenue change — per-batch (key, week,
+    cents) combiner partials, one key-hash shuffle, lexsort + reduceat
+    + shifted ratio per partition; exact fixed-point sums."""
+    from ..windows import weekly_change
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return weekly_change(ev, "user_id", "ts", "value")
+
+
+SQL_WOW_CHANGE = """
+WITH w AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         sum(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM events GROUP BY 1, 2),
+ l AS (SELECT user_id, wk, rev,
+              lag(rev) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+       FROM w)
+SELECT user_id, CAST(epoch(wk) AS BIGINT) AS wk_s,
+       CAST(rev AS DOUBLE) AS total,
+       round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+             / CAST(prev AS DOUBLE), 6) + 0 AS pct_change
+FROM l WHERE prev IS NOT NULL ORDER BY user_id, wk_s
+"""
+
+
+def q_nearest_purchase(sf_dir: str):
+    """Per-event exact time gap to the user's nearest purchase (either
+    direction) — the nearest-timestamp join: one key-hash shuffle, one
+    segment-offset searchsorted per partition (no pair explosion)."""
+    from ..windows import nearest_event_gap
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return nearest_event_gap(ev, "purchase")
+
+
+SQL_NEAREST_PURCHASE = """
+WITH p AS (SELECT user_id, epoch_us(ts) AS pts
+           FROM events WHERE event_type = 'purchase'),
+ e AS (SELECT event_id, user_id, epoch_us(ts) AS ets
+       FROM events WHERE event_type <> 'purchase')
+SELECT e.event_id, min(abs(e.ets - p.pts)) AS gap_us
+FROM e JOIN p USING (user_id) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_grouped_hll(sf_dir: str):
+    """Per-event-type approximate distinct users (HLL sketch-groupby;
+    only fixed-size register rows shuffle). Rows-only by design: the
+    register-level estimate is hash-function-defined, checked instead
+    by an error-bound test vs the exact distinct count."""
+    from ..sketch import grouped_approx_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct(ev, "event_type", "user_id")
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5015,6 +5079,9 @@ QUERIES = {
     "vocab_jaccard": q_vocab_jaccard,
     "above_avg_users": q_above_avg_users,
     "bm25_topk": q_bm25,
+    "wow_change": q_wow_change,
+    "nearest_purchase": q_nearest_purchase,
+    "grouped_hll": q_grouped_hll,
 }
 
 ORACLE_SQL = {
@@ -5121,6 +5188,8 @@ ORACLE_SQL = {
     "vocab_jaccard": SQL_VOCAB_JACCARD,
     "above_avg_users": SQL_ABOVE_AVG_USERS,
     "bm25_topk": SQL_BM25,
+    "wow_change": SQL_WOW_CHANGE,
+    "nearest_purchase": SQL_NEAREST_PURCHASE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -43,14 +43,11 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return _splitmix64(h)
 
 
-def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if len(hashes) == 0:
-        return regs
+def _hll_rho(hashes: np.ndarray, p: int) -> tuple:
+    """(register index, rho) per hash — rho is the 1-based position of
+    the leftmost 1-bit in the remaining 64-p bits."""
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
-    # rho = position of the leftmost 1-bit in the remaining bits (1-based)
     rho = np.ones(len(hashes), dtype=np.int64) * (64 - p + 1)
     nz = rest != 0
     if nz.any():
@@ -66,6 +63,15 @@ def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
             low = rest[nz][small].astype(np.float64)
             lead[small] = 63 - np.floor(np.log2(low)).astype(np.int64)
         rho[nz] = lead + 1
+    return idx, rho
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx, rho = _hll_rho(hashes, p)
     np.maximum.at(regs, idx, rho.astype(np.uint8))
     return regs
 
@@ -242,3 +248,65 @@ def approx_quantiles(
         rank = max(int(np.ceil(q * len(sv))) - 1, 0)
         out.append((float(q), float(sv[rank])))
     return pd.DataFrame(out, columns=["q", "value"])
+
+
+def grouped_approx_distinct(
+    ds: "ray.data.Dataset", key_col: str, col: str, p: int = 12
+) -> "ray.data.Dataset":
+    """Per-key HyperLogLog distinct-count estimates (~1.04/sqrt(2^p)
+    relative error) — the sketch-groupby: per-batch per-key register
+    partials merge under max, so the only exchange is O(keys x blocks)
+    fixed-size register rows, never the values. The per-key exact
+    sibling is ``relops.grouped_distinct_count``; this is the tier you
+    run when the per-key value universe itself is too big to shuffle.
+
+    Output Dataset: (key_col, approx_n float64).
+    """
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "regs": pa.array([], pa.list_(pa.uint8(), m)),
+                }
+            )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        h = _hash_column(t[col])
+        ck, uk = pd.factorize(keys)
+        regs = np.zeros((len(uk), m), dtype=np.uint8)
+        idx, rho = _hll_rho(h, p)
+        np.maximum.at(
+            regs.reshape(-1), ck.astype(np.int64) * m + idx,
+            rho.astype(np.uint8),
+        )
+        return pa.table(
+            {
+                key_col: pa.array(uk),
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(regs.reshape(-1), pa.uint8()), m
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        R = (
+            g["regs"].combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .reshape(len(g), m)
+        )
+        est = _hll_estimate(R.max(axis=0))
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "approx_n": pa.array([est], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

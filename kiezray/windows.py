@@ -851,3 +851,205 @@ def rolling_window_mean(
         .groupby("__part")
         .map_groups(roll_partition, batch_format="pandas")
     )
+
+
+def weekly_change(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Week-over-week change: per key, the ISO-week (Monday-anchored,
+    matching ``date_trunc('week', ts)``) revenue total and its relative
+    change vs the key's PREVIOUS week present in the data (LAG over
+    existing weeks, not calendar-adjacent ones). First week per key is
+    omitted (no prior). The metrics-dashboard staple.
+
+    Output: (key_col, wk_s int64 epoch-seconds of week start, total
+    float64, pct_change float64 rounded 6).
+
+    Scale shape: per-batch (key, week, cents) combiner partials — the
+    raw event stream collapses to at most keys x weeks rows per batch
+    BEFORE any exchange — then ONE key-hash shuffle of partials, and
+    each partition folds with a single lexsort + reduceat and takes the
+    shifted ratio. Sums are exact int64 fixed-point cents; the only
+    float ops are the final /100 and the change ratio, mirroring a
+    DECIMAL-exact SQL oracle.
+    """
+    from .arrowutil import round_away
+
+    US_PER_DAY = 86400 * 10**6
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = us // US_PER_DAY
+        # 1970-01-01 was a Thursday; Monday-anchored truncation
+        week_day = day - (day + 3) % 7
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+        ).astype(np.int64)
+        ck, uk = pd.factorize(keys)
+        cw, uw = pd.factorize(week_day)
+        code = ck.astype(np.int64) * len(uw) + cw
+        order = np.argsort(code, kind="stable")
+        sc = code[order]
+        first = np.concatenate(([True], sc[1:] != sc[:-1]))
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(cents[order], starts)
+        kk = uk[sc[starts] // len(uw)]
+        ww = uw[sc[starts] % len(uw)]
+        part = (
+            _splitmix64(kk.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                key_col: pa.array(kk, pa.int64()),
+                "__wk": pa.array(ww, pa.int64()),
+                "__cents": pa.array(sums, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def change_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=np.int64),
+                "wk_s": pd.Series(dtype=np.int64),
+                "total": pd.Series(dtype=np.float64),
+                "pct_change": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        k = g[key_col].to_numpy()
+        w = g["__wk"].to_numpy()
+        c = g["__cents"].to_numpy()
+        order = np.lexsort((w, k))
+        k, w, c = k[order], w[order], c[order]
+        # fold cross-batch partials of the same (key, week)
+        first = np.concatenate(([True], (k[1:] != k[:-1]) | (w[1:] != w[:-1])))
+        starts = np.flatnonzero(first)
+        c = np.add.reduceat(c, starts)
+        k, w = k[starts], w[starts]
+        prev_same = np.concatenate(([False], k[1:] == k[:-1]))
+        if not prev_same.any():
+            return empty
+        cur = np.flatnonzero(prev_same)
+        rv = c[cur] / 100.0
+        pv = c[cur - 1] / 100.0
+        return pd.DataFrame(
+            {
+                key_col: k[cur],
+                "wk_s": w[cur] * 86400,
+                "total": rv,
+                "pct_change": round_away((rv - pv) / pv, 6),
+            }
+        )
+
+    return (
+        events.select_columns([key_col, ts_col, val_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(change_partition, batch_format="pandas")
+    )
+
+
+def nearest_event_gap(
+    events: "ray.data.Dataset",
+    anchor_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """For every non-anchor event, the absolute time gap (microseconds)
+    to the key's NEAREST anchor event in either direction — the
+    nearest-timestamp join (as-of without the one-sidedness), e.g. "how
+    far is each click from the closest purchase". Keys with no anchor
+    event are omitted.
+
+    Output: (id_col, gap_us int64) — exact integers, no rounding.
+
+    Scale shape: ONE key-hash shuffle (anchors and probes co-partition;
+    a key never spans workers), then per partition: one lexsort of the
+    key's anchor times, one ``np.searchsorted`` of every probe into its
+    key's anchor segment (segment offsets, not per-key loops), and the
+    min of the left/right neighbor gaps. No pair explosion — the SQL
+    formulation is an O(probes x anchors) join per key; this is
+    O((probes + anchors) log anchors).
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def gaps_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "gap_us": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        keys = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_anchor = (g[type_col] == anchor_type).to_numpy()
+        ids = g[id_col].to_numpy()
+        # anchor side, sorted by (key, ts)
+        ak, at = keys[is_anchor], us[is_anchor]
+        aorder = np.lexsort((at, ak))
+        ak, at = ak[aorder], at[aorder]
+        if len(ak) == 0:
+            return empty
+        # probe side restricted to keys that have anchors
+        auk = ak[np.concatenate(([True], ak[1:] != ak[:-1]))]
+        astarts = np.flatnonzero(
+            np.concatenate(([True], ak[1:] != ak[:-1]))
+        )
+        acounts = np.diff(np.append(astarts, len(ak)))
+        probe = ~is_anchor
+        pk, pt, pid = keys[probe], us[probe], ids[probe]
+        seg = np.searchsorted(auk, pk)
+        has = (seg < len(auk)) & (auk[np.minimum(seg, len(auk) - 1)] == pk)
+        pk, pt, pid, seg = pk[has], pt[has], pid[has], seg[has]
+        if len(pk) == 0:
+            return empty
+        lo = astarts[seg]
+        hi = lo + acounts[seg]
+        # segment-offset searchsorted (same trick as followup_counts):
+        # offset each key's times onto a jointly monotonic axis so ONE
+        # global searchsorted lands every probe inside its own segment
+        tmin = int(us.min())
+        stride = np.int64(int(us.max()) - tmin + 2)
+        assert len(auk) * int(stride) < 2**63, (
+            "segment-offset key would overflow int64; repartition finer"
+        )
+        aseg = np.repeat(np.arange(len(auk), dtype=np.int64), acounts)
+        flat_a = aseg * stride + (at - tmin)
+        flat_p = seg.astype(np.int64) * stride + (pt - tmin)
+        pos = np.searchsorted(flat_a, flat_p, side="left")
+        big = np.int64(2**62)
+        right = np.where(pos < hi, at[np.minimum(pos, len(at) - 1)] - pt, big)
+        left = np.where(pos > lo, pt - at[np.maximum(pos - 1, 0)], big)
+        gap = np.minimum(left, right)
+        return pd.DataFrame({id_col: pid, "gap_us": gap.astype(np.int64)})
+
+    return (
+        events.select_columns([id_col, key_col, ts_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(gaps_partition, batch_format="pandas")
+    )

@@ -111,6 +111,8 @@ CHECKED = [
     ("vocab_jaccard", 0),
     ("above_avg_users", 0),
     ("bm25_topk", 0),
+    ("wow_change", 0),
+    ("nearest_purchase", 0),
 ]
 
 

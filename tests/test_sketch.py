@@ -75,3 +75,35 @@ def test_approx_quantiles_rank_error_bound(ray_session):
     # deterministic: identical output under a different partitioning
     got2 = approx_quantiles(ds.repartition(3), "id", "v", qs=qs, sample_size=4096)
     assert (got["value"].to_numpy() == got2["value"].to_numpy()).all()
+
+
+def test_grouped_approx_distinct_error_and_partition_invariance():
+    import pandas as pd
+
+    from kiezray.sketch import grouped_approx_distinct
+
+    rng = np.random.RandomState(17)
+    n = 30000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": rng.randint(0, 5000, n).astype(np.int64),
+        }
+    )
+    exact = df.groupby("k")["v"].nunique()
+    outs = []
+    for parts in (3, 11):
+        got = (
+            grouped_approx_distinct(
+                ray.data.from_pandas(df).repartition(parts), "k", "v"
+            )
+            .to_pandas()
+            .set_index("k")["approx_n"]
+            .sort_index()
+        )
+        outs.append(got)
+        for k in exact.index:
+            rel = abs(got[k] - exact[k]) / exact[k]
+            assert rel < 0.05, (k, rel, got[k], exact[k])
+    # register max-merge is partition-invariant -> identical estimates
+    pd.testing.assert_series_equal(outs[0], outs[1])

@@ -364,3 +364,84 @@ def test_rolling_window_mean_matches_pandas_large_keys():
         got["rolling_avg"].to_numpy(), df["rolling_avg"].to_numpy(),
         atol=1e-9,
     )
+
+
+def test_weekly_change_monday_anchor_and_ratio():
+    from kiezray.windows import weekly_change
+
+    # 2024-01-01 is a Monday; plant two users across three weeks
+    ts = np.array(
+        [
+            "2024-01-01T09:00", "2024-01-03T10:00",  # u1 week1: 10+20
+            "2024-01-08T09:00",                      # u1 week2: 45
+            "2024-01-21T23:59",                      # u1 week4 (sun): 9
+            "2024-01-02T00:00", "2024-01-10T12:00",  # u2: 5 then 15
+        ],
+        dtype="datetime64[us]",
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+            "ts": ts,
+            "value": [10.0, 20.0, 45.0, 9.0, 5.0, 15.0],
+        }
+    )
+    out = (
+        weekly_change(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "wk_s"], ignore_index=True)
+    )
+    # u1: week2 vs week1 = (45-30)/30 = 0.5; week of Jan15 vs week2:
+    # Jan21 is in the week STARTING Mon Jan 15 -> (9-45)/45 = -0.8
+    # u2: (15-5)/5 = 2.0
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["pct_change"].tolist() == [0.5, -0.8, 2.0]
+    # Monday-anchored starts: Jan 8 and Jan 15 and Jan 8
+    import datetime as dt
+
+    starts = [
+        dt.datetime.utcfromtimestamp(s).strftime("%Y-%m-%d %a")
+        for s in out["wk_s"]
+    ]
+    assert starts == [
+        "2024-01-08 Mon", "2024-01-15 Mon", "2024-01-08 Mon"
+    ]
+
+
+def test_nearest_event_gap_bruteforce():
+    from kiezray.windows import nearest_event_gap
+
+    rng = np.random.RandomState(21)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 25, n).astype(np.int64),
+            "ts": rng.randint(0, 10**6, n).astype("datetime64[s]"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase"], n, p=[0.5, 0.4, 0.1]
+            ),
+        }
+    )
+    got = (
+        nearest_event_gap(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .set_index("event_id")["gap_us"]
+    )
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    want = {}
+    for uid in df["user_id"].unique():
+        m = df["user_id"].to_numpy() == uid
+        pts = us[m & (df["event_type"] == "purchase").to_numpy()]
+        if len(pts) == 0:
+            continue
+        for eid, t in zip(
+            df["event_id"].to_numpy()[
+                m & (df["event_type"] != "purchase").to_numpy()
+            ],
+            us[m & (df["event_type"] != "purchase").to_numpy()],
+        ):
+            want[eid] = int(np.abs(pts - t).min())
+    assert len(got) == len(want)
+    for eid, g in want.items():
+        assert got[eid] == g
