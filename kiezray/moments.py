@@ -509,3 +509,62 @@ def grouped_regression(
             "n": n.astype(np.int64),
         }
     ).sort_values(key_col, ignore_index=True)
+
+
+def mutual_information(
+    ds: "ray.data.Dataset", a_col: str, b_col: str
+) -> pd.DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    information-theoretic companion to ``contingency_chi2`` (how many
+    nats does knowing ``source`` tell you about ``lang``?).
+
+    MI = sum over observed cells of (c/N) * ln(c*N / (rowtot*coltot));
+    zero cells contribute zero, so enumerating only observed cells is
+    exact and the SQL oracle agrees cell-for-cell.
+
+    Scale shape: identical to chi2 — per-batch (a, b, n) pair counts via
+    one factorize+unique (the combiner), one tiny groupby fold over
+    O(cells) rows, driver finalize on the folded contingency table. Raw
+    rows never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {a_col: [], b_col: [], "n": np.array([], dtype=np.int64)}
+            )
+        ca, ua = pd.factorize(df[a_col], sort=False)
+        cb, ub = pd.factorize(df[b_col], sort=False)
+        code = ca.astype(np.int64) * len(ub) + cb
+        uc, counts = np.unique(code, return_counts=True)
+        return pd.DataFrame(
+            {
+                a_col: ua.take(uc // len(ub)),
+                b_col: ub.take(uc % len(ub)),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    cells = (
+        ds.select_columns([a_col, b_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([a_col, b_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(cells)
+    )
+    cells = cells.sort_values([a_col, b_col]).reset_index(drop=True)
+    o = cells["n"].to_numpy(dtype=np.float64)
+    total = o.sum()
+    rt = cells.groupby(a_col)["n"].transform("sum").to_numpy(np.float64)
+    ct = cells.groupby(b_col)["n"].transform("sum").to_numpy(np.float64)
+    mi = float(((o / total) * np.log(o * total / (rt * ct))).sum())
+    from .arrowutil import round_away
+
+    return pd.DataFrame(
+        {
+            "mi": round_away(np.array([mi]), 6),
+            "cells": np.array([len(cells)], dtype=np.int64),
+            "n": np.array([int(total)], dtype=np.int64),
+        }
+    )

@@ -4953,6 +4953,107 @@ def q_grouped_hll(sf_dir: str):
     return grouped_approx_distinct(ev, "event_type", "user_id")
 
 
+def q_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (gaps-and-islands)
+    — distinct (key, day) combiner partials, ONE key-hash shuffle, one
+    vectorized island pass per partition; no window-function shuffle."""
+    from ..windows import longest_streak
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return longest_streak(ev, "user_id", "ts")
+
+
+SQL_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+ r AS (SELECT user_id, day,
+              datediff('day', DATE '1970-01-01', day)
+                - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                AS isl
+       FROM d),
+ c AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, max(len) AS max_streak FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_basket_pairs(sf_dir: str):
+    """Top-100 co-occurring part pairs within orders (market-basket) —
+    pair fan-out bounded by one order's distinct parts, per-partition
+    vectorized pair generation + count combiner, exact second-shuffle
+    fold, partial top-N instead of a global sort."""
+    from ..relops import basket_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return basket_pairs(li, "l_orderkey", "l_partkey", topn=100)
+
+
+SQL_BASKET_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ p AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+              count(*) AS cnt
+       FROM d a JOIN d b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2)
+SELECT item_a, item_b, cnt FROM p
+ORDER BY cnt DESC, item_a, item_b LIMIT 100
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag quantity-weighted median price — distinct
+    (key, value, sum-weight) combiner partials with exact int64 weights,
+    one key-hash shuffle, vectorized cumulative pick per partition."""
+    from ..quantile import weighted_median
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH s AS (SELECT l_returnflag, l_extendedprice AS v,
+                  CAST(l_quantity * 100 AS BIGINT) AS w
+           FROM lineitem),
+ c AS (SELECT l_returnflag, v,
+              sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+              sum(w) OVER (PARTITION BY l_returnflag) AS tw
+       FROM s)
+SELECT l_returnflag, min(v) AS wmedian
+FROM c WHERE 2 * cw >= tw GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_mutual_info(sf_dir: str):
+    """Mutual information (nats) between document lang and source —
+    observed-cell contingency combiner, O(cells) fold, driver finalize."""
+    from ..moments import mutual_information
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return mutual_information(docs, "lang", "source")
+
+
+SQL_MUTUAL_INFO = """
+WITH j AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+           FROM documents GROUP BY 1, 2),
+ t AS (SELECT sum(c) AS n FROM j),
+ a AS (SELECT lang, sum(c) AS ca FROM j GROUP BY 1),
+ b AS (SELECT source, sum(c) AS cb FROM j GROUP BY 1)
+SELECT round(sum((j.c / t.n) * ln(j.c * t.n / (a.ca * b.cb))), 6) + 0
+         AS mi,
+       count(*) AS cells, CAST(sum(j.c) AS BIGINT) AS n
+FROM j, t, a, b WHERE j.lang = a.lang AND j.source = b.source
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5081,6 +5182,10 @@ QUERIES = {
     "bm25_topk": q_bm25,
     "wow_change": q_wow_change,
     "nearest_purchase": q_nearest_purchase,
+    "streaks": q_streaks,
+    "basket_pairs": q_basket_pairs,
+    "weighted_median": q_weighted_median,
+    "mutual_info": q_mutual_info,
     "grouped_hll": q_grouped_hll,
 }
 
@@ -5190,6 +5295,10 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25,
     "wow_change": SQL_WOW_CHANGE,
     "nearest_purchase": SQL_NEAREST_PURCHASE,
+    "streaks": SQL_STREAKS,
+    "basket_pairs": SQL_BASKET_PAIRS,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "mutual_info": SQL_MUTUAL_INFO,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

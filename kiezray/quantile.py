@@ -385,3 +385,80 @@ def grouped_mad(
         .groupby("__part")
         .map_groups(mad_partition, batch_format="pandas")
     )
+
+
+def weighted_median(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key lower weighted median: the smallest value v such that the
+    total weight of rows with value <= v reaches half the key's weight
+    (the window-cumsum definition — ties share one cumulative step).
+
+    Scale shape: per-batch partials collapse rows to distinct
+    (key, value, sum_weight) triples (the combiner — weights are summed
+    as exact int64 so the result is addition-order-invariant), then ONE
+    key-hash shuffle and a single vectorized pass per partition: lexsort
+    by (key, value), reduceat the weights per distinct value, per-key
+    cumulative sums, and a searchsorted pick of the first value whose
+    doubled cumulative weight reaches the key total. Only distinct
+    (key, value) partials ever shuffle.
+    """
+    import pandas as pd
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, value_col, weight_col]).to_pandas()
+        w = np.rint(df[weight_col].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {key_col: df[key_col], value_col: df[value_col], "__w": w}
+        ).groupby([key_col, value_col], as_index=False).agg(__w=("__w", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from .relops import _part_of
+
+        return t.append_column("__part", _part_of(t[key_col], num_partitions))
+
+    def median_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: g[key_col],
+                    "wmedian": pd.Series(dtype=np.float64),
+                }
+            )
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        w = g["__w"].to_numpy()
+        order = np.lexsort((v, k))
+        k, v, w = k[order], v[order], w[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        # merge cross-batch duplicates of the same (key, value)
+        vfirst = np.concatenate(([True], first[1:] | (v[1:] != v[:-1])))
+        vstarts = np.flatnonzero(vfirst)
+        k2, v2 = k[vstarts], v[vstarts]
+        w2 = np.add.reduceat(w, vstarts)
+        kfirst = np.concatenate(([True], k2[1:] != k2[:-1]))
+        kstarts = np.flatnonzero(kfirst)
+        seg = np.cumsum(kfirst) - 1
+        cw = np.cumsum(w2)
+        base = np.concatenate(([0], cw[kstarts[1:] - 1]))
+        cw = cw - base[seg]
+        ends = np.append(kstarts[1:], len(k2)) - 1
+        tot = cw[ends]
+        hit = 2 * cw >= tot[seg]
+        # first hit per key: hits are a suffix of each key's run
+        pick = np.minimum.reduceat(
+            np.where(hit, np.arange(len(k2)), len(k2)), kstarts
+        )
+        return pd.DataFrame({key_col: k2[kstarts], "wmedian": v2[pick]})
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(median_partition, batch_format="pandas")
+    )

@@ -1697,3 +1697,126 @@ def having_above_global_avg(
         return out
 
     return totals.map_batches(keep, batch_format="pandas")
+
+
+def basket_pairs(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    item_col: str,
+    topn: int = 100,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Top co-occurring item pairs within a group (market-basket counts).
+
+    Scale shape: pair fan-out is bounded by the square of ONE group's
+    distinct-item count (TPC-H orders hold <= 7 lineitems), never by the
+    corpus. Per-batch partials keep only distinct (group, item) rows,
+    ONE group-hash shuffle co-locates each basket, and pairs are
+    generated vectorized per partition (repeat/offset arithmetic — no
+    Python loop over baskets) and immediately count-combined inside the
+    partition. A second mixed-hash shuffle of the already-tiny
+    (item_a, item_b, cnt) partials produces exact global counts, and the
+    global top-N is partial-top-N per block + one tiny final reduce —
+    no all-to-all sort anywhere.
+    """
+    from .dedup import _splitmix64
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, g))
+        g, i = g[order], i[order]
+        keep = np.concatenate(([True], (g[1:] != g[:-1]) | (i[1:] != i[:-1])))
+        g, i = g[keep], i[keep]
+        part = (g.astype(np.uint64) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                group_col: pa.array(g, pa.int64()),
+                item_col: pa.array(i, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def pair_counts(t: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "item_a": pd.Series(dtype=np.int64),
+                "item_b": pd.Series(dtype=np.int64),
+                "cnt": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        g = t[group_col].to_numpy()
+        i = t[item_col].to_numpy()
+        order = np.lexsort((i, g))
+        g, i = g[order], i[order]
+        keep = np.concatenate(([True], (g[1:] != g[:-1]) | (i[1:] != i[:-1])))
+        g, i = g[keep], i[keep]
+        # items are sorted within each group, so left < right is free
+        first = np.concatenate(([True], g[1:] != g[:-1]))
+        starts = np.flatnonzero(first)
+        lengths = np.diff(np.append(starts, len(g)))
+        pos = np.arange(len(g)) - np.repeat(starts, lengths)
+        fan = np.repeat(lengths, lengths) - 1 - pos  # pairs led by each row
+        total = int(fan.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(len(g)), fan)
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(fan)))[:-1], fan
+        )
+        right = left + 1 + off
+        a, b = i[left], i[right]
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        pfirst = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        pstarts = np.flatnonzero(pfirst)
+        cnt = np.diff(np.append(pstarts, len(a)))
+        return pd.DataFrame(
+            {
+                "item_a": a[pstarts],
+                "item_b": b[pstarts],
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        a = t["item_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["item_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = _splitmix64(_splitmix64(a) ^ b)
+        part = (mixed % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__p2", pa.array(part, pa.int32()))
+
+    def sum_pairs(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.drop(columns=["__p2"])
+        if len(t) == 0:
+            return t
+        return t.groupby(["item_a", "item_b"], as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+
+    def partial_topn(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        a = t["item_a"].to_numpy(zero_copy_only=False)
+        b = t["item_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -c))[:topn]
+        return t.take(pa.array(order))
+
+    counts = (
+        ds.select_columns([group_col, item_col])
+        .map_batches(distinct_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pair_counts, batch_format="pandas")
+        .map_batches(pair_part, batch_format="pyarrow")
+        .groupby("__p2")
+        .map_groups(sum_pairs, batch_format="pandas")
+    )
+    return (
+        counts.map_batches(partial_topn, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial_topn, batch_format="pyarrow")
+    )

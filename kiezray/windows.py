@@ -1053,3 +1053,89 @@ def nearest_event_gap(
         .groupby("__part")
         .map_groups(gaps_partition, batch_format="pandas")
     )
+
+
+def longest_streak(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Longest run of consecutive active days per key (gaps-and-islands).
+
+    Scale shape: per-batch partials emit only the DISTINCT (key, day)
+    pairs a batch contains (the combiner — repeat activity inside a
+    batch never shuffles), then ONE key-hash shuffle co-locates each
+    key's days and a single vectorized pass per partition finishes:
+    lexsort, cross-batch dedupe, island breaks where the day gap != 1,
+    ``reduceat`` island lengths, per-key max. No pair explosion, no
+    global sort; output is one tiny row per key. Equivalent to the SQL
+    row_number() gaps-and-islands trick without the window shuffle.
+    """
+
+    def partials(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        order = np.lexsort((day, k))
+        k, day = k[order], day[order]
+        keep = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (day[1:] != day[:-1]))
+        )
+        k, day = k[keep], day[keep]
+        part = (k.astype(np.uint64) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def streaks_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=np.int64),
+                    "max_streak": pd.Series(dtype=np.int64),
+                }
+            )
+        k = g[key_col].to_numpy()
+        day = g["day"].to_numpy()
+        order = np.lexsort((day, k))
+        k, day = k[order], day[order]
+        # cross-batch dedupe: the same (key, day) can arrive from many
+        # batch-level partials
+        keep = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (day[1:] != day[:-1]))
+        )
+        k, day = k[keep], day[keep]
+        new_island = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (day[1:] != day[:-1] + 1))
+        )
+        starts = np.flatnonzero(new_island)
+        lengths = np.diff(np.append(starts, len(k)))
+        ikey = k[starts]
+        kfirst = np.concatenate(([True], ikey[1:] != ikey[:-1]))
+        kstarts = np.flatnonzero(kfirst)
+        return pd.DataFrame(
+            {
+                key_col: ikey[kstarts],
+                "max_streak": np.maximum.reduceat(lengths, kstarts).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return (
+        events.select_columns([key_col, ts_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(streaks_partition, batch_format="pandas")
+    )

@@ -3,8 +3,10 @@ and the per-key LAG operator / duplicate-ngram discovery."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray
+import ray.data
 
 from kiezray.moments import (
     grouped_moments,
@@ -305,3 +307,26 @@ def test_grouped_regression_matches_polyfit():
         assert abs(got.loc[k, "intercept"] - intercept) < 1e-6
         r = np.corrcoef(x[m], y[m])[0, 1]
         assert abs(got.loc[k, "r2"] - r * r) < 1e-6
+
+
+def test_mutual_information_bounds_and_identity():
+    """MI of a column with itself equals its entropy; MI of independent
+    block-constant columns is ~0; result is partition-invariant."""
+    from kiezray.moments import mutual_information
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    a = rng.choice(np.array(["x", "y", "z"]), n, p=[0.5, 0.3, 0.2])
+    b = rng.choice(np.array(["p", "q"]), n)
+    t = pa.table({"lang": pa.array(a), "source": pa.array(b)})
+    ds = ray.data.from_arrow(t).repartition(5)
+    mi_ind = mutual_information(ds, "lang", "source")["mi"].iloc[0]
+    assert 0 <= mi_ind < 0.01
+    t2 = pa.table({"lang": pa.array(a), "source": pa.array(a)})
+    mi_self = mutual_information(
+        ray.data.from_arrow(t2).repartition(3), "lang", "source"
+    )["mi"].iloc[0]
+    _, counts = np.unique(a, return_counts=True)
+    p = counts / n
+    ent = float(-(p * np.log(p)).sum())
+    assert abs(mi_self - ent) < 1e-6

@@ -105,3 +105,48 @@ def test_exact_quantiles_cont_rejects_bad_interp():
     ds = ray.data.from_pandas(pd.DataFrame({"v": [1.0, 2.0]}))
     with pytest.raises(ValueError, match="interp"):
         exact_quantiles(ds, "v", interp="nearest")
+
+
+def test_weighted_median_bruteforce_partition_invariant():
+    """Lower weighted median (first v with 2*cumw >= totw) matches a
+    brute force, with value ties and fractional weights, and is
+    identical under two different partitionings."""
+    import pandas as pd
+
+    from kiezray.quantile import weighted_median
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    key = rng.choice(np.array(["a", "b", "c"]), n)
+    val = rng.randint(0, 40, n) / 4.0  # heavy ties
+    w = rng.randint(1, 9, n) / 2.0  # fractional weights
+    t = pa.table(
+        {
+            "k": pa.array(key),
+            "v": pa.array(val),
+            "w": pa.array(w),
+        }
+    )
+    outs = []
+    for parts in (3, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(
+            weighted_median(ds, "k", "v", "w")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for k in "abc":
+        m = key == k
+        df = (
+            pd.DataFrame({"v": val[m], "w": w[m]})
+            .groupby("v", as_index=False)["w"]
+            .sum()
+            .sort_values("v")
+        )
+        cw = df["w"].cumsum().to_numpy()
+        tot = cw[-1]
+        want = df["v"].to_numpy()[np.flatnonzero(2 * cw >= tot)[0]]
+        got = outs[0].loc[outs[0]["k"] == k, "wmedian"].iloc[0]
+        assert got == want, (k, got, want)

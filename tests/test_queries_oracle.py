@@ -113,6 +113,10 @@ CHECKED = [
     ("bm25_topk", 0),
     ("wow_change", 0),
     ("nearest_purchase", 0),
+    ("streaks", 0),
+    ("basket_pairs", 0),
+    ("weighted_median", 0),
+    ("mutual_info", 2e-6),
 ]
 
 

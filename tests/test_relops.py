@@ -853,3 +853,44 @@ def test_having_above_global_avg_exact_boundary():
     )
     assert out["k"].tolist() == [3]
     assert out["total"].tolist() == [30.0]
+
+
+def test_basket_pairs_known_counts():
+    """Pair counts match brute-force combinations over distinct basket
+    items; duplicates inside a basket count once; top-N order is
+    (cnt desc, item_a, item_b)."""
+    from itertools import combinations
+
+    from kiezray.relops import basket_pairs
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [20, 30, 30],  # dup item
+        4: [10, 20, 30, 40],
+        5: [40],
+    }
+    rows_g, rows_i = [], []
+    for g, items in baskets.items():
+        for i in items:
+            rows_g.append(g)
+            rows_i.append(i)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "order": pa.array(rows_g, pa.int64()),
+                "item": pa.array(rows_i, pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = basket_pairs(ds, "order", "item", topn=3).to_pandas()
+    from collections import Counter
+
+    want = Counter()
+    for items in baskets.values():
+        for a, b in combinations(sorted(set(items)), 2):
+            want[(a, b)] += 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [
+        ((r.item_a, r.item_b), r.cnt) for r in got.itertuples()
+    ] == top

@@ -445,3 +445,35 @@ def test_nearest_event_gap_bruteforce():
     assert len(got) == len(want)
     for eid, g in want.items():
         assert got[eid] == g
+
+
+def test_longest_streak_bruteforce_and_large_keys():
+    """Streaks match a per-user brute force, including user ids > 2^23
+    (no packed-key arithmetic anywhere) and duplicate activity days."""
+    from kiezray.windows import longest_streak
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    uid = rng.choice(
+        np.array([3, 9_000_000, 2**40 + 5, 17], dtype=np.int64), n
+    )
+    day = rng.randint(0, 60, n).astype(np.int64)
+    ts = (day * 86400 + rng.randint(0, 86400, n)).astype("datetime64[s]")
+    ds = ray.data.from_arrow(
+        pa.table({"user_id": pa.array(uid), "ts": pa.array(ts)})
+    ).repartition(7)
+    got = (
+        longest_streak(ds, "user_id", "ts")
+        .to_pandas()
+        .set_index("user_id")["max_streak"]
+        .sort_index()
+    )
+    want = {}
+    for u in np.unique(uid):
+        days = np.unique(day[uid == u])
+        runs, best = 1, 1
+        for a, b in zip(days[:-1], days[1:]):
+            runs = runs + 1 if b == a + 1 else 1
+            best = max(best, runs)
+        want[u] = best
+    assert got.to_dict() == want
