@@ -123,3 +123,95 @@ def pairwise_scores(
         "pred_pairs": len(pred),
         "gold_pairs": len(gold),
     }
+
+
+def mutual_best(
+    s2t: "ray.data.Dataset",
+    t2s: "ray.data.Dataset",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Reciprocal-best-match 1:1 alignment: keep the pair (s, t) iff t is
+    s's nearest target AND s is t's nearest source — the classic
+    mutual-nearest-neighbor selector used to turn kNN candidate lists
+    into high-precision seed links for entity alignment (the reference
+    stops at ranked lists + hits@k; this is the selection step a linker
+    runs next).
+
+    Inputs are two k=1 neighbor Datasets in ``kneighbors_dataset``
+    layout (query_id, neigh_ids, neigh_dists): source->target and
+    target->source. Tie semantics inherit ``topk_sorted``'s id
+    tie-break, so the output is deterministic and matches a
+    ``row_number() OVER (... ORDER BY dist, id)`` oracle.
+
+    Scale shape: both sides flatten to one row per entity (vectorized
+    Arrow list take), then ONE hash-partitioned equi-join on target id
+    (``relops.hash_join`` — no broadcast, no driver state) and a
+    vectorized equality filter. All-to-all traffic is O(n) 3-column
+    rows, never the embeddings.
+
+    Each flattened side is ``materialize()``d before the join: the two
+    upstream search pipelines each hold minimum actor pools, and fusing
+    both chains plus the join shuffle into ONE streaming plan can pin
+    every CPU on a small cluster (actor-pool minimums starve the
+    shuffle). Materializing the O(n) 3-column flats runs the searches
+    sequentially and frees their actors before the join; at corpus
+    scale, checkpoint the flats to parquet via ``lineage`` instead of
+    holding them in the object store.
+    """
+    import ray as _ray
+
+    from .relops import hash_join
+
+    if num_partitions is None:
+        cpus = (
+            int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized()
+            else 8
+        )
+        num_partitions = max(2, min(16, cpus // 2))
+
+    def flat(prefix_q: str, prefix_b: str, keep_dist: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            q = t["query_id"].to_numpy(zero_copy_only=False)
+            ids_col = t["neigh_ids"].combine_chunks()
+            k = len(ids_col[0]) if len(ids_col) else 0
+            if k == 0:
+                cols = {prefix_q: pa.array([], pa.int64()),
+                        prefix_b: pa.array([], pa.int64())}
+                if keep_dist:
+                    cols["dist"] = pa.array([], pa.float64())
+                return pa.table(cols)
+            ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(
+                len(q), k
+            )[:, 0]
+            keep = ids >= 0
+            cols = {
+                prefix_q: pa.array(q[keep], pa.int64()),
+                prefix_b: pa.array(ids[keep], pa.int64()),
+            }
+            if keep_dist:
+                d = t["neigh_dists"].combine_chunks().values.to_numpy(
+                    zero_copy_only=False
+                ).reshape(len(q), k)[:, 0]
+                cols["dist"] = pa.array(
+                    d[keep].astype(np.float64), pa.float64()
+                )
+            return pa.table(cols)
+
+        return fn
+
+    left = s2t.map_batches(flat("source_id", "target_id", True),
+                           batch_format="pyarrow").materialize()
+    right = t2s.map_batches(flat("t_query", "t_best", False),
+                            batch_format="pyarrow").materialize()
+    joined = hash_join(
+        left, right, "target_id", "t_query", num_partitions=num_partitions
+    )
+
+    def mutual_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t["source_id"], t["t_best"])
+        return t.filter(keep).select(["source_id", "target_id", "dist"])
+
+    return joined.map_batches(mutual_only, batch_format="pyarrow")

@@ -511,6 +511,140 @@ def grouped_regression(
     ).sort_values(key_col, ignore_index=True)
 
 
+def grouped_skew_kurt(
+    ds: "ray.data.Dataset", key_col: str, val_col: str
+) -> pd.DataFrame:
+    """Per-key sample skewness and excess kurtosis — SQL
+    ``skewness(x), kurtosis(x) GROUP BY key`` with DuckDB's
+    bias-corrected estimators:
+
+        g1 = m3 / m2^1.5            G1 = g1 * sqrt(n(n-1)) / (n-2)
+        g2 = m4 / m2^2 - 3          G2 = (n-1)/((n-2)(n-3)) * ((n+1) g2 + 6)
+
+    (m_k = central moments; verified to 1e-13 against DuckDB's raw-sum
+    accumulator, so 6-decimal rounding agrees.)
+
+    Scale shape: one streaming pass of per-key power-sum partials
+    (n, s1..s4, one bincount each over the batch's key codes), one tiny
+    groupby fold, driver finalize on O(distinct keys) rows — raw rows
+    never shuffle. Numerics: central moments come from raw power sums,
+    exact for small-magnitude values (ints ≤ ~2^13 keep s4 inside
+    float64's integer range); for large-mean data pre-center with
+    ``zscore``-style shifting first.
+    """
+    from ray.data.aggregate import Sum
+
+    from .arrowutil import round_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        v = df[val_col].to_numpy(dtype=np.float64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        m = len(uk)
+        return pd.DataFrame(
+            {
+                key_col: uk,
+                "n": np.bincount(inv, minlength=m).astype(np.float64),
+                "s1": np.bincount(inv, weights=v, minlength=m),
+                "s2": np.bincount(inv, weights=v * v, minlength=m),
+                "s3": np.bincount(inv, weights=v**3, minlength=m),
+                "s4": np.bincount(inv, weights=v**4, minlength=m),
+            }
+        )
+
+    cols = ["n", "s1", "s2", "s3", "s4"]
+    folded = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()  # O(distinct keys)
+    )
+    n = folded["n"].to_numpy()
+    s1, s2 = folded["s1"].to_numpy(), folded["s2"].to_numpy()
+    s3, s4 = folded["s3"].to_numpy(), folded["s4"].to_numpy()
+    mean = s1 / n
+    m2 = s2 / n - mean**2
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean**3
+    m4 = s4 / n - 4 * mean * s3 / n + 6 * mean**2 * s2 / n - 3 * mean**4
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3.0
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        kurt = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6.0)
+    return pd.DataFrame(
+        {
+            key_col: folded[key_col],
+            "skew": round_away(skew, 6),
+            "kurt": round_away(kurt, 6),
+            "n": n.astype(np.int64),
+        }
+    ).sort_values(key_col, ignore_index=True)
+
+
+def bcubed(
+    ds: "ray.data.Dataset", pred_col: str, gold_col: str
+) -> pd.DataFrame:
+    """B-cubed precision / recall / F1 of a predicted clustering column
+    against a gold grouping column — the standard per-record ER cluster
+    quality metric (Bagga & Baldwin 1998): for each record, precision is
+    the fraction of its predicted cluster sharing its gold label, recall
+    the fraction of its gold class sharing its predicted cluster.
+
+    Both averages collapse onto the contingency table:
+        P = sum_cells(c^2 / pred_total) / N
+        R = sum_cells(c^2 / gold_total) / N
+    so the whole metric is one observed-cell combiner pass (identical
+    scale shape to ``contingency_chi2``/``mutual_information``: per-batch
+    pair counts, tiny groupby fold, O(cells) driver finalize — raw rows
+    never shuffle).
+    """
+    from ray.data.aggregate import Sum
+
+    from .arrowutil import round_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {pred_col: [], gold_col: [], "n": np.array([], dtype=np.int64)}
+            )
+        cp, up = pd.factorize(df[pred_col], sort=False)
+        cg, ug = pd.factorize(df[gold_col], sort=False)
+        code = cp.astype(np.int64) * len(ug) + cg
+        uc, counts = np.unique(code, return_counts=True)
+        return pd.DataFrame(
+            {
+                pred_col: up.take(uc // len(ug)),
+                gold_col: ug.take(uc % len(ug)),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    cells = (
+        ds.select_columns([pred_col, gold_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([pred_col, gold_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(cells)
+    )
+    cells = cells.sort_values([pred_col, gold_col]).reset_index(drop=True)
+    c = cells["n"].to_numpy(dtype=np.float64)
+    total = c.sum()
+    pt = cells.groupby(pred_col)["n"].transform("sum").to_numpy(np.float64)
+    gt = cells.groupby(gold_col)["n"].transform("sum").to_numpy(np.float64)
+    prec = float((c * c / pt).sum() / total)
+    rec = float((c * c / gt).sum() / total)
+    f1 = 2.0 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "bcubed_precision": round_away(np.array([prec]), 6),
+            "bcubed_recall": round_away(np.array([rec]), 6),
+            "bcubed_f1": round_away(np.array([f1]), 6),
+            "n": np.array([int(total)], dtype=np.int64),
+        }
+    )
+
+
 def mutual_information(
     ds: "ray.data.Dataset", a_col: str, b_col: str
 ) -> pd.DataFrame:

@@ -5054,6 +5054,151 @@ FROM j, t, a, b WHERE j.lang = a.lang AND j.source = b.source
 """
 
 
+def q_mutual_best(sf_dir: str):
+    """Reciprocal-best-match 1:1 alignment between the two embedding
+    sides — mutual nearest neighbors as high-precision seed links. Two
+    routed k=1 searches (one per direction) + ONE hash-partitioned join
+    on target id; no broadcast, no driver state."""
+    from ..evaluate import mutual_best
+
+    source, target = _sides(sf_dir)
+
+    def k1(src, tgt):
+        kz = Kiez(
+            n_candidates=1,
+            algorithm="exact",
+            algorithm_kwargs={"metric": "euclidean"},
+            rows_per_shard=ROUTED["rows_per_shard"],
+            route_groups=ROUTED["route_groups"],
+        )
+        kz.fit(src, tgt)
+        return kz.kneighbors_dataset(1)
+
+    out = mutual_best(k1(source, target), k1(target, source))
+
+    def fin(t: pa.Table) -> pa.Table:
+        d = round_away(t["dist"].to_numpy(zero_copy_only=False), 4)
+        return t.set_column(2, "dist", pa.array(d, pa.float64()))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_MUTUAL_BEST = f"""
+WITH {_sql_sides(1)}
+SELECT c.sid AS source_id, c.tid AS target_id,
+       round(c.dist, 4) + 0 AS dist
+FROM cand c JOIN tcand t ON c.sid = t.sid AND c.tid = t.tid
+ORDER BY source_id
+"""
+
+
+def q_grouped_skew(sf_dir: str):
+    """Per-returnflag sample skewness + excess kurtosis of quantity —
+    one pass of per-key power-sum partials (n, s1..s4), tiny fold,
+    O(keys) finalize with DuckDB's bias-corrected estimators."""
+    from ..moments import grouped_skew_kurt
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"],
+    )
+    return grouped_skew_kurt(li, "l_returnflag", "l_quantity")
+
+
+SQL_GROUPED_SKEW = """
+SELECT l_returnflag, round(skewness(l_quantity), 6) + 0 AS skew,
+       round(kurtosis(l_quantity), 6) + 0 AS kurt,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_bcubed(sf_dir: str):
+    """B-cubed precision/recall/F1 of the lang clustering against the
+    source grouping — the per-record ER cluster-quality metric as one
+    observed-cell contingency combiner pass."""
+    from ..moments import bcubed
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return bcubed(docs, "lang", "source")
+
+
+SQL_BCUBED = """
+WITH j AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+           FROM documents GROUP BY 1, 2),
+ pt AS (SELECT lang, sum(c) AS cp FROM j GROUP BY 1),
+ gt AS (SELECT source, sum(c) AS cg FROM j GROUP BY 1),
+ t AS (SELECT sum(c) AS n FROM j),
+ pr AS (SELECT sum(j.c * j.c / pt.cp) / t.n AS p,
+               sum(j.c * j.c / gt.cg) / t.n AS r,
+               CAST(t.n AS BIGINT) AS n
+        FROM j, t, pt, gt
+        WHERE j.lang = pt.lang AND j.source = gt.source
+        GROUP BY t.n)
+SELECT round(p, 6) + 0 AS bcubed_precision,
+       round(r, 6) + 0 AS bcubed_recall,
+       round(2 * p * r / (p + r), 6) + 0 AS bcubed_f1, n
+FROM pr
+"""
+
+
+DECAY_HALF_LIFE_S = 7 * 86400.0
+
+
+def q_decayed_value(sf_dir: str):
+    """Per-user exponentially time-decayed value sum (7-day half-life,
+    anchored at the newest event) — fixed-point per-term quantization
+    makes the fold exact integer addition, order-invariant."""
+    from ..windows import decayed_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return decayed_sum(ev, "user_id", "ts", "value", DECAY_HALF_LIFE_S)
+
+
+_DECAY = float(np.log(2.0) / DECAY_HALF_LIFE_S)
+
+SQL_DECAYED_VALUE = f"""
+WITH m AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax
+           FROM events),
+ t AS (SELECT user_id,
+              CAST(round(value
+                         * exp((CAST(floor(epoch(ts)) AS BIGINT) - m.tmax)
+                               * {_DECAY!r})
+                         * 1000000, 0) AS BIGINT) AS term
+       FROM events, m)
+SELECT user_id, sum(term) / 1000000.0 AS decayed
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_grouped_top_events(sf_dir: str):
+    """Per-user top-3 most frequent event types with exact counts —
+    count-pair combiner partials, one O(pairs) fold, then the folded
+    counts stream through grouped_topk (no per-group frames)."""
+    from ..relops import grouped_top_values
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_top_values(ev, "user_id", "event_type", k=3)
+
+
+SQL_GROUPED_TOP_EVENTS = """
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+ r AS (SELECT user_id, event_type, cnt,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY cnt DESC, event_type) AS rn
+       FROM c)
+SELECT user_id, event_type, cnt, rn AS rank
+FROM r WHERE rn <= 3 ORDER BY user_id, rank
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5186,6 +5331,11 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "weighted_median": q_weighted_median,
     "mutual_info": q_mutual_info,
+    "mutual_best": q_mutual_best,
+    "grouped_skew": q_grouped_skew,
+    "bcubed": q_bcubed,
+    "decayed_value": q_decayed_value,
+    "grouped_top_events": q_grouped_top_events,
     "grouped_hll": q_grouped_hll,
 }
 
@@ -5299,6 +5449,11 @@ ORACLE_SQL = {
     "basket_pairs": SQL_BASKET_PAIRS,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "mutual_info": SQL_MUTUAL_INFO,
+    "mutual_best": SQL_MUTUAL_BEST,
+    "grouped_skew": SQL_GROUPED_SKEW,
+    "bcubed": SQL_BCUBED,
+    "decayed_value": SQL_DECAYED_VALUE,
+    "grouped_top_events": SQL_GROUPED_TOP_EVENTS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

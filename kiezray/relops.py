@@ -1820,3 +1820,62 @@ def basket_pairs(
         .repartition(1)
         .map_batches(partial_topn, batch_format="pyarrow")
     )
+
+
+def grouped_top_values(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    k: int,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key top-``k`` most frequent values with exact counts — the
+    exact form of a per-group heavy-hitters query (``row_number() OVER
+    (PARTITION BY key ORDER BY count(*) DESC, val) <= k``). Generalizes
+    ``grouped_mode`` (its k=1 case) with counts and ranks.
+
+    Scale shape: per-batch (key, val, c) count partials (one
+    factorize+unique per batch — the combiner), one groupby fold over
+    O(distinct pairs) rows, then the folded counts stream through
+    ``grouped_topk`` (coarse key-hash partitions + one vectorized
+    lexsort per partition). Raw rows never shuffle; all-to-all traffic
+    is O(distinct (key, value) pairs), and no per-group Python frames
+    exist anywhere. Ties on count break by value ascending —
+    deterministic and partition-invariant.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {key_col: [], val_col: [], "cnt": np.array([], np.int64)}
+            )
+        ck, uk = pd.factorize(df[key_col], sort=False)
+        cv, uv = pd.factorize(df[val_col], sort=False)
+        code = ck.astype(np.int64) * len(uv) + cv
+        uc, counts = np.unique(code, return_counts=True)
+        return pd.DataFrame(
+            {
+                key_col: uk.take(uc // len(uv)),
+                val_col: uv.take(uc % len(uv)),
+                "cnt": counts.astype(np.int64),
+            }
+        )
+
+    folded = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return grouped_topk(
+        folded,
+        key_col,
+        "cnt",
+        k,
+        descending=True,
+        tie_col=val_col,
+        num_partitions=num_partitions,
+    )

@@ -1139,3 +1139,83 @@ def longest_streak(
         .groupby("__part")
         .map_groups(streaks_partition, batch_format="pandas")
     )
+
+
+def decayed_sum(
+    events: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    half_life_s: float,
+) -> "ray.data.Dataset":
+    """Per-key exponentially time-decayed sum anchored at the corpus's
+    newest event: ``sum(v * exp((epoch(ts) - T_max) * ln(2) / half_life))``
+    — the standard recency-weighted engagement / freshness score.
+
+    Semantics are FIXED-POINT: each term is rounded half-away to 6
+    decimals (x1e6 int64) before summing, so the fold is exact integer
+    addition — no float addition-order dependence across partitions (the
+    same determinism trick as the money-column aggregates; see the
+    market_share note in BASELINE.md). The SQL oracle applies the
+    identical per-term quantization.
+
+    Scale shape: two streaming passes. Pass 1 is a tiny global
+    ``max(epoch)`` aggregate (one scalar leaves the cluster). Pass 2 is
+    the usual combiner regime — per-batch per-key int64 term sums
+    (bincount over key codes), one small groupby fold over O(keys)
+    partials, finalize divides by 1e6. Raw rows never shuffle; anchoring
+    at T_max keeps every exponent ≤ 0, so no overflow at any corpus age.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    from .arrowutil import round_away
+
+    decay = float(np.log(2.0) / half_life_s)
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        e = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "__epoch": pa.array(e, pa.int64()),
+                val_col: t[val_col],
+            }
+        )
+
+    epochs = events.select_columns([key_col, ts_col, val_col]).map_batches(
+        to_epoch, batch_format="pyarrow"
+    )
+    tmax = int(
+        epochs.aggregate(Max("__epoch", alias_name="m"))["m"]
+    )  # pass 1: one scalar
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        v = df[val_col].to_numpy(dtype=np.float64)
+        d = (df["__epoch"].to_numpy() - tmax).astype(np.float64) * decay
+        # mirror the oracle's expression order exactly:
+        # round(v * exp(d) * 1e6, 0) half-away, summed as int64
+        terms = round_away(v * np.exp(d) * 1e6, 0).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, terms)
+        return pd.DataFrame({key_col: uk, "__s": s})
+
+    folded = (
+        epochs.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(Sum("__s", alias_name="__s"))
+        .to_pandas()  # O(distinct keys)
+    )
+    folded["decayed"] = folded["__s"].to_numpy(np.float64) / 1e6
+    return (
+        folded[[key_col, "decayed"]]
+        .sort_values(key_col, ignore_index=True)
+    )

@@ -54,3 +54,30 @@ def test_pairwise_restricted():
     res = pairwise_scores(pred, gold, restrict_pairs={("a", "b"), ("c", "d")})
     assert res["gold_pairs"] == 1 and res["pred_pairs"] == 2
     assert res["recall"] == 1.0
+
+
+def test_mutual_best_selects_exactly_the_reciprocal_pairs():
+    """Planted geometry: mutual pairs are exactly the reciprocal top-1
+    links of the brute-force distance matrix."""
+    import numpy as np
+
+    from kiezray.evaluate import mutual_best
+    from kiezray.kiez import Kiez
+
+    rng = np.random.RandomState(9)
+    src = rng.rand(60, 8)
+    tgt = rng.rand(80, 8)
+
+    def k1(a, b):
+        kz = Kiez(n_candidates=1, algorithm="exact",
+                  algorithm_kwargs={"metric": "euclidean"})
+        kz.fit(a, b)
+        return kz.kneighbors_dataset(1)
+
+    got = mutual_best(k1(src, tgt), k1(tgt, src)).to_pandas()
+    d = np.sqrt(((src[:, None, :] - tgt[None, :, :]) ** 2).sum(-1))
+    s_best = d.argmin(1)
+    t_best = d.argmin(0)
+    want = {(s, s_best[s]) for s in range(60) if t_best[s_best[s]] == s}
+    assert set(zip(got["source_id"], got["target_id"])) == want
+    assert (got["dist"].to_numpy() >= 0).all()

@@ -330,3 +330,48 @@ def test_mutual_information_bounds_and_identity():
     p = counts / n
     ent = float(-(p * np.log(p)).sum())
     assert abs(mi_self - ent) < 1e-6
+
+
+def test_grouped_skew_kurt_matches_scipy_style_oracle():
+    """Bias-corrected skewness/kurtosis per key match a local pandas
+    oracle (pandas .skew()/.kurt() use the same estimators as DuckDB)."""
+    import pandas as pd
+
+    from kiezray.moments import grouped_skew_kurt
+
+    rng = np.random.RandomState(3)
+    key = rng.randint(0, 4, 3000)
+    val = rng.gamma(2.0, 3.0, 3000)  # skewed on purpose
+    ds = ray.data.from_arrow(
+        pa.table({"k": key, "v": val})
+    ).repartition(7)
+    got = grouped_skew_kurt(ds, "k", "v").set_index("k")
+    df = pd.DataFrame({"k": key, "v": val})
+    want_s = df.groupby("k")["v"].skew()
+    want_k = df.groupby("k")["v"].apply(lambda s: s.kurt())
+    for k in want_s.index:
+        assert abs(got.loc[k, "skew"] - want_s[k]) < 1e-5
+        assert abs(got.loc[k, "kurt"] - want_k[k]) < 1e-5
+        assert got.loc[k, "n"] == (key == k).sum()
+
+
+def test_bcubed_perfect_and_degenerate():
+    """B-cubed is 1.0 for identical clusterings; precision collapses to
+    the largest-class share for the all-in-one-cluster prediction."""
+    from kiezray.moments import bcubed
+
+    rng = np.random.RandomState(5)
+    gold = rng.choice(np.array(["a", "b", "c"]), 1000, p=[0.5, 0.3, 0.2])
+    t = pa.table({"p": pa.array(gold), "g": pa.array(gold)})
+    r = bcubed(ray.data.from_arrow(t).repartition(4), "p", "g")
+    assert r["bcubed_precision"].iloc[0] == 1.0
+    assert r["bcubed_recall"].iloc[0] == 1.0
+    assert r["bcubed_f1"].iloc[0] == 1.0
+    one = pa.table(
+        {"p": pa.array(np.zeros(1000, dtype=np.int64)), "g": pa.array(gold)}
+    )
+    r2 = bcubed(ray.data.from_arrow(one).repartition(4), "p", "g")
+    _, counts = np.unique(gold, return_counts=True)
+    want_p = float((counts**2).sum()) / (1000.0 * 1000.0)
+    assert abs(r2["bcubed_precision"].iloc[0] - want_p) < 1e-6
+    assert r2["bcubed_recall"].iloc[0] == 1.0

@@ -117,6 +117,11 @@ CHECKED = [
     ("basket_pairs", 0),
     ("weighted_median", 0),
     ("mutual_info", 2e-6),
+    ("mutual_best", 0),
+    ("grouped_skew", 2e-6),
+    ("bcubed", 2e-6),
+    ("decayed_value", 0),
+    ("grouped_top_events", 0),
 ]
 
 

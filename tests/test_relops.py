@@ -894,3 +894,24 @@ def test_basket_pairs_known_counts():
     assert [
         ((r.item_a, r.item_b), r.cnt) for r in got.itertuples()
     ] == top
+
+
+def test_grouped_top_values_exact_counts_and_ties():
+    import pandas as pd
+
+    from kiezray.relops import grouped_top_values
+
+    rng = np.random.RandomState(2)
+    key = rng.randint(0, 15, 4000)
+    val = rng.choice(np.array(["a", "b", "c", "d", "e"]), 4000)
+    ds = ray.data.from_arrow(pa.table({"k": key, "v": val})).repartition(9)
+    got = grouped_top_values(ds, "k", "v", k=2).to_pandas()
+    got = got.sort_values(["k", "rank"]).reset_index(drop=True)
+    df = pd.DataFrame({"k": key, "v": val})
+    cnt = df.groupby(["k", "v"]).size().reset_index(name="cnt")
+    cnt = cnt.sort_values(["k", "cnt", "v"], ascending=[True, False, True])
+    cnt["rank"] = cnt.groupby("k").cumcount() + 1
+    want = cnt[cnt["rank"] <= 2].reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["k", "v", "cnt", "rank"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c

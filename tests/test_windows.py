@@ -477,3 +477,33 @@ def test_longest_streak_bruteforce_and_large_keys():
             best = max(best, runs)
         want[u] = best
     assert got.to_dict() == want
+
+
+def test_decayed_sum_matches_local_and_is_partition_invariant():
+    import pandas as pd
+
+    from kiezray.windows import decayed_sum
+
+    rng = np.random.RandomState(11)
+    n = 2000
+    key = rng.randint(0, 20, n)
+    epoch = rng.randint(1_700_000_000, 1_700_900_000, n)
+    val = np.round(rng.rand(n) * 100, 2)
+    ts = epoch.astype("datetime64[s]").astype("datetime64[us]")
+    half = 86400.0
+    t = pa.table({"user_id": key, "ts": pa.array(ts), "value": val})
+    got = decayed_sum(
+        ray.data.from_arrow(t).repartition(6), "user_id", "ts", "value", half
+    ).set_index("user_id")
+    tmax = epoch.max()
+    terms = np.floor(
+        np.abs(val * np.exp((epoch - tmax) * np.log(2.0) / half) * 1e6)
+        + 0.5
+    )
+    want = pd.DataFrame({"k": key, "t": terms}).groupby("k")["t"].sum() / 1e6
+    for k in want.index:
+        assert abs(got.loc[k, "decayed"] - want[k]) < 1e-9
+    got2 = decayed_sum(
+        ray.data.from_arrow(t).repartition(13), "user_id", "ts", "value", half
+    ).set_index("user_id")
+    assert (got2["decayed"] == got["decayed"]).all()
