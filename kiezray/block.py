@@ -495,3 +495,129 @@ def blocking_metrics(
             "pair_completeness": [float(completeness)],
         }
     )
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    prefix_len: int = 8,
+    bucket_rows: int = 4096,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood (SNM) blocking: order all records by a
+    blocking key — the lowercased ``prefix_len``-char text prefix — and
+    emit every pair within ``window`` positions of the global order
+    (Hernandez & Stolfo's merge/purge alternative to hash blocking:
+    catches near-boundary matches that equality blocking splits).
+    ASCII scope as in ``dedup.edit_pairs``: the key packs the prefix's
+    first 8 BYTES big-endian into int64, which equals DuckDB's binary
+    string order for ASCII text (and any ≤8-byte UTF-8 run).
+
+    Scale shape: the packed key rides ``relops.global_rank`` (sampled
+    range partitioning, per-range lexsort, prefix-sum offsets — no
+    global sort shuffle). Ranks within a range bucket of size
+    ``bucket_rows`` are CONTIGUOUS by construction, so pair generation
+    is pure slice arithmetic: each row goes to its home bucket
+    ``(rank-1) // bucket_rows`` and the first ``window`` rows of each
+    bucket are also copied to the previous bucket (overlap), then one
+    groupby emits, per bucket, the offset-d pairs for d = 1..window
+    with the left element a home row. ONE extra shuffle after
+    global_rank, output O(n * window) id pairs — embeddings and texts
+    never move.
+    """
+    from .relops import global_rank
+
+    shifts = np.arange(56, -8, -8, dtype=np.uint64)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(
+            pc.utf8_slice_codeunits(
+                pc.fill_null(t[text_col], ""), 0, prefix_len
+            )
+        )
+        b = pc.cast(low, pa.binary()).combine_chunks()
+        n = len(b)
+        offs = np.frombuffer(b.buffers()[1], np.int32, count=n + 1)
+        data = b.buffers()[2]
+        flat = (
+            np.frombuffer(data, np.uint8, count=offs[-1])
+            if data is not None and offs[-1] > 0
+            else np.zeros(0, np.uint8)
+        )
+        lens = np.minimum(np.diff(offs), 8)
+        mat = np.zeros((n, 8), np.uint8)
+        rows = np.repeat(np.arange(n), lens)
+        pos = np.arange(len(rows)) - np.repeat(
+            np.cumsum(np.concatenate(([0], lens[:-1]))), lens
+        )
+        src = np.repeat(offs[:-1], lens) + pos
+        mat[rows, pos] = flat[src]
+        key = (mat.astype(np.uint64) << shifts).sum(axis=1)
+        # ASCII prefixes keep the top byte < 0x80, so int64-safe
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "__snm_key": pa.array(key.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ranked = global_rank(
+        ds.select_columns([id_col, text_col]).map_batches(
+            add_key, batch_format="pyarrow"
+        ),
+        "__snm_key",
+        id_col,
+    )
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        home = (rank - 1) // bucket_rows
+        over = ((rank - 1) % bucket_rows < window) & (home > 0)
+        b = np.concatenate((home, home[over] - 1))
+        r = np.concatenate((rank, rank[over]))
+        i = np.concatenate((ids, ids[over]))
+        return pa.table(
+            {
+                "__bucket": pa.array(b.astype(np.int64), pa.int64()),
+                "rank": pa.array(r, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["__bucket"].iloc[0])
+        order = np.argsort(g["rank"].to_numpy(), kind="stable")
+        rank = g["rank"].to_numpy()[order]
+        ids = g[id_col].to_numpy()[order]
+        home_end = (p + 1) * bucket_rows  # ranks > this are overlap rows
+        a_parts, b_parts, g_parts = [], [], []
+        for d in range(1, window + 1):
+            if len(ids) <= d:
+                break
+            a, b = ids[:-d], ids[d:]
+            ra, rb = rank[:-d], rank[d:]
+            keep = (rb == ra + d) & (ra <= home_end)
+            a_parts.append(a[keep])
+            b_parts.append(b[keep])
+            g_parts.append(np.full(int(keep.sum()), d, dtype=np.int64))
+        if not a_parts:
+            return pd.DataFrame(
+                {"a_id": np.array([], np.int64),
+                 "b_id": np.array([], np.int64),
+                 "gap": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(a_parts),
+                "b_id": np.concatenate(b_parts),
+                "gap": np.concatenate(g_parts),
+            }
+        )
+
+    return (
+        ranked.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

@@ -5199,6 +5199,104 @@ FROM r WHERE rn <= 3 ORDER BY user_id, rank
 """
 
 
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking pairs: all document pairs within 3
+    positions of the global lowercased-8-char-prefix order — the
+    merge/purge alternative to equality blocking. Packed int64 key rides
+    global_rank (sampled ranges, no global sort shuffle); contiguous
+    ranks make pair generation slice arithmetic."""
+    from ..block import sorted_neighborhood_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, prefix_len=8
+    )
+
+
+SQL_SNM_PAIRS = """
+WITH d AS (SELECT doc_id,
+                  lower(substr(coalesce(text, ''), 1, 8)) AS pfx
+           FROM documents),
+ r AS (SELECT doc_id,
+              row_number() OVER (ORDER BY pfx, doc_id) AS rn
+       FROM d)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(b.rn - a.rn AS BIGINT) AS gap
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+ORDER BY a_id, b_id
+"""
+
+
+def q_first_last(sf_dir: str):
+    """Per-user first/last-touch snapshot (earliest + latest event's
+    type and value, (ts, event_id)-ordered) — associative extreme-row
+    fold: two rows per key per batch, one key-hash fold, no raw-row
+    shuffle."""
+    from ..windows import first_last
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    out = first_last(ev, "user_id", "ts", "event_id",
+                     ["event_type", "value"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["first_value"] = round_away(df["first_value"], 6)
+        df["last_value"] = round_away(df["last_value"], 6)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_FIRST_LAST = """
+WITH a AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                  event_id, event_type, value
+           FROM events),
+ r AS (SELECT *,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY e, event_id) AS rna,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY e DESC, event_id DESC) AS rnd
+       FROM a)
+SELECT f.user_id, f.e AS first_epoch, l.e AS last_epoch,
+       f.event_type AS first_event_type,
+       l.event_type AS last_event_type,
+       round(f.value, 6) + 0 AS first_value,
+       round(l.value, 6) + 0 AS last_value
+FROM (SELECT * FROM r WHERE rna = 1) f
+JOIN (SELECT * FROM r WHERE rnd = 1) l USING (user_id)
+ORDER BY user_id
+"""
+
+
+def q_sliding_distinct(sf_dir: str):
+    """Rolling active users: distinct user count per 1h window sliding
+    15m — in-batch (window, id) dedupe combiner, ONE distinct-pair
+    shuffle of two int64 columns, tiny per-window count fold."""
+    from ..windows import sliding_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return sliding_distinct(ev, "ts", "user_id", window_s=3600,
+                            slide_s=900)
+
+
+SQL_SLIDING_DISTINCT = """
+WITH ev AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS e
+            FROM events),
+ex AS (SELECT DISTINCT u, (e // 900) * 900 - r.i * 900 AS ws
+       FROM ev CROSS JOIN range(0, 4) r(i)
+       WHERE e - ((e // 900) * 900 - r.i * 900) < 3600)
+SELECT CAST(ws AS BIGINT) AS window_start,
+       count(*) AS distinct_ids
+FROM ex GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5336,6 +5434,9 @@ QUERIES = {
     "bcubed": q_bcubed,
     "decayed_value": q_decayed_value,
     "grouped_top_events": q_grouped_top_events,
+    "snm_pairs": q_snm_pairs,
+    "first_last": q_first_last,
+    "sliding_distinct": q_sliding_distinct,
     "grouped_hll": q_grouped_hll,
 }
 
@@ -5454,6 +5555,9 @@ ORACLE_SQL = {
     "bcubed": SQL_BCUBED,
     "decayed_value": SQL_DECAYED_VALUE,
     "grouped_top_events": SQL_GROUPED_TOP_EVENTS,
+    "snm_pairs": SQL_SNM_PAIRS,
+    "first_last": SQL_FIRST_LAST,
+    "sliding_distinct": SQL_SLIDING_DISTINCT,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

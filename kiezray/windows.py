@@ -1219,3 +1219,146 @@ def decayed_sum(
         folded[[key_col, "decayed"]]
         .sort_values(key_col, ignore_index=True)
     )
+
+
+def first_last(
+    events: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_cols: "list[str]",
+) -> "ray.data.Dataset":
+    """Per-key FIRST_VALUE / LAST_VALUE row snapshot: for each key, the
+    ``val_cols`` payload of the earliest and latest row ordered by
+    (``ts_col``, ``tie_col``) — the first/last-touch attribution shape
+    (``row_number() OVER (... ORDER BY ts, tie)`` = 1 both directions).
+    ``tie_col`` must be unique per key for deterministic output.
+    Timestamps come back as int64 epoch seconds (``first_epoch`` /
+    ``last_epoch``).
+
+    Scale shape: picking an extreme row is an associative fold, so each
+    batch emits at most TWO rows per key seen (one vectorized sort +
+    duplicated-mask, no per-group loop), one key-hash groupby folds the
+    O(keys x blocks) partials with the identical pick, and the final
+    table is one row per key. Raw rows never shuffle.
+    """
+    import pandas as pd
+
+    cols = [key_col, ts_col, tie_col, *val_cols]
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        e = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        out = {key_col: t[key_col], "__epoch": pa.array(e, pa.int64()),
+               tie_col: t[tie_col]}
+        for c in val_cols:
+            out[c] = t[c]
+        return pa.table(out)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values([key_col, "__epoch", tie_col], kind="mergesort")
+        first = ~df[key_col].duplicated(keep="first")
+        last = ~df[key_col].duplicated(keep="last")
+        return df[first | last]
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "__epoch", tie_col], kind="mergesort")
+        f = df[~df[key_col].duplicated(keep="first")].reset_index(drop=True)
+        l = df[~df[key_col].duplicated(keep="last")].reset_index(drop=True)
+        out = {key_col: f[key_col],
+               "first_epoch": f["__epoch"].astype(np.int64),
+               "last_epoch": l["__epoch"].astype(np.int64)}
+        for c in val_cols:
+            out[f"first_{c}"] = f[c].to_numpy()
+            out[f"last_{c}"] = l[c].to_numpy()
+        return pd.DataFrame(out)
+
+    return (
+        events.select_columns(cols)
+        .map_batches(to_epoch, batch_format="pyarrow")
+        .map_batches(pick, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def sliding_distinct(
+    events: "ray.data.Dataset",
+    ts_col: str,
+    id_col: str,
+    window_s: int,
+    slide_s: int,
+) -> "ray.data.Dataset":
+    """Distinct-entity count per sliding window (rolling active users):
+    each event lands in ``window_s / slide_s`` windows; the count is of
+    DISTINCT ``id_col`` values per window.
+
+    Scale shape: the combiner explodes each batch to its (window, id)
+    pairs and dedupes them IN-BATCH (one sort-unique), one groupby fold
+    over the distinct pairs finishes the global dedupe — this is the
+    one unavoidable shuffle and it carries two int64 columns — then a
+    second combiner pass bincounts pairs per window and a tiny groupby
+    folds O(windows) partials. No window ever materializes its id set.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    fanout = int(np.ceil(window_s / slide_s))
+
+    def explode(t: pa.Table) -> pa.Table:
+        e = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        base = (e // slide_s) * slide_s
+        starts = base[:, None] - np.arange(fanout) * slide_s
+        keep = (e[:, None] - starts) < window_s
+        ws = starts[keep]
+        wi = np.broadcast_to(ids[:, None], starts.shape)[keep]
+        pairs = np.stack((ws, wi), axis=1)
+        pairs = np.unique(pairs, axis=0)  # in-batch dedupe (combiner)
+        return pa.table(
+            {
+                "window_start": pa.array(pairs[:, 0], pa.int64()),
+                id_col: pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    distinct_pairs = (
+        events.select_columns([ts_col, id_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start", id_col])
+        .aggregate(Count())
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ws = t["window_start"].to_numpy(zero_copy_only=False)
+        uw, counts = np.unique(ws, return_counts=True)
+        return pa.table(
+            {
+                "window_start": pa.array(uw, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        distinct_pairs.select_columns(["window_start"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("c", alias_name="distinct_ids"))
+        .to_pandas()  # O(windows)
+    )
+    out["distinct_ids"] = out["distinct_ids"].astype(np.int64)
+    return out.sort_values("window_start", ignore_index=True)

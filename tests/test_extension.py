@@ -72,3 +72,40 @@ def test_custom_index(source_target):
 def test_register_index_validates():
     with pytest.raises(TypeError, match="build"):
         register_index("bad", object)
+
+
+def test_sorted_neighborhood_pairs_bucket_boundaries():
+    """Tiny bucket size forces overlap copies across every boundary; the
+    pair set must equal the brute-force windowed pairs of the sorted
+    order, exactly once each."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from kiezray.block import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(6)
+    n = 300
+    texts = ["".join(rng.choice(list("abcd"), 5)) + f" tail{i}"
+             for i in range(n)]
+    ids = rng.permutation(n) * 7  # non-contiguous ids
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    w = 3
+    got = sorted_neighborhood_pairs(
+        ray.data.from_arrow(t).repartition(5), "doc_id", "text",
+        window=w, prefix_len=8, bucket_rows=16,
+    ).to_pandas()
+    df = pd.DataFrame({"doc_id": ids,
+                       "pfx": [s[:8].lower() for s in texts]})
+    df = df.sort_values(["pfx", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    want = set()
+    for i in range(n):
+        for d in range(1, w + 1):
+            if i + d < n:
+                want.add((df["doc_id"][i], df["doc_id"][i + d], d))
+    assert set(zip(got["a_id"], got["b_id"], got["gap"])) == want
+    assert len(got) == len(want)  # no duplicate emission

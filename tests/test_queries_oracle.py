@@ -122,6 +122,9 @@ CHECKED = [
     ("bcubed", 2e-6),
     ("decayed_value", 0),
     ("grouped_top_events", 0),
+    ("snm_pairs", 0),
+    ("first_last", 0),
+    ("sliding_distinct", 0),
 ]
 
 

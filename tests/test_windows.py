@@ -507,3 +507,79 @@ def test_decayed_sum_matches_local_and_is_partition_invariant():
         ray.data.from_arrow(t).repartition(13), "user_id", "ts", "value", half
     ).set_index("user_id")
     assert (got2["decayed"] == got["decayed"]).all()
+
+
+def test_first_last_matches_pandas_oracle():
+    import pandas as pd
+
+    from kiezray.windows import first_last
+
+    rng = np.random.RandomState(4)
+    n = 1500
+    key = rng.randint(0, 25, n)
+    epoch = rng.randint(1_700_000_000, 1_700_010_000, n)  # forced ts ties
+    eid = rng.permutation(n)
+    etype = rng.choice(np.array(["a", "b", "c"]), n)
+    val = rng.rand(n) * 10
+    t = pa.table(
+        {
+            "user_id": key,
+            "ts": pa.array(
+                epoch.astype("datetime64[s]").astype("datetime64[us]")
+            ),
+            "event_id": eid,
+            "event_type": pa.array(etype),
+            "value": val,
+        }
+    )
+    got = (
+        first_last(
+            ray.data.from_arrow(t).repartition(8),
+            "user_id", "ts", "event_id", ["event_type", "value"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .set_index("user_id")
+    )
+    df = pd.DataFrame(
+        {"k": key, "e": epoch, "i": eid, "t": etype, "v": val}
+    ).sort_values(["k", "e", "i"], kind="mergesort")
+    f = df.groupby("k").head(1).set_index("k")
+    l = df.groupby("k").tail(1).set_index("k")
+    for k in f.index:
+        assert got.loc[k, "first_epoch"] == f.loc[k, "e"]
+        assert got.loc[k, "last_epoch"] == l.loc[k, "e"]
+        assert got.loc[k, "first_event_type"] == f.loc[k, "t"]
+        assert got.loc[k, "last_event_type"] == l.loc[k, "t"]
+        assert abs(got.loc[k, "first_value"] - f.loc[k, "v"]) < 1e-12
+        assert abs(got.loc[k, "last_value"] - l.loc[k, "v"]) < 1e-12
+
+
+def test_sliding_distinct_bruteforce():
+    from kiezray.windows import sliding_distinct
+
+    rng = np.random.RandomState(8)
+    n = 2000
+    uid = rng.randint(0, 40, n)
+    epoch = rng.randint(1_700_000_000, 1_700_020_000, n)
+    t = pa.table(
+        {
+            "user_id": uid,
+            "ts": pa.array(
+                epoch.astype("datetime64[s]").astype("datetime64[us]")
+            ),
+        }
+    )
+    got = sliding_distinct(
+        ray.data.from_arrow(t).repartition(7), "ts", "user_id", 3600, 900
+    ).set_index("window_start")
+    want = {}
+    for e, u in zip(epoch, uid):
+        base = (e // 900) * 900
+        for i in range(4):
+            ws = base - i * 900
+            if e - ws < 3600:
+                want.setdefault(ws, set()).add(u)
+    assert len(got) == len(want)
+    for ws, s in want.items():
+        assert got.loc[ws, "distinct_ids"] == len(s)
