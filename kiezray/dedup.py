@@ -687,12 +687,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 16,
+    metric: str = "jaccard",
 ) -> "ray.data.Dataset":
-    """Exact character-n-gram jaccard over LSH candidate pairs ->
-    (a, b, jaccard) rows with jaccard >= threshold.
+    """Exact character-n-gram similarity over LSH candidate pairs ->
+    (a, b, <metric>) rows with score >= threshold.
+
+    ``metric="jaccard"`` scores |A∩B| / |A∪B|; ``"containment"`` scores
+    |A∩B| / min(|A|, |B|) — the asymmetric near-dup test that catches a
+    short document embedded in a longer one (jaccard dilutes it).
+    Candidate generation is minhash-LSH in both cases, which recalls by
+    JACCARD — the containment output is exhaustive only for pair
+    populations whose high-containment pairs are also high-jaccard
+    (true for edit-style duplicates; a tiny-doc-in-huge-doc pair has
+    low jaccard and can be missed — use a substring/suffix method for
+    that regime).
 
     LSH bounds the pair universe; candidate-pair texts arrive via hash
     joins keyed on the pair ids (nothing passes through the driver)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be jaccard|containment, got {metric!r}")
     sigs = minhash_signatures(ds, text_col, num_perm, shingle_k)
     rows_per_band = num_perm // bands
 
@@ -701,29 +714,98 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
     )
     cand = _candidate_pairs_from_buckets(exploded, id_col)
+    return _verify_ngram_pairs(
+        ds, cand, id_col, text_col, shingle_k, threshold, metric
+    )
 
+
+def _verify_ngram_pairs(
+    ds: "ray.data.Dataset",
+    cand: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+    metric: str,
+) -> "ray.data.Dataset":
+    """Shared exact-verify stage: join candidate pair ids (a, b) to
+    their texts, score every pair with one vectorized lexsort
+    intersection, keep score >= threshold, dedupe output rows."""
     # texts reach the verify via two hash joins keyed on the pair ids —
-    # only candidate-pair texts move, and nothing passes through the driver
+    # only candidate-pair texts move, and nothing passes through the
+    # driver. The joins are the repo's tagged-union shuffle joins, NOT
+    # Dataset.join: cand is map_groups output, and Ray's map_groups emits
+    # ZERO-COLUMN blocks for empty hash partitions (tiny inputs / sparse
+    # candidate sets) that Arrow's native hash join rejects ("no match
+    # for FieldRef"; map_batches can't repair them either — Ray
+    # short-circuits empty blocks around every UDF). The tagged-union
+    # join's own key shuffle simply drops them. Schemas are passed
+    # explicitly so the expensive cand pipeline is never pre-executed by
+    # a schema probe.
+    from .relops import _arrow_schema, _tagged_union
+
     texts = ds.select_columns([id_col, text_col])
-    t_a = texts.map_batches(
-        lambda t: pa.table({"a": t[id_col], "text_a": t[text_col]}),
-        batch_format="pyarrow",
-    )
-    t_b = texts.map_batches(
-        lambda t: pa.table({"b": t[id_col], "text_b": t[text_col]}),
-        batch_format="pyarrow",
-    )
-    # join partitions sized to the cluster: each hash-join partition runs
-    # an aggregator actor, and two chained joins plus the bucket/dedup
-    # groupbys can starve a small CPU budget into a scheduling deadlock
+    tsch = _arrow_schema(texts)
+    id_t, txt_t = tsch.field(id_col).type, tsch.field(text_col).type
+
+    # join partitions sized to the cluster: each shuffle partition runs
+    # an aggregator, and two chained joins plus the bucket/dedup groupbys
+    # can starve a small CPU budget into a scheduling deadlock
     # (observed at num_cpus=4 with 8+8 partitions)
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     nparts = max(2, min(8, cpus // 2))
-    withtext = cand.join(
-        t_a, join_type="inner", num_partitions=nparts, on=("a",)
-    ).join(t_b, join_type="inner", num_partitions=nparts, on=("b",))
+
+    def gather(schema: pa.Schema, left_names: list, right_names: list, key: str):
+        def fn(g: pa.Table) -> pa.Table:
+            side = g["__side"]
+            lf = g.filter(pc.equal(side, 0)).select(left_names).to_pandas()
+            rf = g.filter(pc.equal(side, 1)).select(right_names).to_pandas()
+            if len(lf) == 0 or len(rf) == 0:
+                return schema.empty_table()
+            m = lf.merge(rf, on=key, how="inner")
+            return pa.Table.from_pandas(
+                m.reset_index(drop=True), schema=schema, preserve_index=False
+            )
+
+        return fn
+
+    schema_a = pa.schema([("a", id_t), ("b", id_t), ("text_a", txt_t)])
+    schema_ab = pa.schema(
+        [("a", id_t), ("b", id_t), ("text_a", txt_t), ("text_b", txt_t)]
+    )
+    t_a = texts.map_batches(
+        lambda t: pa.table({"a": t[id_col], "text_a": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    with_a = (
+        _tagged_union(
+            cand, t_a, "a", "a",
+            [("a", id_t), ("b", id_t), ("text_a", txt_t)], nparts,
+        )
+        .groupby("__part")
+        .map_groups(
+            gather(schema_a, ["a", "b"], ["a", "text_a"], "a"),
+            batch_format="pyarrow",
+        )
+    )
+    t_b = texts.map_batches(
+        lambda t: pa.table({"b": t[id_col], "text_b": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    withtext = (
+        _tagged_union(
+            with_a, t_b, "b", "b",
+            [("a", id_t), ("b", id_t), ("text_a", txt_t), ("text_b", txt_t)],
+            nparts,
+        )
+        .groupby("__part")
+        .map_groups(
+            gather(schema_ab, ["a", "b", "text_a"], ["b", "text_b"], "b"),
+            batch_format="pyarrow",
+        )
+    )
 
     def jaccard_batch(t: pa.Table) -> pa.Table:
         # vectorized exact-jaccard verify: shingle-hash each UNIQUE text
@@ -736,7 +818,7 @@ def ngram_jaccard_pairs(
             {
                 "a": pa.array([], t["a"].type),
                 "b": pa.array([], t["b"].type),
-                "jaccard": pa.array([], pa.float64()),
+                metric: pa.array([], pa.float64()),
             }
         )
         if n == 0:
@@ -775,8 +857,12 @@ def ngram_jaccard_pairs(
             inter = np.bincount(Ps[1:][dup], minlength=n)
         else:
             inter = np.zeros(n, dtype=np.int64)
-        union = tot - inter
-        j = np.where(tot == 0, 1.0, inter / np.maximum(union, 1))
+        if metric == "jaccard":
+            union = tot - inter
+            j = np.where(tot == 0, 1.0, inter / np.maximum(union, 1))
+        else:
+            small = np.minimum(la, lb)
+            j = np.where(small == 0, 1.0, inter / np.maximum(small, 1))
         keep = j >= threshold
         if not keep.any():
             return empty
@@ -785,7 +871,7 @@ def ngram_jaccard_pairs(
             {
                 "a": t["a"].take(sel),
                 "b": t["b"].take(sel),
-                "jaccard": pa.array(j[keep], pa.float64()),
+                metric: pa.array(j[keep], pa.float64()),
             }
         )
 
@@ -794,7 +880,152 @@ def ngram_jaccard_pairs(
     # edges tolerated), this op EMITS pair rows, and a pair found by
     # several bands would otherwise appear once per band. Deduping the
     # (tiny) verified output keeps the join pipeline shape unchanged.
-    return dedup_pair_rows(out, score_col="jaccard")
+    return dedup_pair_rows(out, score_col=metric)
+
+
+def containment_pairs_exact(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """EXACT n-gram containment join: every pair with
+    |A∩B| / min(|A|, |B|) >= threshold — including the tiny-doc-in-huge-doc
+    pairs whose jaccard is too low for minhash-LSH to recall.
+
+    Candidate generation is deterministic prefix filtering (the
+    AllPairs/PPJoin pigeonhole, set-containment-join flavor): with H a
+    doc's sorted-unique shingle-hash set, if the smaller set of a
+    qualifying pair misses at most (1-t)·|H| elements from the
+    intersection, then its floor((1-t)·|H|)+1 SMALLEST hashes must
+    contain a shared one. So each doc posts ALL its hashes to an
+    inverted index and PROBES with only that prefix; every qualifying
+    pair is found in the bucket of some probe hash — a proof, not a
+    recall probability (the hash order is a fixed random permutation of
+    shingles, so prefixes are frequency-agnostic samples).
+
+    Scale shape: ONE shuffle of the inverted index (h, id, size) rows —
+    O(total distinct shingles), the linear cost any exact set join
+    pays — hash-COARSE-partitioned (64 groups, not one pandas group per
+    shingle), with per-partition probe x postings pair generation as
+    vectorized repeat/tile over sorted bucket bounds. Candidate pairs
+    are deduped (a pair shares up to prefix-many hashes) before the
+    shared hash-join + lexsort verify, so each pair is scored once.
+    Bucket work is |probes| x |postings|, skew-bounded by hot-shingle
+    posting lists — salt or cap those for adversarial corpora. Texts
+    never enter the index; only candidate-pair texts move.
+    """
+    t = float(threshold)
+    P = 64
+
+    def emit(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        texts = tbl[text_col].to_pylist()
+        h_parts, id_parts, sz_parts, probe_parts = [], [], [], []
+        for i, txt in enumerate(texts):
+            H = _shingle_hashes(txt or "", shingle_k)
+            m = len(H)
+            if m == 0:
+                continue
+            H = np.sort(H)
+            p = int(np.floor((1.0 - t) * m)) + 1
+            h_parts.append(H)
+            id_parts.append(np.full(m, ids[i], dtype=np.int64))
+            sz_parts.append(np.full(m, m, dtype=np.int64))
+            probe = np.zeros(m, dtype=np.int8)
+            probe[: min(p, m)] = 1  # H is sorted: smallest hashes first
+            probe_parts.append(probe)
+        if not h_parts:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                    "probe": pa.array([], pa.int8()),
+                }
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(h_parts), pa.uint64()),
+                "id": pa.array(np.concatenate(id_parts), pa.int64()),
+                "size": pa.array(np.concatenate(sz_parts), pa.int64()),
+                "probe": pa.array(np.concatenate(probe_parts), pa.int8()),
+            }
+        )
+
+    inv = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow"
+    )
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        h = tbl["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix64(h) % np.uint64(P)).astype(np.int32)
+        return tbl.append_column("part", pa.array(part, pa.int32()))
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one numpy pass over ALL shingle buckets of the partition:
+        # sort by hash, find bucket bounds, expand each probe against
+        # its whole bucket with repeat + segment-arange (no per-bucket
+        # frames, no Python loop over distinct shingles)
+        empty = pd.DataFrame(
+            {"a": np.array([], np.int64), "b": np.array([], np.int64)}
+        )
+        n = len(g)
+        if n < 2:
+            return empty
+        h = g["h"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        ids = g["id"].to_numpy()[order]
+        sz = g["size"].to_numpy()[order]
+        probe = g["probe"].to_numpy()[order].astype(bool)
+        new_seg = h[1:] != h[:-1]
+        seg_of = np.cumsum(np.concatenate(([0], new_seg.astype(np.int64))))
+        seg_start = np.flatnonzero(np.concatenate(([True], new_seg)))
+        seg_len = np.diff(np.concatenate((seg_start, [n])))
+        p_idx = np.flatnonzero(probe)
+        p_seg = seg_of[p_idx]
+        sizes = seg_len[p_seg]
+        big = sizes > 1  # singleton buckets pair with nothing
+        p_idx, p_seg, sizes = p_idx[big], p_seg[big], sizes[big]
+        if len(p_idx) == 0:
+            return empty
+        total = int(sizes.sum())
+        starts_rep = np.repeat(seg_start[p_seg], sizes)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(sizes) - sizes, sizes
+        )
+        b_pos = starts_rep + offs
+        A = np.repeat(ids[p_idx], sizes)
+        SA = np.repeat(sz[p_idx], sizes)
+        B = ids[b_pos]
+        SB = sz[b_pos]
+        # probe must be the smaller side (pigeonhole applies to it);
+        # equal sizes keep one direction via id order (drops self-pairs)
+        keep = (SA < SB) | ((SA == SB) & (A < B))
+        A, B = A[keep], B[keep]
+        if len(A) == 0:
+            return empty
+        lo = np.minimum(A, B)
+        hi = np.maximum(A, B)
+        # in-partition pre-dedupe (a pair recurs once per shared prefix
+        # shingle landing in this partition) before the global pair dedup
+        o2 = np.lexsort((hi, lo))
+        lo, hi = lo[o2], hi[o2]
+        first = np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))
+        )
+        return pd.DataFrame({"a": lo[first], "b": hi[first]})
+
+    cand = dedup_pair_rows(
+        inv.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
+    return _verify_ngram_pairs(
+        ds, cand, id_col, text_col, shingle_k, threshold, "containment"
+    )
 
 
 def dedup_embedding_cosine(

@@ -702,3 +702,124 @@ def mutual_information(
             "n": np.array([int(total)], dtype=np.int64),
         }
     )
+
+
+def profile_numeric(
+    ds: "ray.data.Dataset", cols: "list[str]"
+) -> pd.DataFrame:
+    """Data-profiling summary for numeric columns — one output row per
+    column with (n, nulls, n_distinct, vmin, vmax): the quality report a
+    pipeline runs before training on a new table.
+
+    Scale shape: ONE shared pass for the cheap stats (per-batch
+    n/nulls/min/max partials for every column at once, tiny driver
+    fold) plus ONE shuffle for the exact distinct counts: each batch
+    emits its unique (col_idx, value) pairs (the combiner — duplicate
+    values collapse in-batch), a groupby over the pair stream finishes
+    the global dedupe, and per-column bincount partials + a tiny fold
+    count the survivors. Distinct traffic is O(distinct values) per
+    column, never the raw rows; columns share both passes rather than
+    rescanning per column.
+    """
+    from ray.data.aggregate import Sum
+
+    from .arrowutil import round_away
+
+    def cheap(t: pa.Table) -> pa.Table:
+        rows = []
+        for i, c in enumerate(cols):
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            nn = np.isnan(v)
+            ok = v[~nn]
+            rows.append(
+                (
+                    i,
+                    len(v),
+                    int(nn.sum()),
+                    float(ok.min()) if len(ok) else np.inf,
+                    float(ok.max()) if len(ok) else -np.inf,
+                )
+            )
+        a = np.array(rows, dtype=np.float64)
+        return pa.table(
+            {
+                "ci": pa.array(a[:, 0].astype(np.int64), pa.int64()),
+                "n": pa.array(a[:, 1].astype(np.int64), pa.int64()),
+                "nulls": pa.array(a[:, 2].astype(np.int64), pa.int64()),
+                "vmin": pa.array(a[:, 3], pa.float64()),
+                "vmax": pa.array(a[:, 4], pa.float64()),
+            }
+        )
+
+    folded = {}
+    for b in (
+        ds.select_columns(cols)
+        .map_batches(cheap, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ):
+        for _, r in b.iterrows():
+            ci = int(r["ci"])
+            f = folded.setdefault(ci, [0, 0, np.inf, -np.inf])
+            f[0] += int(r["n"])
+            f[1] += int(r["nulls"])
+            f[2] = min(f[2], r["vmin"])
+            f[3] = max(f[3], r["vmax"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ci_parts, v_parts = [], []
+        for i, c in enumerate(cols):
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            u = np.unique(v[~np.isnan(v)])
+            ci_parts.append(np.full(len(u), i, dtype=np.int64))
+            v_parts.append(u)
+        return pa.table(
+            {
+                "ci": pa.array(np.concatenate(ci_parts), pa.int64()),
+                "v": pa.array(np.concatenate(v_parts), pa.float64()),
+            }
+        )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ci = t["ci"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ci": pa.array(np.arange(len(cols)), pa.int64()),
+                "c": pa.array(
+                    np.bincount(ci, minlength=len(cols)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    nd = (
+        ds.select_columns(cols)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["ci", "v"])
+        .aggregate(Count())
+        .select_columns(["ci"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("ci")
+        .aggregate(Sum("c", alias_name="n_distinct"))
+        .to_pandas()
+        .set_index("ci")["n_distinct"]
+    )
+    out = pd.DataFrame(
+        {
+            "column": cols,
+            "n": [folded[i][0] for i in range(len(cols))],
+            "nulls": [folded[i][1] for i in range(len(cols))],
+            "n_distinct": [int(nd.get(i, 0)) for i in range(len(cols))],
+            "vmin": round_away(
+                np.array([folded[i][2] for i in range(len(cols))]), 6
+            ),
+            "vmax": round_away(
+                np.array([folded[i][3] for i in range(len(cols))]), 6
+            ),
+        }
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["nulls"] = out["nulls"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out

@@ -5297,6 +5297,91 @@ FROM ex GROUP BY 1 ORDER BY 1
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    """EXACT asymmetric n-gram containment pairs (|A∩B| / min|A|,|B|
+    >= 0.8) — catches a short doc embedded in a longer one (this corpus
+    has j≈0.125 containment pairs that jaccard-LSH provably misses).
+    Deterministic prefix-filter candidates (pigeonhole on the smaller
+    set's smallest hashes), one inverted-index shuffle, shared lexsort
+    verify."""
+    from ..dedup import containment_pairs_exact
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = containment_pairs_exact(
+        docs, "doc_id", "text", shingle_k=5, threshold=0.8
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        c = round_away(t["containment"].to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {"a": t["a"], "b": t["b"],
+             "containment": pa.array(c, pa.float64())}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) id, lower(text) t FROM documents),
+p AS (SELECT id, CASE WHEN length(t) < 5 THEN t || repeat(' ', 5 - length(t))
+                      ELSE t END AS t FROM d),
+sh AS (SELECT id, list_distinct(list_transform(
+           generate_series(1, length(t) - 4), i -> substr(t, i, 5))) s
+       FROM p),
+pairs AS (SELECT a.id ai, b.id bi,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / least(len(a.s), len(b.s)) c
+          FROM sh a JOIN sh b ON a.id < b.id)
+SELECT ai AS a, bi AS b, round(c, 6) + 0 AS containment
+FROM pairs WHERE c >= 0.8 ORDER BY a, b
+"""
+
+
+def q_profile(sf_dir: str):
+    """Numeric column profiling of lineitem (n / nulls / exact distinct
+    / min / max per column) — one shared cheap-stats pass + ONE
+    distinct-pair shuffle covering all columns at once."""
+    from ..moments import profile_numeric
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return profile_numeric(li, cols)
+
+
+SQL_PROFILE = """
+SELECT 'l_quantity' AS "column", count(*) AS n,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(min(l_quantity), 6) + 0 AS vmin,
+       round(max(l_quantity), 6) + 0 AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*),
+       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_extendedprice),
+       round(min(l_extendedprice), 6) + 0,
+       round(max(l_extendedprice), 6) + 0 FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*),
+       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_discount),
+       round(min(l_discount), 6) + 0,
+       round(max(l_discount), 6) + 0 FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*),
+       sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_tax),
+       round(min(l_tax), 6) + 0,
+       round(max(l_tax), 6) + 0 FROM lineitem
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5437,6 +5522,8 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "first_last": q_first_last,
     "sliding_distinct": q_sliding_distinct,
+    "containment_pairs": q_containment_pairs,
+    "profile": q_profile,
     "grouped_hll": q_grouped_hll,
 }
 
@@ -5558,6 +5645,8 @@ ORACLE_SQL = {
     "snm_pairs": SQL_SNM_PAIRS,
     "first_last": SQL_FIRST_LAST,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "profile": SQL_PROFILE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -568,3 +568,41 @@ def test_bm25_topk_matches_bruteforce(ray_session):
     np.testing.assert_allclose(
         got["score"].to_numpy(), [s for s, _ in want], atol=1e-9
     )
+
+
+def test_ngram_containment_catches_embedded_doc():
+    """A short doc whose text is a verbatim chunk of a longer doc has
+    containment 1.0 but diluted jaccard — the containment metric must
+    surface it from the same LSH candidate machinery."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kiezray.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(12)
+    base = "".join(rng.choice(list("abcdefgh "), 400))
+    # chunk long enough to share LSH bands with the parent
+    chunk = base[:260]
+    others = [
+        "".join(rng.choice(list("qrstuvwx "), 300)) for _ in range(20)
+    ]
+    texts = [base, chunk, *others]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    got = ngram_jaccard_pairs(
+        ray.data.from_arrow(t).repartition(3), "doc_id", "text",
+        shingle_k=5, threshold=0.9, metric="containment",
+    ).to_pandas()
+    assert (0, 1) in set(zip(got["a"], got["b"]))
+    row = got[(got["a"] == 0) & (got["b"] == 1)].iloc[0]
+    assert row["containment"] > 0.95
+    # sanity: the jaccard metric on the same corpus scores this pair low
+    j = ngram_jaccard_pairs(
+        ray.data.from_arrow(t).repartition(3), "doc_id", "text",
+        shingle_k=5, threshold=0.9, metric="jaccard",
+    ).to_pandas()
+    # an all-empty result comes back with no columns at all
+    assert len(j) == 0 or (0, 1) not in set(zip(j["a"], j["b"]))

@@ -375,3 +375,25 @@ def test_bcubed_perfect_and_degenerate():
     want_p = float((counts**2).sum()) / (1000.0 * 1000.0)
     assert abs(r2["bcubed_precision"].iloc[0] - want_p) < 1e-6
     assert r2["bcubed_recall"].iloc[0] == 1.0
+
+
+def test_profile_numeric_exact():
+    import pandas as pd
+
+    from kiezray.moments import profile_numeric
+
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 50, 3000).astype(np.float64)
+    b = np.round(rng.rand(3000) * 10, 2)
+    b[rng.choice(3000, 40, replace=False)] = np.nan
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(6)
+    got = profile_numeric(ds, ["a", "b"]).set_index("column")
+    assert got.loc["a", "n"] == 3000 and got.loc["a", "nulls"] == 0
+    assert got.loc["a", "n_distinct"] == len(np.unique(a))
+    assert got.loc["a", "vmin"] == a.min()
+    assert got.loc["a", "vmax"] == a.max()
+    assert got.loc["b", "nulls"] == 40
+    bb = b[~np.isnan(b)]
+    assert got.loc["b", "n_distinct"] == len(np.unique(bb))
+    assert abs(got.loc["b", "vmin"] - bb.min()) < 1e-12
+    assert abs(got.loc["b", "vmax"] - bb.max()) < 1e-12

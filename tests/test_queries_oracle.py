@@ -125,6 +125,8 @@ CHECKED = [
     ("snm_pairs", 0),
     ("first_last", 0),
     ("sliding_distinct", 0),
+    ("containment_pairs", 0),
+    ("profile", 0),
 ]
 
 
