@@ -215,3 +215,65 @@ def mutual_best(
         return t.filter(keep).select(["source_id", "target_id", "dist"])
 
     return joined.map_batches(mutual_only, batch_format="pyarrow")
+
+
+def binary_auc(
+    ds: "ray.data.Dataset", score_col: str, label_col: str
+):
+    """Tie-aware ROC AUC of a score against a binary label — the
+    Mann-Whitney rank formulation: AUC = P(score_pos > score_neg)
+    + 0.5 * P(equal). The match-scoring eval a linkage pipeline runs
+    after calibration (reference eval scope: kiez/evaluate/
+    eval_metrics.py ranks hits; AUC is its threshold-free counterpart).
+
+    Output: one row (auc float64 rounded 6, n_pos int64, n_neg int64).
+
+    Scale shape: per-batch (score, pos, neg) count partials — raw rows
+    collapse to distinct score values inside every map task — then one
+    tiny groupby fold on the score value; the closed-form rank sum runs
+    on the driver over O(distinct scores) rows, all-integer until the
+    single final division (deterministic under any partitioning). For
+    continuous scores quantize upstream — the contract is exactness per
+    distinct value, and the driver state is O(distinct values).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .arrowutil import round_away
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df[score_col].to_numpy()
+        pos = df[label_col].to_numpy().astype(np.int64)
+        us, inv = np.unique(s, return_inverse=True)
+        p = np.bincount(inv, weights=pos, minlength=len(us)).astype(
+            np.int64
+        )
+        c = np.bincount(inv, minlength=len(us)).astype(np.int64)
+        return pd.DataFrame({"s": us, "c": c, "p": p})
+
+    g = (
+        ds.select_columns([score_col, label_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("s")
+        .aggregate(Sum("c", alias_name="c"), Sum("p", alias_name="p"))
+        .to_pandas()  # O(distinct scores)
+    ).sort_values("s", ignore_index=True)
+    c = g["c"].to_numpy(dtype=np.int64)
+    p = g["p"].to_numpy(dtype=np.int64)
+    n_pos = int(p.sum())
+    n_neg = int(c.sum()) - n_pos
+    # offset o_i = rows strictly below value i; average rank of the
+    # c_i tied rows is o_i + (c_i + 1)/2 — keep 2x everything integer.
+    o = np.concatenate(([0], np.cumsum(c)[:-1]))
+    r2 = int((p * (2 * o + c + 1)).sum())  # 2 * rank-sum of positives
+    if n_pos == 0 or n_neg == 0:
+        auc = np.float64("nan")
+    else:
+        auc = (r2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)
+    return pd.DataFrame(
+        {
+            "auc": round_away(np.array([auc]), 6),
+            "n_pos": np.array([n_pos], dtype=np.int64),
+            "n_neg": np.array([n_neg], dtype=np.int64),
+        }
+    )

@@ -823,3 +823,55 @@ def profile_numeric(
     out["nulls"] = out["nulls"].astype(np.int64)
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
     return out
+
+
+def grouped_geomean(
+    ds: "ray.data.Dataset", key_col: str, val_col: str
+) -> pd.DataFrame:
+    """Per-key geometric and harmonic means — the multiplicative-scale
+    aggregates SQL spells ``exp(avg(ln(v)))`` and ``n / sum(1/v)``.
+    Values must be strictly positive (log / reciprocal domain); callers
+    filter upstream.
+
+    Output: (key_col, n int64, geo_mean float64 rounded 6, harm_mean
+    float64 rounded 6), sorted by key.
+
+    Scale shape: per-batch (key, n, sum_ln, sum_inv) combiner partials —
+    raw rows collapse to distinct-keys rows inside every map task before
+    any exchange — then one tiny groupby fold; only O(distinct keys)
+    rows ever shuffle, and the finalize is O(distinct keys) arithmetic.
+    """
+    from ray.data.aggregate import Sum
+
+    from .arrowutil import round_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        v = df[val_col].to_numpy(dtype=np.float64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk))
+        sl = np.bincount(inv, weights=np.log(v), minlength=len(uk))
+        si = np.bincount(inv, weights=1.0 / v, minlength=len(uk))
+        return pd.DataFrame({key_col: uk, "n": n, "sl": sl, "si": si})
+
+    folded = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sl", alias_name="sl"),
+            Sum("si", alias_name="si"),
+        )
+        .to_pandas()  # O(distinct keys)
+    )
+    n = folded["n"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame(
+        {
+            key_col: folded[key_col],
+            "n": folded["n"].astype(np.int64),
+            "geo_mean": round_away(np.exp(folded["sl"].to_numpy() / n), 6),
+            "harm_mean": round_away(n / folded["si"].to_numpy(), 6),
+        }
+    )
+    return out.sort_values(key_col, ignore_index=True)

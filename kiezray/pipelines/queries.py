@@ -5382,6 +5382,124 @@ SELECT 'l_tax', count(*),
 """
 
 
+def q_adoption_curve(sf_dir: str):
+    """Daily new-user counts + cumulative adoption (first-touch
+    attribution) — per-batch (key, min_day) combiner partials, ONE
+    key-hash shuffle, per-partition exact min + per-day partial counts;
+    the day-level fold is calendar-bounded."""
+    from ..windows import adoption_curve
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return adoption_curve(ev, granularity_s=3600)
+
+
+SQL_ADOPTION_CURVE = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('hour', ts)) AS d FROM events GROUP BY 1)
+SELECT CAST(epoch(d) AS BIGINT) AS bucket_s,
+       count(*) AS new_keys,
+       CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_keys
+FROM f GROUP BY d ORDER BY bucket_s
+"""
+
+
+def q_grouped_geomean(sf_dir: str):
+    """Per-event-type geometric and harmonic mean of value — one pass of
+    (key, n, sum_ln, sum_inv) combiner partials, one tiny groupby fold;
+    only O(distinct keys) rows shuffle."""
+    from ..moments import grouped_geomean
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_geomean(ev, "event_type", "value")
+
+
+SQL_GROUPED_GEOMEAN = """
+SELECT event_type, count(*) AS n,
+       round(exp(avg(ln(value))), 6) + 0 AS geo_mean,
+       round(count(*) / sum(1.0 / value), 6) + 0 AS harm_mean
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_score_auc(sf_dir: str):
+    """Tie-aware ROC AUC (Mann-Whitney rank form) of document length as
+    a predictor of lang='en' — (score, pos, neg) count partials collapse
+    rows to distinct values per batch, one tiny fold, closed-form
+    all-integer rank sum at the driver."""
+    from ..evaluate import binary_auc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def lab(t: pa.Table) -> pa.Table:
+        pos = pc.equal(t["lang"], "en")
+        return t.drop(["lang"]).append_column("pos", pos)
+
+    return binary_auc(
+        docs.map_batches(lab, batch_format="pyarrow"), "n_chars", "pos"
+    )
+
+
+SQL_SCORE_AUC = """
+WITH d AS (SELECT n_chars AS s,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents),
+ g AS (SELECT s, count(*) AS c, sum(pos) AS p FROM d GROUP BY 1),
+ r AS (SELECT s, c, p,
+              coalesce(sum(c) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS o
+       FROM g),
+ t AS (SELECT (SELECT sum(pos) FROM d) AS np,
+              (SELECT count(*) - sum(pos) FROM d) AS nn,
+              (SELECT sum(p * (2 * o + c + 1)) FROM r) AS r2)
+SELECT round((r2 - np * (np + 1)) / (2.0 * np * nn), 6) + 0 AS auc,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM t
+"""
+
+
+def q_rfm_segments(sf_dir: str):
+    """Customer RFM quartile segmentation — combiner partials collapse
+    orders to distinct customers before one tiny fold, then three
+    sampled-boundary global NTILE passes over the aggregated table
+    (monetary ranked on exact int64 cents)."""
+    from ..relops import rfm_segments
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return rfm_segments(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", k=4
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH a AS (
+  SELECT o_custkey,
+         CAST(epoch(max(o_orderdate)) AS BIGINT) AS recency_s,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1)
+SELECT o_custkey, frequency, recency_s,
+       CAST(ntile(4) OVER (ORDER BY recency_s, o_custkey)
+            AS BIGINT) AS r_tile,
+       CAST(ntile(4) OVER (ORDER BY frequency, o_custkey)
+            AS BIGINT) AS f_tile,
+       CAST(ntile(4) OVER (ORDER BY cents, o_custkey)
+            AS BIGINT) AS m_tile,
+       CAST(cents AS DOUBLE) / 100 AS monetary
+FROM a ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5525,6 +5643,10 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "profile": q_profile,
     "grouped_hll": q_grouped_hll,
+    "adoption_curve": q_adoption_curve,
+    "grouped_geomean": q_grouped_geomean,
+    "score_auc": q_score_auc,
+    "rfm_segments": q_rfm_segments,
 }
 
 ORACLE_SQL = {
@@ -5647,6 +5769,10 @@ ORACLE_SQL = {
     "sliding_distinct": SQL_SLIDING_DISTINCT,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "profile": SQL_PROFILE,
+    "adoption_curve": SQL_ADOPTION_CURVE,
+    "grouped_geomean": SQL_GROUPED_GEOMEAN,
+    "score_auc": SQL_SCORE_AUC,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -1879,3 +1879,93 @@ def grouped_top_values(
         tie_col=val_col,
         num_partitions=num_partitions,
     )
+
+
+def rfm_segments(
+    orders: "ray.data.Dataset",
+    key_col: str,
+    date_col: str,
+    val_col: str,
+    k: int = 4,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-customer RFM segmentation — recency (last order), frequency
+    (order count), monetary (exact fixed-point revenue) each bucketed
+    into k equi-depth tiles over the whole population (SQL ``ntile(k)
+    OVER (ORDER BY dim, key)``; tile k = most recent / most frequent /
+    highest spend).
+
+    Output: (key_col, recency_s int64 epoch-seconds, frequency int64,
+    monetary float64, r_tile/f_tile/m_tile int64).
+
+    Scale shape: per-batch (key, max-date, count, cents) combiner
+    partials collapse the raw order stream to distinct keys BEFORE any
+    exchange; one tiny groupby fold; then three ``global_ntile`` passes
+    over the already-aggregated table — each is the sampled-boundary
+    rank machinery (range tag + per-range count fold + ONE shuffle),
+    never a raw-row sort. Monetary ties rank on exact int64 cents, not
+    floats.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        us = (
+            df[date_col]
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            df[val_col].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, us)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        s = np.bincount(inv, weights=cents, minlength=len(uk)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {key_col: uk, "rec_us": mx, "frequency": n, "__cents": s}
+        )
+
+    agg = (
+        orders.select_columns([key_col, date_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(
+            Max("rec_us", alias_name="rec_us"),
+            Sum("frequency", alias_name="frequency"),
+            Sum("__cents", alias_name="__cents"),
+        )
+    )
+
+    def to_seconds(t: pa.Table) -> pa.Table:
+        rec = t["rec_us"].to_numpy(zero_copy_only=False) // 10**6
+        return t.drop(["rec_us"]).append_column(
+            "recency_s", pa.array(rec, pa.int64())
+        )
+
+    ds = agg.map_batches(to_seconds, batch_format="pyarrow")
+
+    def tile_pass(d, order_col, out_name):
+        d = global_ntile(d, order_col, key_col, k, num_partitions)
+
+        def rn(t: pa.Table) -> pa.Table:
+            tl = t["tile"]
+            return t.drop(["rank", "tile"]).append_column(out_name, tl)
+
+        return d.map_batches(rn, batch_format="pyarrow")
+
+    ds = tile_pass(ds, "recency_s", "r_tile")
+    ds = tile_pass(ds, "frequency", "f_tile")
+    ds = tile_pass(ds, "__cents", "m_tile")
+
+    def finish(t: pa.Table) -> pa.Table:
+        mon = t["__cents"].to_numpy(zero_copy_only=False) / 100.0
+        return t.drop(["__cents"]).append_column(
+            "monetary", pa.array(mon, pa.float64())
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")

@@ -81,3 +81,24 @@ def test_mutual_best_selects_exactly_the_reciprocal_pairs():
     want = {(s, s_best[s]) for s in range(60) if t_best[s_best[s]] == s}
     assert set(zip(got["source_id"], got["target_id"])) == want
     assert (got["dist"].to_numpy() >= 0).all()
+
+
+def test_binary_auc_bruteforce_with_ties():
+    """Tie-aware AUC matches the O(n^2) pair definition."""
+    import pandas as pd
+
+    from kiezray.evaluate import binary_auc
+
+    rng = np.random.RandomState(5)
+    n = 400
+    score = rng.randint(0, 40, n).astype(np.int64)  # heavy ties
+    pos = rng.rand(n) < (0.2 + 0.6 * (score / 40.0))  # informative
+    df = pd.DataFrame({"s": score, "y": pos})
+    got = binary_auc(ray.data.from_pandas(df).repartition(4), "s", "y")
+    sp, sn = score[pos], score[~pos]
+    wins = (sp[:, None] > sn[None, :]).sum()
+    ties = (sp[:, None] == sn[None, :]).sum()
+    want = (wins + 0.5 * ties) / (len(sp) * len(sn))
+    assert abs(got["auc"].iloc[0] - want) < 1e-6
+    assert got["n_pos"].iloc[0] == int(pos.sum())
+    assert got["n_neg"].iloc[0] == int((~pos).sum())

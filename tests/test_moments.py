@@ -397,3 +397,23 @@ def test_profile_numeric_exact():
     assert got.loc["b", "n_distinct"] == len(np.unique(bb))
     assert abs(got.loc["b", "vmin"] - bb.min()) < 1e-12
     assert abs(got.loc["b", "vmax"] - bb.max()) < 1e-12
+
+
+def test_grouped_geomean_bruteforce():
+    from kiezray.moments import grouped_geomean
+
+    rng = np.random.RandomState(3)
+    n = 2500
+    key = rng.randint(0, 7, n).astype(np.int64)
+    v = rng.uniform(0.01, 300.0, n)
+    df = pd.DataFrame({"k": key, "v": v})
+    got = grouped_geomean(ray.data.from_pandas(df).repartition(4), "k", "v")
+    for i, kk in enumerate(got["k"]):
+        m = key == kk
+        assert got["n"].iloc[i] == int(m.sum())
+        assert abs(
+            got["geo_mean"].iloc[i] - np.exp(np.log(v[m]).mean())
+        ) < 1e-5
+        assert abs(
+            got["harm_mean"].iloc[i] - m.sum() / (1.0 / v[m]).sum()
+        ) < 1e-5

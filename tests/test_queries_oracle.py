@@ -127,6 +127,10 @@ CHECKED = [
     ("sliding_distinct", 0),
     ("containment_pairs", 0),
     ("profile", 0),
+    ("adoption_curve", 0),
+    ("grouped_geomean", 2e-6),
+    ("score_auc", 2e-6),
+    ("rfm_segments", 0),
 ]
 
 

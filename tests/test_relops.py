@@ -915,3 +915,59 @@ def test_grouped_top_values_exact_counts_and_ties():
     assert len(got) == len(want)
     for c in ["k", "v", "cnt", "rank"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_rfm_segments_matches_pandas_ntile():
+    """RFM tiles match SQL's uneven-fill NTILE rule computed locally."""
+    import pandas as pd
+
+    from kiezray.relops import rfm_segments
+
+    rng = np.random.RandomState(9)
+    n = 3000
+    cust = rng.randint(0, 173, n).astype(np.int64)
+    date = rng.randint(0, 10**6, n).astype("datetime64[s]")
+    price = np.round(rng.uniform(1, 900, n), 2)
+    df = pd.DataFrame(
+        {"o_custkey": cust, "o_orderdate": date, "o_totalprice": price}
+    )
+    got = (
+        rfm_segments(
+            ray.data.from_pandas(df).repartition(4),
+            "o_custkey", "o_orderdate", "o_totalprice", k=4,
+        )
+        .to_pandas()
+        .sort_values("o_custkey", ignore_index=True)
+    )
+
+    cents = np.round(price * 100).astype(np.int64)
+    agg = pd.DataFrame(
+        {"c": cust, "r": date.astype("datetime64[s]").astype(np.int64),
+         "cents": cents}
+    ).groupby("c").agg(
+        recency_s=("r", "max"), frequency=("r", "size"),
+        cents=("cents", "sum"),
+    ).reset_index()
+
+    def ntile(order, tie, k=4):
+        idx = np.lexsort((tie, order))
+        m = len(idx)
+        q, rem = divmod(m, k)
+        sizes = [q + 1] * rem + [q] * (k - rem)
+        t = np.empty(m, dtype=np.int64)
+        pos = 0
+        for i, s in enumerate(sizes, 1):
+            t[idx[pos:pos + s]] = i
+            pos += s
+        return t
+
+    agg["r_tile"] = ntile(agg["recency_s"].to_numpy(), agg["c"].to_numpy())
+    agg["f_tile"] = ntile(agg["frequency"].to_numpy(), agg["c"].to_numpy())
+    agg["m_tile"] = ntile(agg["cents"].to_numpy(), agg["c"].to_numpy())
+
+    assert list(got["o_custkey"]) == list(agg["c"])
+    assert list(got["recency_s"]) == list(agg["recency_s"])
+    assert list(got["frequency"]) == list(agg["frequency"])
+    assert np.allclose(got["monetary"], agg["cents"] / 100.0)
+    for col in ["r_tile", "f_tile", "m_tile"]:
+        assert list(got[col]) == list(agg[col]), col

@@ -583,3 +583,34 @@ def test_sliding_distinct_bruteforce():
     assert len(got) == len(want)
     for ws, s in want.items():
         assert got.loc[ws, "distinct_ids"] == len(s)
+
+
+def test_adoption_curve_bruteforce_and_large_keys():
+    """Adoption curve matches a pandas first-touch oracle, including
+    user ids beyond 2^32 and under re-partitioning."""
+    from kiezray.windows import adoption_curve
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    uid = rng.choice(
+        np.concatenate(
+            [np.arange(40), np.array([2**40 + 1, 2**33, 9_000_000])]
+        ),
+        n,
+    ).astype(np.int64)
+    ts = rng.randint(0, 50 * 86400, n).astype("datetime64[s]")
+    df = pd.DataFrame({"user_id": uid, "ts": ts})
+
+    got = adoption_curve(
+        ray.data.from_pandas(df).repartition(5), granularity_s=86400
+    )
+
+    day = df["ts"].to_numpy().astype(np.int64) // 86400
+    first = (
+        pd.DataFrame({"u": uid, "d": day}).groupby("u")["d"].min()
+    )
+    want = first.value_counts().sort_index()
+    assert list(got["bucket_s"]) == [d * 86400 for d in want.index]
+    assert list(got["new_keys"]) == list(want.values)
+    assert list(got["cum_keys"]) == list(np.cumsum(want.values))
+    assert got["cum_keys"].iloc[-1] == df["user_id"].nunique()
