@@ -1580,3 +1580,96 @@ def source_overlap(
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("n", alias_name="n_shared"))
     )
+
+
+def dedup_canonical(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Canonicalized exact dedup — lowercase, strip non-alphanumerics to
+    single spaces, trim, THEN group: catches the near-exact duplicates
+    raw hashing misses (case / punctuation / whitespace variants), the
+    standard first dedup rung after byte-exact. Rows whose canonical
+    form is empty are dropped (no signal to group on).
+
+    Output: (id_col = the group's min id, n_copies int64) per surviving
+    canonical group.
+
+    Scale shape: canonicalization is three Arrow kernels (utf8_lower,
+    RE2 replace, trim) — zero Python per row; the canonical TEXT never
+    shuffles: each batch reduces it to the same 128-bit hash pair used
+    by ``dedup_exact`` plus an in-batch (hash, min_id, count) combiner,
+    so ONE coarse hash shuffle moves only O(distinct canonicals per
+    batch) 4-column rows; each partition folds min-id/count with one
+    lexsort + reduceat.
+    """
+    import pyarrow.compute as pc
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        canon = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z0-9]+", " "
+            )
+        )
+        arr = canon.to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = arr != ""
+        arr, ids = arr[keep], ids[keep]
+        h1 = pd.util.hash_array(arr).astype(np.uint64)
+        h2 = pd.util.hash_array(arr, hash_key="kiezraycanonkey2").astype(
+            np.uint64
+        )
+        # in-batch combiner: one row per distinct canonical in the batch
+        code = pd.factorize(h1 ^ _splitmix64(h2))[0]
+        order = np.argsort(code, kind="stable")
+        sc = code[order]
+        first = np.concatenate(([True], sc[1:] != sc[:-1]))
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(sc)))
+        mins = np.minimum.reduceat(ids[order], starts)
+        sel = order[starts]
+        part = (h1[sel] % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "__ch1": pa.array(h1[sel].astype(np.int64), pa.int64()),
+                "__ch2": pa.array(h2[sel].astype(np.int64), pa.int64()),
+                id_col: pa.array(mins, pa.int64()),
+                "n_copies": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "n_copies": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        c1 = g["__ch1"].to_numpy()
+        c2 = g["__ch2"].to_numpy()
+        ids = g[id_col].to_numpy()
+        cnt = g["n_copies"].to_numpy()
+        order = np.lexsort((ids, c2, c1))
+        c1, c2, ids, cnt = c1[order], c2[order], ids[order], cnt[order]
+        first = np.concatenate(
+            ([True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        return pd.DataFrame(
+            {
+                id_col: ids[starts],  # sorted ascending within group
+                "n_copies": np.add.reduceat(cnt, starts).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -875,3 +875,65 @@ def grouped_geomean(
         }
     )
     return out.sort_values(key_col, ignore_index=True)
+
+
+def grouped_weighted_avg(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    w_col: str,
+) -> pd.DataFrame:
+    """Per-key weighted average ``sum(w*v) / sum(w)`` with exact
+    fixed-point arithmetic: values quantize to int64 cents, weights to
+    int64, so both sums are order/partition-invariant integers and the
+    only float op is the single final division (the money-weighted
+    metric float accumulation would make nondeterministic).
+
+    Output: (key_col, total_w int64, wavg float64 rounded 6), sorted by
+    key.
+
+    Scale shape: per-batch (key, sum_wv, sum_w) combiner partials via
+    two bincounts — raw rows collapse to distinct keys before any
+    exchange — then one tiny groupby fold.
+    """
+    from ray.data.aggregate import Sum
+
+    from .arrowutil import round_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy()
+        cents = np.round(
+            df[val_col].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        w = np.round(df[w_col].to_numpy(dtype=np.float64)).astype(
+            np.int64
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
+        swv = np.bincount(inv, weights=cents * w, minlength=len(uk)).astype(
+            np.int64
+        )
+        sw = np.bincount(inv, weights=w, minlength=len(uk)).astype(
+            np.int64
+        )
+        return pd.DataFrame({key_col: uk, "swv": swv, "sw": sw})
+
+    folded = (
+        ds.select_columns([key_col, val_col, w_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(
+            Sum("swv", alias_name="swv"), Sum("sw", alias_name="sw")
+        )
+        .to_pandas()  # O(distinct keys)
+    ).sort_values(key_col, ignore_index=True)
+    return pd.DataFrame(
+        {
+            key_col: folded[key_col],
+            "total_w": folded["sw"].astype(np.int64),
+            "wavg": round_away(
+                folded["swv"].to_numpy()
+                / (folded["sw"].to_numpy() * 100.0),
+                6,
+            ),
+        }
+    )

@@ -5500,6 +5500,106 @@ FROM a ORDER BY o_custkey
 """
 
 
+def q_activity_heatmap(sf_dir: str):
+    """Day-of-week x hour calendar heatmap — every batch collapses to
+    <=168 cell partials via one packed bincount; only O(168) rows ever
+    shuffle; exact fixed-point value sums."""
+    from ..windows import activity_heatmap
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    return activity_heatmap(ev)
+
+
+SQL_ACTIVITY_HEATMAP = """
+SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_order_gaps(sf_dir: str):
+    """Per-customer inter-order gap profile (lag-diff count/mean/min/
+    max) — one key-hash shuffle, one lexsort + diff + reduceat per
+    partition; gaps sum exactly in int64 microseconds."""
+    from ..windows import interarrival_stats
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    return interarrival_stats(
+        orders, "o_custkey", "o_orderdate", "o_orderkey"
+    )
+
+
+SQL_ORDER_GAPS = """
+WITH o AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS us, o_orderkey
+           FROM orders),
+ l AS (SELECT k, us - lag(us) OVER (PARTITION BY k ORDER BY us, o_orderkey)
+              AS g
+       FROM o)
+SELECT k AS o_custkey, count(g) AS n_gaps,
+       round(CAST(sum(g) AS DOUBLE) / (count(g) * 1000000.0), 6) + 0
+           AS avg_gap_s,
+       CAST(min(g) AS BIGINT) AS min_gap_us,
+       CAST(max(g) AS BIGINT) AS max_gap_us
+FROM l WHERE g IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weighted_avg(sf_dir: str):
+    """Quantity-weighted average price per return flag — exact int64
+    fixed-point (cents x integer weight) combiner partials, one tiny
+    fold, single final division."""
+    from ..moments import grouped_weighted_avg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return grouped_weighted_avg(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_w,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / sum(CAST(l_quantity AS BIGINT)), 6) + 0 AS wavg
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_canonical(sf_dir: str):
+    """Canonicalized exact dedup (lower / strip punctuation / trim,
+    then group) — Arrow-kernel canonicalization, in-batch (hash,
+    min_id, count) combiner, ONE coarse hash shuffle of 4-column
+    partials; canonical text never moves."""
+    from ..dedup import dedup_canonical
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_canonical(docs)
+
+
+SQL_DEDUP_CANONICAL = """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+             AS canon
+  FROM documents),
+ g AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       FROM c WHERE canon <> '' GROUP BY canon)
+SELECT doc_id, n_copies FROM g ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5647,6 +5747,10 @@ QUERIES = {
     "grouped_geomean": q_grouped_geomean,
     "score_auc": q_score_auc,
     "rfm_segments": q_rfm_segments,
+    "activity_heatmap": q_activity_heatmap,
+    "order_gaps": q_order_gaps,
+    "weighted_avg": q_weighted_avg,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 ORACLE_SQL = {
@@ -5773,6 +5877,10 @@ ORACLE_SQL = {
     "grouped_geomean": SQL_GROUPED_GEOMEAN,
     "score_auc": SQL_SCORE_AUC,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "activity_heatmap": SQL_ACTIVITY_HEATMAP,
+    "order_gaps": SQL_ORDER_GAPS,
+    "weighted_avg": SQL_WEIGHTED_AVG,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

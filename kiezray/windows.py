@@ -1449,3 +1449,148 @@ def adoption_curve(
             "cum_keys": np.cumsum(new),
         }
     )
+
+
+def activity_heatmap(
+    events: "ray.data.Dataset",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Day-of-week x hour-of-day activity profile — the calendar heatmap
+    behind load forecasting and anomaly baselines. ``dow`` follows SQL's
+    ``dayofweek`` (0 = Sunday).
+
+    Output: (dow int64, hour int64, n int64, total float64) for every
+    populated cell, ordered by (dow, hour).
+
+    Scale shape: each batch collapses to at most 168 cell partials via
+    one ``bincount`` on the packed cell index (7x24 cells — the pack can
+    never overflow), then one tiny cell-keyed fold; exact int64
+    fixed-point cents for the value sum. Nothing but O(168) rows ever
+    shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = us // (86400 * 10**6)
+        dow = (day + 4) % 7  # 1970-01-01 is a Thursday; 0 = Sunday
+        hour = (us // (3600 * 10**6)) % 24
+        cell = (dow * 24 + hour).astype(np.int64)
+        cents = np.round(
+            t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+        ).astype(np.int64)
+        n = np.bincount(cell, minlength=168).astype(np.int64)
+        s = np.bincount(cell, weights=cents, minlength=168).astype(
+            np.int64
+        )
+        keep = n > 0
+        return pd.DataFrame(
+            {
+                "cell": np.arange(168, dtype=np.int64)[keep],
+                "n": n[keep],
+                "cents": s[keep],
+            }
+        )
+
+    folded = (
+        events.select_columns([ts_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("cents", alias_name="cents")
+        )
+        .to_pandas()  # <= 168 rows
+    ).sort_values("cell", ignore_index=True)
+    cell = folded["cell"].to_numpy()
+    return pd.DataFrame(
+        {
+            "dow": cell // 24,
+            "hour": cell % 24,
+            "n": folded["n"].astype(np.int64),
+            "total": folded["cents"].to_numpy() / 100.0,
+        }
+    )
+
+
+def interarrival_stats(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key inter-arrival gap profile — count / mean / min / max of
+    the time between CONSECUTIVE events (SQL ``lag`` diff), the purchase
+    -cadence / churn-signal pass. Keys with a single event are omitted.
+
+    Output: (key_col, n_gaps int64, avg_gap_s float64 rounded 6,
+    min_gap_us int64, max_gap_us int64).
+
+    Scale shape: ONE key-hash shuffle of 3-column rows (a key never
+    spans partitions, so consecutive-gap state never crosses workers),
+    then per partition a single lexsort over (key, ts, tie), one diff,
+    and per-key reduceat folds. Gaps sum exactly in int64 microseconds;
+    the only float op is the final mean division.
+    """
+    from .dedup import _splitmix64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            _splitmix64(k.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def gaps_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=np.int64),
+                "n_gaps": pd.Series(dtype=np.int64),
+                "avg_gap_s": pd.Series(dtype=np.float64),
+                "min_gap_us": pd.Series(dtype=np.int64),
+                "max_gap_us": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        from .arrowutil import round_away
+
+        k = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tie = g[tie_col].to_numpy()
+        order = np.lexsort((tie, us, k))
+        k, us = k[order], us[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        gap = (us[1:] - us[:-1])[same]
+        gk = k[1:][same]
+        first = np.concatenate(([True], gk[1:] != gk[:-1]))
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(gk)))
+        tot = np.add.reduceat(gap, starts)
+        mn = np.minimum.reduceat(gap, starts)
+        mx = np.maximum.reduceat(gap, starts)
+        return pd.DataFrame(
+            {
+                key_col: gk[starts],
+                "n_gaps": n.astype(np.int64),
+                "avg_gap_s": round_away(tot / (n * 1_000_000.0), 6),
+                "min_gap_us": mn,
+                "max_gap_us": mx,
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, tie_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(gaps_partition, batch_format="pandas")
+    )

@@ -606,3 +606,34 @@ def test_ngram_containment_catches_embedded_doc():
     ).to_pandas()
     # an all-empty result comes back with no columns at all
     assert len(j) == 0 or (0, 1) not in set(zip(j["a"], j["b"]))
+
+
+def test_dedup_canonical_groups_case_punct_variants():
+    """Planted case/punctuation/whitespace variants collapse to one
+    survivor (min id) with the right copy count; empty canonicals drop."""
+    import pandas as pd
+
+    from kiezray.dedup import dedup_canonical
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "Hello,   World!",
+                "hello world",
+                "HELLO-WORLD.",
+                "a different doc",
+                "A  different?? DOC",
+                "unique one",
+                "!!!",  # canonicalizes to empty -> dropped
+                "第七",  # pure CJK -> empty under [^a-z0-9] -> dropped
+            ],
+        }
+    )
+    got = (
+        dedup_canonical(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(got["doc_id"]) == [0, 3, 5]
+    assert list(got["n_copies"]) == [3, 2, 1]

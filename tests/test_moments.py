@@ -417,3 +417,22 @@ def test_grouped_geomean_bruteforce():
         assert abs(
             got["harm_mean"].iloc[i] - m.sum() / (1.0 / v[m]).sum()
         ) < 1e-5
+
+
+def test_grouped_weighted_avg_exact():
+    from kiezray.moments import grouped_weighted_avg
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    key = rng.randint(0, 5, n).astype(np.int64)
+    v = np.round(rng.uniform(1, 1000, n), 2)
+    w = rng.randint(1, 50, n).astype(np.float64)
+    df = pd.DataFrame({"k": key, "v": v, "w": w})
+    got = grouped_weighted_avg(
+        ray.data.from_pandas(df).repartition(4), "k", "v", "w"
+    )
+    for i, kk in enumerate(got["k"]):
+        m = key == kk
+        assert got["total_w"].iloc[i] == int(w[m].sum())
+        want = (v[m] * w[m]).sum() / w[m].sum()
+        assert abs(got["wavg"].iloc[i] - want) < 1e-6

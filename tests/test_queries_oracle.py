@@ -131,6 +131,10 @@ CHECKED = [
     ("grouped_geomean", 2e-6),
     ("score_auc", 2e-6),
     ("rfm_segments", 0),
+    ("activity_heatmap", 0),
+    ("order_gaps", 2e-6),
+    ("weighted_avg", 2e-6),
+    ("dedup_canonical", 0),
 ]
 
 

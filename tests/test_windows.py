@@ -614,3 +614,58 @@ def test_adoption_curve_bruteforce_and_large_keys():
     assert list(got["new_keys"]) == list(want.values)
     assert list(got["cum_keys"]) == list(np.cumsum(want.values))
     assert got["cum_keys"].iloc[-1] == df["user_id"].nunique()
+
+
+def test_activity_heatmap_bruteforce():
+    from kiezray.windows import activity_heatmap
+
+    rng = np.random.RandomState(13)
+    n = 4000
+    ts = rng.randint(0, 90 * 86400, n).astype("datetime64[s]")
+    val = np.round(rng.uniform(0.01, 50, n), 2)
+    df = pd.DataFrame({"ts": ts, "value": val})
+    got = activity_heatmap(ray.data.from_pandas(df).repartition(5))
+    day = ts.astype(np.int64) // 86400
+    dow = (day + 4) % 7
+    hour = (ts.astype(np.int64) // 3600) % 24
+    cents = np.round(val * 100).astype(np.int64)
+    loc = pd.DataFrame(
+        {"dow": dow, "hour": hour, "c": cents}
+    ).groupby(["dow", "hour"], as_index=False).agg(
+        n=("c", "size"), cents=("c", "sum")
+    )
+    assert list(got["dow"]) == list(loc["dow"])
+    assert list(got["hour"]) == list(loc["hour"])
+    assert list(got["n"]) == list(loc["n"])
+    assert np.allclose(got["total"], loc["cents"] / 100.0)
+
+
+def test_interarrival_stats_bruteforce():
+    from kiezray.windows import interarrival_stats
+
+    rng = np.random.RandomState(17)
+    n = 2000
+    key = rng.randint(0, 60, n).astype(np.int64)
+    ts = rng.randint(0, 10**6, n).astype("datetime64[s]")
+    tie = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"k": key, "ts": ts, "id": tie})
+    got = (
+        interarrival_stats(
+            ray.data.from_pandas(df).repartition(4), "k", "ts", "id"
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    us = ts.astype("datetime64[us]").astype(np.int64)
+    rows = []
+    for kk in np.unique(key):
+        g = np.sort(us[key == kk])
+        if len(g) < 2:
+            continue
+        d = np.diff(g)
+        rows.append((kk, len(d), d.mean() / 1e6, d.min(), d.max()))
+    assert list(got["k"]) == [r[0] for r in rows]
+    assert list(got["n_gaps"]) == [r[1] for r in rows]
+    assert np.allclose(got["avg_gap_s"], [r[2] for r in rows], atol=1e-6)
+    assert list(got["min_gap_us"]) == [r[3] for r in rows]
+    assert list(got["max_gap_us"]) == [r[4] for r in rows]
