@@ -5600,6 +5600,309 @@ SELECT doc_id, n_copies FROM g ORDER BY doc_id
 """
 
 
+def _int_sum_fold(ds, val_cols, P=32):
+    """Exact per-key int64 sums: in-batch combiner (argsort + reduceat)
+    collapses every batch to one row per distinct key, then ONE coarse
+    hash shuffle of the partials and the same exact fold per partition.
+    Only (key, partial) rows ever move — never input rows."""
+
+    schema = pa.schema(
+        [("k", pa.int64())] + [(c, pa.int64()) for c in val_cols]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return schema.empty_table()
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1]))
+        )
+        cols = {"k": pa.array(ks[starts], pa.int64())}
+        for c in val_cols:
+            v = t[c].to_numpy(zero_copy_only=False)[order]
+            cols[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: combine(g.select(["k"] + val_cols)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: customers whose orders exceed a quantity
+    threshold. Scale shape: lineitem never leaves its scan — an
+    in-batch combiner + ONE coarse partial shuffle produce per-order
+    sums; the HAVING filter leaves a selectivity-bounded survivor set
+    that is broadcast (``ray.put`` once) through streaming scans of
+    orders and customer — zero fact-side shuffles."""
+    from ..relops import broadcast_join
+
+    threshold = 250
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["l_orderkey"], pa.int64()),
+                "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    big = _int_sum_fold(li, ["sum_qty"]).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["sum_qty"], pa.scalar(threshold, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    j1 = broadcast_join(orders, big, "o_orderkey", "k").map_batches(
+        lambda t: t.select(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+             "sum_qty"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = broadcast_join(cust, j1, "c_custkey", "o_custkey").to_pandas()
+    out = out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+         "o_totalprice", "sum_qty"]
+    ]
+    return out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand's parts. Two streaming passes over a pruned lineitem scan:
+    pass 1 folds exact per-part (sum_qty, count) partials; pass 2
+    re-scans with the tiny per-part stats broadcast and keeps rows
+    with ``5*q*cnt < sum_qty`` — the 0.2*avg predicate in EXACT int64
+    (no float avg on either side). The part-key membership set is
+    one brand (dimension-bounded), shipped by ``ray.put`` once."""
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["p_brand"], pa.scalar("Brand#3")),
+                pc.less_equal(t["p_size"], pa.scalar(15, pa.int32())),
+            )
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    pk = np.sort(
+        np.concatenate(
+            [
+                b["p_partkey"].to_numpy(zero_copy_only=False)
+                for b in parts.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    pk_ref = ray.put(pk)
+
+    class Pass1:
+        def __init__(self):
+            self.pk = ray.get(pk_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            m = np.isin(k, self.pk)
+            q = t["l_quantity"].to_numpy(zero_copy_only=False)[m]
+            return pa.table(
+                {
+                    "k": pa.array(k[m], pa.int64()),
+                    "q": pa.array(q.astype(np.int64), pa.int64()),
+                    "n": pa.array(np.ones(int(m.sum()), np.int64)),
+                }
+            )
+
+    li1 = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    ).map_batches(Pass1, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    stats = _int_sum_fold(li1, ["q", "n"]).to_pandas()  # one row per part
+    order = np.argsort(stats["k"].to_numpy())
+    st_k = stats["k"].to_numpy()[order]
+    st_q = stats["q"].to_numpy()[order]
+    st_n = stats["n"].to_numpy()[order]
+    st_ref = ray.put((st_k, st_q, st_n))
+
+    class Pass2:
+        def __init__(self):
+            self.k, self.sq, self.cnt = ray.get(st_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            m = np.isin(k, self.k)
+            if not m.any():
+                return pa.table(
+                    {"n_rows": pa.array([0], pa.int64()),
+                     "cents": pa.array([0], pa.int64())}
+                )
+            idx = np.searchsorted(self.k, k[m])
+            q = t["l_quantity"].to_numpy(zero_copy_only=False)[m]
+            q = q.astype(np.int64)
+            keep = 5 * q * self.cnt[idx] < self.sq[idx]
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            cents = np.round(price[keep] * 100.0).astype(np.int64)
+            return pa.table(
+                {"n_rows": pa.array([int(keep.sum())], pa.int64()),
+                 "cents": pa.array([int(cents.sum())], pa.int64())}
+            )
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(Pass2, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    n = int(partials["n_rows"].sum())
+    cents = int(partials["cents"].sum())
+    return pd.DataFrame(
+        {"n_rows": pd.array([n], dtype="int64"),
+         "avg_yearly": [round_away(float(cents) / 700.0, 6)]}
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pk AS (SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#3' AND p_size <= 15),
+ l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+              CAST(l_extendedprice * 100 AS BIGINT) AS cents
+       FROM lineitem JOIN pk ON l_partkey = p_partkey),
+ a AS (SELECT l_partkey, sum(q) AS sq, count(*) AS c FROM l GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(cents) AS DOUBLE) / 700.0, 6) + 0 AS avg_yearly
+FROM l JOIN a USING (l_partkey) WHERE 5 * q * c < sq
+"""
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape: promo revenue share for one ship-year. Revenue
+    is EXACT int64 fixed point (price cents x (100 - discount
+    percent)); the promo part-key set is broadcast once and membership
+    is a sorted ``np.isin`` per batch; every batch collapses to a
+    2-int partial so only O(batches) rows reach the driver fold."""
+    promo = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["p_type"], pa.scalar("PROMO"))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    pk = np.sort(
+        np.concatenate(
+            [
+                b["p_partkey"].to_numpy(zero_copy_only=False)
+                for b in promo.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    pk_ref = ray.put(pk)
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+
+    class Partial:
+        def __init__(self):
+            self.pk = ray.get(pk_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            m = (ts >= lo) & (ts < hi)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+            cents = np.round(price * 100.0).astype(np.int64)
+            d = np.round(disc * 100.0).astype(np.int64)
+            u = cents * (100 - d)
+            is_promo = np.isin(
+                t["l_partkey"].to_numpy(zero_copy_only=False)[m], self.pk
+            )
+            return pa.table(
+                {
+                    "promo_units": pa.array(
+                        [int(u[is_promo].sum())], pa.int64()
+                    ),
+                    "total_units": pa.array([int(u.sum())], pa.int64()),
+                }
+            )
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(Partial, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    p = int(partials["promo_units"].sum())
+    tot = int(partials["total_units"].sum())
+    return pd.DataFrame(
+        {
+            "promo_units": pd.array([p], dtype="int64"),
+            "total_units": pd.array([tot], dtype="int64"),
+            "promo_share": [round_away(100.0 * float(p) / float(tot), 6)],
+        }
+    )
+
+
+SQL_PROMO_SHARE = """
+WITH l AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * 100 AS BIGINT)
+           * (100 - CAST(l_discount * 100 AS BIGINT)) AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'),
+ j AS (SELECT u, p_type FROM l JOIN part ON l_partkey = p_partkey)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN u ELSE 0 END) AS BIGINT)
+           AS promo_units,
+       CAST(sum(u) AS BIGINT) AS total_units,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN u ELSE 0 END)
+                          AS DOUBLE)
+             / CAST(sum(u) AS DOUBLE), 6) + 0 AS promo_share
+FROM j
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -5751,6 +6054,9 @@ QUERIES = {
     "order_gaps": q_order_gaps,
     "weighted_avg": q_weighted_avg,
     "dedup_canonical": q_dedup_canonical,
+    "large_orders": q_large_orders,
+    "small_qty_revenue": q_small_qty_revenue,
+    "promo_share": q_promo_share,
 }
 
 ORACLE_SQL = {
@@ -5881,6 +6187,9 @@ ORACLE_SQL = {
     "order_gaps": SQL_ORDER_GAPS,
     "weighted_avg": SQL_WEIGHTED_AVG,
     "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "large_orders": SQL_LARGE_ORDERS,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "promo_share": SQL_PROMO_SHARE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -135,6 +135,9 @@ CHECKED = [
     ("order_gaps", 2e-6),
     ("weighted_avg", 2e-6),
     ("dedup_canonical", 0),
+    ("large_orders", 0),
+    ("small_qty_revenue", 2e-6),
+    ("promo_share", 2e-6),
 ]
 
 
