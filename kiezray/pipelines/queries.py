@@ -5903,6 +5903,205 @@ FROM j
 """
 
 
+def q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: nations of high-balance customers with no
+    recent orders. The above-global-average predicate is EXACT
+    rational arithmetic (``cents * n_pos > sum_cents`` — no float avg
+    on either side, two scalar partial folds); the anti join is the
+    hash-partitioned ``semi_join(anti=True)`` (no broadcast keep-set);
+    the final rollup folds int64 cent partials per nation."""
+    from ..relops import semi_join
+
+    cut = np.datetime64("2001-01-01", "us")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table(
+            {"cs": pa.array([int(pos.sum())], pa.int64()),
+             "n": pa.array([len(pos)], pa.int64())}
+        )
+
+    stats = cust.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cs, n = int(stats["cs"].sum()), int(stats["n"].sum())
+
+    def hot(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = cents * n > cs
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+                "c_nationkey": pc.cast(
+                    t["c_nationkey"].filter(pa.array(keep)), pa.int64()
+                ),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"].filter(
+                    pc.greater_equal(
+                        t["o_orderdate"],
+                        pa.scalar(cut.item(), pa.timestamp("us")),
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    idle = semi_join(
+        cust.map_batches(hot, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        recent, "c_custkey", "o_custkey", anti=True,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["c_nationkey"],
+                "cents": t["cents"],
+                "n_cust": pa.array(np.ones(len(t), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = _int_sum_fold(idle, ["cents", "n_cust"]).to_pandas()
+    out = out.rename(columns={"k": "c_nationkey"})
+    out["totacctbal"] = round_away(
+        out["cents"].to_numpy().astype(float) / 100.0, 2
+    )
+    return (
+        out[["c_nationkey", "n_cust", "totacctbal"]]
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+
+
+SQL_SALES_OPPORTUNITY = """
+WITH s AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cs,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0),
+ hot AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer, s
+  WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n > cs),
+ idle AS (
+  SELECT * FROM hot
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'))
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) + 0 AS totacctbal
+FROM idle GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_brand_supplier_count(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier count per (brand, size) for
+    small parts, excluding deficit-balance suppliers. The part and
+    supplier sides are dimension-bounded broadcasts (sorted int64
+    arrays, ``searchsorted`` membership); the count itself is the
+    exact ``grouped_distinct_count`` shuffle — only distinct
+    (packed-key, suppkey) pairs move."""
+    from ..relops import grouped_distinct_count
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t["p_size"], pa.scalar(10, pa.int32()))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    brands = sorted(parts["p_brand"].unique())
+    bidx = {b: i for i, b in enumerate(brands)}
+    pk = parts["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    combo = (
+        parts["p_brand"].map(bidx).to_numpy().astype(np.int64) * 64
+        + parts["p_size"].to_numpy().astype(np.int64)
+    )[order]
+    bad_batches = [
+        b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+        ).map_batches(
+            lambda t: t.filter(
+                pc.less(t["s_acctbal"], pa.scalar(0.0))
+            ).select(["s_suppkey"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    bad_supp = np.sort(
+        np.concatenate(bad_batches or [np.empty(0, np.int64)])
+    )
+    ref = ray.put((pk, combo, bad_supp))
+
+    class Tag:
+        def __init__(self):
+            self.pk, self.combo, self.bad = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            m = np.isin(k, self.pk) & ~np.isin(s, self.bad)
+            idx = np.searchsorted(self.pk, k[m])
+            return pa.table(
+                {"key": pa.array(self.combo[idx], pa.int64()),
+                 "supp": pa.array(s[m].astype(np.int64), pa.int64())}
+            )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(Tag, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    out = grouped_distinct_count(
+        li, "key", "supp", out_col="supplier_cnt"
+    ).to_pandas()
+    key = out["key"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "p_brand": [brands[i] for i in key // 64],
+            "p_size": (key % 64).astype(np.int32),
+            "supplier_cnt": out["supplier_cnt"].to_numpy(),
+        }
+    )
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"],
+        ascending=[False, True, True],
+    ).reset_index(drop=True)
+
+
+SQL_BRAND_SUPPLIER_COUNT = """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6057,6 +6256,8 @@ QUERIES = {
     "large_orders": q_large_orders,
     "small_qty_revenue": q_small_qty_revenue,
     "promo_share": q_promo_share,
+    "sales_opportunity": q_sales_opportunity,
+    "brand_supplier_count": q_brand_supplier_count,
 }
 
 ORACLE_SQL = {
@@ -6190,6 +6391,8 @@ ORACLE_SQL = {
     "large_orders": SQL_LARGE_ORDERS,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "promo_share": SQL_PROMO_SHARE,
+    "sales_opportunity": SQL_SALES_OPPORTUNITY,
+    "brand_supplier_count": SQL_BRAND_SUPPLIER_COUNT,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

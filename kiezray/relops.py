@@ -1222,6 +1222,82 @@ def table_set_op(
     )
 
 
+def grouped_distinct_count(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    out_col: str = "distinct_cnt",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Exact per-key ``COUNT(DISTINCT val)`` over two int64 columns.
+
+    Scale shape: an in-batch distinct-pair combiner (lexsort + change
+    mask) collapses every batch to its unique (key, val) pairs before
+    ONE coarse key-hash shuffle of the two int64 columns; each
+    partition re-sorts its pairs once and counts runs per key with a
+    reduceat — no per-key Python sets, no driver state, traffic is
+    O(distinct pairs) not O(rows). The exact companion to the
+    HLL-approximate ``sketch.grouped_hll`` tier."""
+
+    schema = pa.schema([(key_col, pa.int64()), ("__v", pa.int64())])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) == 0:
+            return schema.empty_table()
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        keep = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (v[1:] != v[:-1]))
+        )
+        return pa.table(
+            {key_col: pa.array(k[keep]), "__v": pa.array(v[keep])}
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(
+                t[key_col], pa.scalar(num_partitions - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    def count_partition(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        v = g["__v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        new_pair = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (v[1:] != v[:-1]))
+        )
+        k, ones = k[new_pair], np.ones(int(new_pair.sum()), np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1]))
+        )
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                out_col: pa.array(
+                    np.add.reduceat(ones, starts), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: count_partition(g.select([key_col, "__v"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def key_skew(
     ds: "ray.data.Dataset",
     key_col: str,

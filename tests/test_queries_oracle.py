@@ -138,6 +138,8 @@ CHECKED = [
     ("large_orders", 0),
     ("small_qty_revenue", 2e-6),
     ("promo_share", 2e-6),
+    ("sales_opportunity", 2e-6),
+    ("brand_supplier_count", 0),
 ]
 
 

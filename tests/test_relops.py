@@ -971,3 +971,29 @@ def test_rfm_segments_matches_pandas_ntile():
     assert np.allclose(got["monetary"], agg["cents"] / 100.0)
     for col in ["r_tile", "f_tile", "m_tile"]:
         assert list(got[col]) == list(agg[col]), col
+
+
+def test_grouped_distinct_count_bruteforce_partition_invariant(ray_session):
+    import pandas as pd
+
+    from kiezray.relops import grouped_distinct_count
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    k = rng.randint(0, 40, n).astype(np.int64)
+    v = rng.randint(0, 25, n).astype(np.int64)
+    want = (
+        pd.DataFrame({"k": k, "v": v})
+        .groupby("k")["v"].nunique().sort_index()
+    )
+    t = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = (
+            grouped_distinct_count(ds, "k", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(got["k"]) == list(want.index)
+        assert list(got["distinct_cnt"]) == list(want.values)
