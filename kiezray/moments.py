@@ -937,3 +937,115 @@ def grouped_weighted_avg(
             ),
         }
     )
+
+
+def grouped_centroid(
+    ds: "ray.data.Dataset",
+    label_col: str,
+    emb_col: str,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Per-label embedding centroid (mean per dimension), EXACT.
+
+    Each element is half-away quantized to 1e-6 int64 terms
+    (``round_away(x * 1e6)``) so the fold is exact integer addition —
+    order/partition-invariant and reproducible against a SQL oracle
+    using identical per-term quantization. Scale shape: one
+    ``reduceat(axis=0)`` per batch collapses n rows to (labels-in-batch
+    x d) long-format partials keyed by ``label * 128 + dim``; ONE
+    coarse hash shuffle of 3-int64-column partials; embeddings never
+    leave their scan. Driver output is O(labels x d) — the grouped
+    companion to the global ``dim_stats``."""
+    import pyarrow.compute as pc
+
+    from .arrowutil import emb_to_matrix, round_away
+
+    P = num_partitions
+
+    def partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        X = emb_to_matrix(t[emb_col]).astype(np.float64)
+        d = X.shape[1]
+        assert d <= 128, "pack budget: dim must be < 128"
+        terms = round_away(X * 1e6, 0).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        labs = lab[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labs[1:] != labs[:-1]))
+        )
+        sums = np.add.reduceat(terms[order], starts, axis=0)  # (L, d)
+        counts = np.diff(np.append(starts, len(labs)))
+        k = (labs[starts][:, None] * 128 + np.arange(d)[None, :]).ravel()
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts.astype(np.int64), d)),
+            }
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1]))
+        )
+        return pa.table(
+            {
+                "k": pa.array(ks[starts], pa.int64()),
+                "s": pa.array(
+                    np.add.reduceat(
+                        g["s"].to_numpy(zero_copy_only=False)[order], starts
+                    ),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    np.add.reduceat(
+                        g["n"].to_numpy(zero_copy_only=False)[order], starts
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: fold(g.select(["k", "s", "n"])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    k = folded["k"].to_numpy()
+    s = folded["s"].to_numpy().astype(np.int64)
+    n = folded["n"].to_numpy().astype(np.int64)
+    # half-away rounding of s/n in EXACT integer math (no double-
+    # rounding hazard when the quotient lands on a .5 micro-unit)
+    mu = np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+    out = pd.DataFrame(
+        {
+            "label": (k // 128).astype(np.int64),
+            "dim": (k % 128).astype(np.int64) + 1,
+            "n": folded["n"].to_numpy(),
+            "centroid": mu.astype(np.float64) / 1e6,
+        }
+    )
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)

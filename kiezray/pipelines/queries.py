@@ -6102,6 +6102,92 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+def q_grouped_centroid(sf_dir: str):
+    """Per-label embedding centroid — exact 1e-6 fixed-point terms so
+    the distributed fold is integer addition (order/partition
+    invariant); embeddings never leave their scan, only O(labels x d)
+    3-int64 partials shuffle. Grouped companion to ``dim_stats``."""
+    from ..moments import grouped_centroid
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return grouped_centroid(emb, "label", "embedding")
+
+
+SQL_GROUPED_CENTROID = """
+WITH g AS (
+  SELECT CAST(label AS BIGINT) AS label, u.i AS dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+  GROUP BY 1, 2)
+SELECT label, dim, n,
+       CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                 ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE)
+           / 1000000.0 AS centroid
+FROM g ORDER BY label, dim
+"""
+
+
+def q_benford(sf_dir: str):
+    """Leading-digit (Benford) profile of order totals: the digit is
+    EXACT integer math (cents // 10^floor — a 19-entry powers-of-10
+    searchsorted, no float log on data); every batch collapses to a
+    <=9-row bincount partial, one tiny fold, O(9) driver state."""
+    pow10 = 10 ** np.arange(19, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = round_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        digit = cents // pow10[np.searchsorted(pow10, cents, "right") - 1]
+        counts = np.bincount(digit, minlength=10)[1:10]
+        return pa.table(
+            {
+                "k": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    folded = _int_sum_fold(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+        ).map_batches(partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["n"],
+    ).to_pandas()
+    folded = folded[folded["n"] > 0].sort_values("k")
+    n = folded["n"].to_numpy().astype(np.int64)
+    d = folded["k"].to_numpy().astype(np.int64)
+    total = float(n.sum())
+    return pd.DataFrame(
+        {
+            "digit": d,
+            "n": n,
+            "share": round_away(n.astype(float) / total, 6),
+            "benford": round_away(np.log10(1.0 + 1.0 / d), 6),
+        }
+    ).reset_index(drop=True)
+
+
+SQL_BENFORD = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+ g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                  AS digit,
+              count(*) AS n
+       FROM c GROUP BY 1),
+ t AS (SELECT sum(n) AS tot FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / tot, 6) + 0 AS share,
+       round(log10(1 + 1.0 / digit), 6) + 0 AS benford
+FROM g, t ORDER BY digit
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6258,6 +6344,8 @@ QUERIES = {
     "promo_share": q_promo_share,
     "sales_opportunity": q_sales_opportunity,
     "brand_supplier_count": q_brand_supplier_count,
+    "grouped_centroid": q_grouped_centroid,
+    "benford": q_benford,
 }
 
 ORACLE_SQL = {
@@ -6393,6 +6481,8 @@ ORACLE_SQL = {
     "promo_share": SQL_PROMO_SHARE,
     "sales_opportunity": SQL_SALES_OPPORTUNITY,
     "brand_supplier_count": SQL_BRAND_SUPPLIER_COUNT,
+    "grouped_centroid": SQL_GROUPED_CENTROID,
+    "benford": SQL_BENFORD,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -436,3 +436,40 @@ def test_grouped_weighted_avg_exact():
         assert got["total_w"].iloc[i] == int(w[m].sum())
         want = (v[m] * w[m]).sum() / w[m].sum()
         assert abs(got["wavg"].iloc[i] - want) < 1e-6
+
+
+def test_grouped_centroid_exact_and_partition_invariant(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.moments import grouped_centroid
+
+    rng = np.random.RandomState(3)
+    n, d = 400, 8
+    X = rng.randn(n, d).astype(np.float32)
+    lab = rng.randint(0, 5, n).astype(np.int32)
+    t = pa.table(
+        {"label": pa.array(lab),
+         "embedding": pa.array(list(X), pa.list_(pa.float32()))}
+    )
+    # local oracle: identical 1e-6 quantization + integer half-away mean
+    terms = np.sign(X.astype(np.float64) * 1e6) * np.floor(
+        np.abs(X.astype(np.float64) * 1e6) + 0.5
+    )
+    rows = []
+    for g in np.unique(lab):
+        s = terms[lab == g].sum(axis=0).astype(np.int64)
+        cnt = int((lab == g).sum())
+        mu = np.sign(s) * ((2 * np.abs(s) + cnt) // (2 * cnt))
+        for j in range(d):
+            rows.append((int(g), j + 1, cnt, mu[j] / 1e6))
+    want = pd.DataFrame(rows, columns=["label", "dim", "n", "centroid"])
+    for parts in (1, 5):
+        got = grouped_centroid(
+            ray.data.from_arrow(t).repartition(parts), "label", "embedding"
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"label": np.int64, "dim": np.int64, "n": np.int64}),
+            want.astype({"label": np.int64, "dim": np.int64, "n": np.int64}),
+        )

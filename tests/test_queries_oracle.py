@@ -140,6 +140,8 @@ CHECKED = [
     ("promo_share", 2e-6),
     ("sales_opportunity", 2e-6),
     ("brand_supplier_count", 0),
+    ("grouped_centroid", 0),
+    ("benford", 2e-6),
 ]
 
 
