@@ -1317,6 +1317,181 @@ def edit_pairs(
     )
 
 
+def batch_jaro_winkler(a_texts, b_texts) -> np.ndarray:
+    """Jaro-Winkler similarity for a batch of string pairs, vectorized
+    ACROSS the batch (DuckDB ``jaro_winkler_similarity`` semantics,
+    verified empirically: match window ``max(la,lb)//2 - 1`` clamped
+    >= 0, transpositions = mismatched matched-sequence positions / 2,
+    Winkler prefix <= 4 chars at weight 0.1 applied only when
+    jaro > 0.7).
+
+    The greedy left-to-right matching pass is the only sequential part;
+    it advances the WHOLE batch per (i, j) cell with O(La * Lb) boolean
+    numpy work — no per-pair Python. The matched sequences needed for
+    the transposition count are compacted with two stable argsorts
+    (matched-first in i order / j order) instead of per-pair loops."""
+    P = len(a_texts)
+    out = np.zeros(P, dtype=np.float64)
+    if P == 0:
+        return out
+    la = np.fromiter((len(s) for s in a_texts), np.int64, P)
+    lb = np.fromiter((len(s) for s in b_texts), np.int64, P)
+    La, Lb = int(la.max()), int(lb.max())
+    if La == 0 or Lb == 0:
+        return out  # any empty side -> 0.0 (DuckDB convention)
+    A = np.zeros((P, La), dtype=np.uint32)
+    B = np.full((P, Lb), 0xFFFFFFFF, dtype=np.uint32)
+    for i, s in enumerate(a_texts):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    for i, s in enumerate(b_texts):
+        if s:
+            B[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    wmax = int(w.max())
+    b_matched = np.zeros((P, Lb), dtype=bool)
+    match_j = np.full((P, La), -1, np.int64)
+    for i in range(La):
+        active = i < la
+        if not active.any():
+            break
+        lo = np.maximum(i - w, 0)
+        hi = np.minimum(i + w + 1, lb)
+        found = np.zeros(P, dtype=bool)
+        for j in range(max(0, i - wmax), min(Lb, i + wmax + 1)):
+            ok = (
+                active
+                & ~found
+                & (j >= lo)
+                & (j < hi)
+                & ~b_matched[:, j]
+                & (B[:, j] == A[:, i])
+            )
+            if ok.any():
+                b_matched[ok, j] = True
+                match_j[ok, i] = j
+                found |= ok
+    matched = match_j >= 0
+    m = matched.sum(axis=1)
+    has = m > 0
+    if not has.any():
+        return out
+    # matched chars of A in i order / of B in j order, compacted left
+    key_a = np.where(matched, 0, La) + np.arange(La)[None, :]
+    a_seq = np.take_along_axis(
+        A, np.argsort(key_a, axis=1, kind="stable"), axis=1
+    )
+    key_b = np.where(b_matched, 0, Lb) + np.arange(Lb)[None, :]
+    b_seq = np.take_along_axis(
+        B, np.argsort(key_b, axis=1, kind="stable"), axis=1
+    )
+    K = min(La, Lb)
+    valid = np.arange(K)[None, :] < m[:, None]
+    # the two matched sequences are the same multiset, so the mismatch
+    # count is even and t = mismatches / 2 is exact
+    t = ((a_seq[:, :K] != b_seq[:, :K]) & valid).sum(axis=1) // 2
+    mf = m.astype(np.float64)
+    jaro = np.zeros(P, dtype=np.float64)
+    jaro[has] = (
+        mf[has] / la[has] + mf[has] / lb[has] + (mf[has] - t[has]) / mf[has]
+    ) / 3.0
+    # Winkler prefix boost (<= 4 leading equal chars, only if jaro > 0.7)
+    Kp = min(4, La, Lb)
+    eq = (A[:, :Kp] == B[:, :Kp]) & (
+        np.arange(Kp)[None, :] < np.minimum(la, lb)[:, None]
+    )
+    prefix = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    boost = jaro > 0.7
+    out[:] = jaro
+    out[boost] += prefix[boost] * 0.1 * (1.0 - jaro[boost])
+    return out
+
+
+def jw_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    block_chars: int = 1,
+    threshold: float = 0.75,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Blocked Jaro-Winkler similarity join over the DISTINCT values of
+    a string column: every unordered pair sharing a ``block_chars``
+    prefix whose similarity (rounded half-away to 6 decimals, the
+    oracle-stable cut) reaches ``threshold`` -> (name_a, name_b, jw).
+
+    Scale shape: in-batch distinct combiner first (values, not rows,
+    move), the prefix is THE blocking key — its hash is the ONE
+    shuffle — and each partition enumerates block pairs with the
+    vectorized ``_run_pairs`` expansion feeding a single
+    ``batch_jaro_winkler`` call: no per-pair Python, pair count
+    bounded by the block-size distribution. The string-similarity
+    rerank tier the reference's alignment pipeline lacks
+    (kiez has no lexical scorer; cf. kiez/kiez.py:1 docstring scope)."""
+    import pyarrow.compute as pc
+
+    from .arrowutil import round_away
+    from .block import _run_pairs
+
+    def distinct_keyed(t: pa.Table) -> pa.Table:
+        names = np.unique(
+            pc.coalesce(t[text_col], "").to_numpy(zero_copy_only=False)
+        )
+        pfx = np.array([s[:block_chars] for s in names], dtype=object)
+        h = pd.util.hash_array(pfx).astype(np.uint64)
+        part = (_splitmix64(h) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "name": pa.array(names, pa.string()),
+                "__pfx": pa.array(pfx, pa.string()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "name_a": pd.Series(dtype=object),
+                "name_b": pd.Series(dtype=object),
+                "jw": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        names = np.unique(g["name"].to_numpy(dtype=object))
+        pfx = np.array([s[:block_chars] for s in names], dtype=object)
+        order = np.lexsort((names, pfx))
+        names, pfx = names[order], pfx[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], pfx[1:] != pfx[:-1]))
+        )
+        lengths = np.diff(np.append(starts, len(pfx)))
+        a_idx, b_idx = _run_pairs(starts, lengths)
+        if len(a_idx) == 0:
+            return empty
+        jw = round_away(
+            batch_jaro_winkler(list(names[a_idx]), list(names[b_idx])), 6
+        )
+        keep = jw >= threshold
+        return pd.DataFrame(
+            {
+                "name_a": names[a_idx][keep],
+                "name_b": names[b_idx][keep],
+                "jw": jw[keep],
+            }
+        )
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(distinct_keyed, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
+
+
 def batch_weighted_minhash(
     texts: list[str], num_perm: int = 64, seed: int = 7
 ) -> np.ndarray:

@@ -6188,6 +6188,41 @@ FROM g, t ORDER BY digit
 """
 
 
+def q_jw_pairs(sf_dir: str):
+    """Blocked Jaro-Winkler similarity join over distinct part names —
+    the lexical rerank primitive for ER. The numpy kernel is bitwise
+    identical to DuckDB's ``jaro_winkler_similarity`` (fuzz-verified:
+    window max//2-1, transpositions/2, prefix<=4 boost only when
+    jaro > 0.7); the threshold cut is on the ROUNDED score so a libm
+    ulp can never flip membership."""
+    from ..dedup import jw_pairs
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    out = (
+        jw_pairs(part, "p_name", block_chars=1, threshold=0.75)
+        .to_pandas()
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+SQL_JW_PAIRS = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+ p AS (SELECT a.p_name AS name_a, b.p_name AS name_b
+       FROM n a JOIN n b
+         ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        AND a.p_name < b.p_name)
+SELECT name_a, name_b,
+       round(jaro_winkler_similarity(name_a, name_b), 6) + 0 AS jw
+FROM p
+WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.75
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6346,6 +6381,7 @@ QUERIES = {
     "brand_supplier_count": q_brand_supplier_count,
     "grouped_centroid": q_grouped_centroid,
     "benford": q_benford,
+    "jw_pairs": q_jw_pairs,
 }
 
 ORACLE_SQL = {
@@ -6483,6 +6519,7 @@ ORACLE_SQL = {
     "brand_supplier_count": SQL_BRAND_SUPPLIER_COUNT,
     "grouped_centroid": SQL_GROUPED_CENTROID,
     "benford": SQL_BENFORD,
+    "jw_pairs": SQL_JW_PAIRS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -637,3 +637,51 @@ def test_dedup_canonical_groups_case_punct_variants():
     )
     assert list(got["doc_id"]) == [0, 3, 5]
     assert list(got["n_copies"]) == [3, 2, 1]
+
+
+def test_batch_jaro_winkler_matches_duckdb_bitwise():
+    import random
+
+    import duckdb
+
+    from kiezray.dedup import batch_jaro_winkler
+
+    random.seed(9)
+    pairs = [("", ""), ("a", ""), ("", "b"), ("ab", "ba"),
+             ("martha", "marhta"), ("dixon", "dicksonx"),
+             ("abcxxxxxx", "abcyyyyyy")]
+    for _ in range(1500):
+        a = "".join(random.choice("abcdef ") for _ in range(random.randint(0, 12)))
+        bl = list(a)
+        for _ in range(random.randint(0, 3)):
+            if len(bl) > 1:
+                i, j = random.randrange(len(bl)), random.randrange(len(bl))
+                bl[i], bl[j] = bl[j], bl[i]
+        pairs.append((a, "".join(bl)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    want = np.array(
+        [r[0] for r in
+         con.sql("SELECT jaro_winkler_similarity(a, b) FROM p").fetchall()]
+    )
+    got = batch_jaro_winkler([p[0] for p in pairs], [p[1] for p in pairs])
+    assert np.abs(got - want).max() == 0.0
+
+
+def test_jw_pairs_blocked_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import jw_pairs
+
+    names = ["acme corp", "acme corp.", "acme inc", "zenith ltd",
+             "zenith ltd", "beta llc"]
+    ds = ray.data.from_arrow(pa.table({"name": pa.array(names)})).repartition(3)
+    out = jw_pairs(ds, "name", block_chars=1, threshold=0.9).to_pandas()
+    got = set(zip(out["name_a"], out["name_b"]))
+    # distinct values only (the duplicate zenith collapses), blocked by
+    # first char so acme/zenith never pair together
+    assert ("acme corp", "acme corp.") in got
+    assert all(a[0] == b[0] for a, b in got)
+    assert not any("zenith" in a and "beta" in b for a, b in got)

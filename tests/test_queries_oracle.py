@@ -142,6 +142,7 @@ CHECKED = [
     ("brand_supplier_count", 0),
     ("grouped_centroid", 0),
     ("benford", 2e-6),
+    ("jw_pairs", 0),
 ]
 
 
