@@ -6223,6 +6223,114 @@ ORDER BY name_a, name_b
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """CDC classification between two order-book snapshots: each
+    customer's latest order total before vs after a cutoff, classified
+    added/removed/changed/unchanged. Composes two ``first_last``
+    associative folds (raw orders never shuffle) with the
+    ``snapshot_diff`` tagged-union outer resolve — ONE key shuffle."""
+    from ..relops import snapshot_diff
+    from ..windows import first_last
+
+    cut = pa.scalar(
+        np.datetime64("1998-01-01", "us").item(), pa.timestamp("us")
+    )
+
+    def latest(pred) -> "ray.data.Dataset":
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_orderkey",
+                     "o_totalprice"],
+        ).map_batches(
+            lambda t: t.filter(pred(t)), batch_format="pyarrow"
+        )
+        return first_last(
+            orders, "o_custkey", "o_orderdate", "o_orderkey",
+            ["o_totalprice"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "val": pc.cast(t["last_o_totalprice"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    old = latest(lambda t: pc.less(t["o_orderdate"], cut))
+    new = latest(lambda t: pc.greater_equal(t["o_orderdate"], cut))
+    out = (
+        snapshot_diff(old, new, "o_custkey", "val")
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+             AS rn
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+ n AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+             AS rn
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+ oo AS (SELECT o_custkey, o_totalprice FROM o WHERE rn = 1),
+ nn AS (SELECT o_custkey, o_totalprice FROM n WHERE rn = 1)
+SELECT coalesce(oo.o_custkey, nn.o_custkey) AS o_custkey,
+       oo.o_totalprice AS old_val, nn.o_totalprice AS new_val,
+       CASE WHEN oo.o_custkey IS NULL THEN 'added'
+            WHEN nn.o_custkey IS NULL THEN 'removed'
+            WHEN oo.o_totalprice <> nn.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM oo FULL OUTER JOIN nn ON oo.o_custkey = nn.o_custkey
+ORDER BY 1
+"""
+
+
+def q_state_intervals(sf_dir: str):
+    """Per-user SCD-2 state history over the event stream: maximal runs
+    of equal event_type as (start, end, n) intervals — the
+    gaps-and-islands construction with ONE slim-column key shuffle and
+    a reduceat per partition instead of window sorts."""
+    from ..windows import state_intervals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return (
+        state_intervals(ev, "user_id", "ts", "event_id", "event_type")
+        .to_pandas()
+        .sort_values(["user_id", "start_epoch", "end_epoch", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_STATE_INTERVALS = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY floor(epoch(ts)), event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY floor(epoch(ts)), event_id) AS rns
+  FROM events)
+SELECT user_id, event_type,
+       CAST(min(e) AS BIGINT) AS start_epoch,
+       CAST(max(e) AS BIGINT) AS end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id, event_type, rn - rns
+ORDER BY user_id, start_epoch, end_epoch, event_type
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6382,6 +6490,8 @@ QUERIES = {
     "grouped_centroid": q_grouped_centroid,
     "benford": q_benford,
     "jw_pairs": q_jw_pairs,
+    "snapshot_diff": q_snapshot_diff,
+    "state_intervals": q_state_intervals,
 }
 
 ORACLE_SQL = {
@@ -6520,6 +6630,8 @@ ORACLE_SQL = {
     "grouped_centroid": SQL_GROUPED_CENTROID,
     "benford": SQL_BENFORD,
     "jw_pairs": SQL_JW_PAIRS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "state_intervals": SQL_STATE_INTERVALS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .dedup import _splitmix64
@@ -1593,4 +1594,84 @@ def interarrival_stats(
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(gaps_partition, batch_format="pandas")
+    )
+
+
+def state_intervals(
+    events: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    state_col: str,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """SCD-2-style state history: collapse each key's (ts, tie)-ordered
+    event stream into maximal runs of equal ``state_col`` ->
+    (key, state, start_epoch, end_epoch, n_events) — the
+    gaps-and-islands interval construction (SQL ``rn - rn_per_state``
+    trick) without a window-function sort.
+
+    Scale shape: ONE key-hash shuffle of 4 slim columns co-locates each
+    key; a single mergesort + change-mask + ``reduceat`` per partition
+    emits every interval. No window frames, no driver state; output is
+    O(state changes)."""
+    import pandas as pd
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "e": pa.array(e, pa.int64()),
+                "tie": pc.cast(t[tie_col], pa.int64()),
+                "s": t[state_col],
+                "__part": pa.array(
+                    (k & (num_partitions - 1)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=np.int64),
+                state_col: pd.Series(dtype=object),
+                "start_epoch": pd.Series(dtype=np.int64),
+                "end_epoch": pd.Series(dtype=np.int64),
+                "n_events": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["k", "e", "tie"], kind="mergesort")
+        k = g["k"].to_numpy()
+        e = g["e"].to_numpy()
+        s = g["s"].to_numpy(dtype=object)
+        brk = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (s[1:] != s[:-1]))
+        )
+        starts = np.flatnonzero(brk)
+        n = np.diff(np.append(starts, len(k))).astype(np.int64)
+        ends = np.append(starts[1:], len(k)) - 1
+        return pd.DataFrame(
+            {
+                key_col: k[starts],
+                state_col: s[starts],
+                "start_epoch": e[starts],
+                "end_epoch": e[ends],
+                "n_events": n,
+            }
+        )
+
+    return (
+        events.select_columns([key_col, ts_col, tie_col, state_col])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(intervals, batch_format="pandas")
     )

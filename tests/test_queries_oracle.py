@@ -143,6 +143,8 @@ CHECKED = [
     ("grouped_centroid", 0),
     ("benford", 2e-6),
     ("jw_pairs", 0),
+    ("snapshot_diff", 0),
+    ("state_intervals", 0),
 ]
 
 

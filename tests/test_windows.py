@@ -669,3 +669,75 @@ def test_interarrival_stats_bruteforce():
     assert np.allclose(got["avg_gap_s"], [r[2] for r in rows], atol=1e-6)
     assert list(got["min_gap_us"]) == [r[3] for r in rows]
     assert list(got["max_gap_us"]) == [r[4] for r in rows]
+
+
+def test_state_intervals_bruteforce_partition_invariant(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.windows import state_intervals
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 30, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10_000, n) * 1_000_000_000 + 1_600_000_000_000_000_000
+            ),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    # local oracle: sort, detect runs
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    k = s["user_id"].to_numpy()
+    st = s["event_type"].to_numpy(dtype=object)
+    e = s["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    brk = np.concatenate(([True], (k[1:] != k[:-1]) | (st[1:] != st[:-1])))
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], len(k)) - 1
+    want = pd.DataFrame(
+        {
+            "user_id": k[starts],
+            "event_type": st[starts],
+            "start_epoch": e[starts],
+            "end_epoch": e[ends],
+            "n_events": np.diff(np.append(starts, len(k))).astype(np.int64),
+        }
+    ).sort_values(["user_id", "start_epoch", "end_epoch"]).reset_index(drop=True)
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (
+            state_intervals(ds, "user_id", "ts", "event_id", "event_type")
+            .to_pandas()
+            .sort_values(["user_id", "start_epoch", "end_epoch"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_snapshot_diff_classification(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.relops import snapshot_diff
+
+    old = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array([1.0, 2.0, 3.0])})
+    new = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                    "v": pa.array([2.0, 9.0, 4.0])})
+    out = (
+        snapshot_diff(
+            ray.data.from_arrow(old).repartition(2),
+            ray.data.from_arrow(new).repartition(3),
+            "k", "v",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2, 3, 4]
+    assert list(out["status"]) == ["removed", "unchanged", "changed", "added"]
