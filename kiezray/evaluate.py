@@ -277,3 +277,75 @@ def binary_auc(
             "n_neg": np.array([n_neg], dtype=np.int64),
         }
     )
+
+
+def fellegi_sunter(
+    pairs: "ray.data.Dataset",
+    records: "ray.data.Dataset",
+    id_col: str,
+    eq_fields: "dict[str, tuple[float, float]]",
+    len_field: "tuple[str, tuple[float, float]] | None" = None,
+    num_partitions: int = 32,
+):
+    """Fellegi-Sunter probabilistic record-linkage scores (JASA 1969)
+    over pre-blocked candidate pairs: per field, add the
+    agreement/disagreement log-odds weight (literal doubles so a SQL
+    oracle sums bit-identical values in the same order); ``len_field``
+    agrees when ``10*|la-lb| <= max(la,lb)`` — an EXACT integer 10%%
+    band. Output: a_id, b_id, agree_<field> flags, score (round 6).
+
+    Scale shape: record payloads reach the pairs by TWO hash joins on
+    the pair ids (the same no-driver-state transport as the dedup
+    verify stages); scoring is one vectorized ``np.where`` chain per
+    batch. Pair count is whatever the upstream blocker bounded it to.
+
+    The decision-theoretic scorer the reference's distance-only
+    alignment lacks (cf. kiez/kiez.py kneighbors -> raw distances).
+    """
+    import pandas as pd
+    import ray.data
+
+    from .arrowutil import round_away
+    from .relops import hash_join
+
+    fields = list(eq_fields)
+    lf = [len_field[0]] if len_field else []
+
+    def side(prefix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {f"__{prefix}k": t[id_col]}
+            for c in fields + lf:
+                cols[f"{prefix}_{c}"] = t[c]
+            return pa.table(cols)
+
+        return fn
+
+    rec_a = records.map_batches(side("a"), batch_format="pyarrow")
+    rec_b = records.map_batches(side("b"), batch_format="pyarrow")
+    j = hash_join(
+        hash_join(pairs, rec_a, "a_id", "__ak", num_partitions),
+        rec_b, "b_id", "__bk", num_partitions,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out = {"a_id": t["a_id"], "b_id": t["b_id"]}
+        total = np.zeros(n, dtype=np.float64)
+        for c in fields:
+            w_a, w_d = eq_fields[c]
+            a = t[f"a_{c}"].to_numpy(zero_copy_only=False)
+            b = t[f"b_{c}"].to_numpy(zero_copy_only=False)
+            agree = a == b
+            out[f"agree_{c}"] = pa.array(agree.astype(np.int64))
+            total = total + np.where(agree, w_a, w_d)
+        if len_field:
+            c, (w_a, w_d) = len_field
+            la = t[f"a_{c}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lb = t[f"b_{c}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            agree = 10 * np.abs(la - lb) <= np.maximum(la, lb)
+            out[f"agree_{c}"] = pa.array(agree.astype(np.int64))
+            total = total + np.where(agree, w_a, w_d)
+        out["score"] = pa.array(round_away(total, 6))
+        return pa.table(out)
+
+    return j.map_batches(score, batch_format="pyarrow")

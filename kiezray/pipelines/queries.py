@@ -6331,6 +6331,70 @@ ORDER BY user_id, start_epoch, end_epoch, event_type
 """
 
 
+def q_fs_scores(sf_dir: str):
+    """Fellegi-Sunter probabilistic linkage scores over the
+    sorted-neighborhood candidate pairs: literal log-odds weights per
+    field agreement (lang / source equality, 10%% length band in exact
+    integer math) summed in a fixed order so the oracle adds
+    bit-identical doubles. Payloads reach pairs by two hash joins —
+    no driver state."""
+    from ..block import sorted_neighborhood_pairs
+    from ..evaluate import fellegi_sunter
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, prefix_len=8
+    )
+    out = fellegi_sunter(
+        pairs,
+        docs.select_columns(["doc_id", "lang", "source", "n_chars"]),
+        "doc_id",
+        {"lang": (1.15268, -2.639057), "source": (1.280934, -2.014903)},
+        len_field=("n_chars", (1.446919, -1.673976)),
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_FS_SCORES = """
+WITH d AS (SELECT doc_id,
+                  lower(substr(coalesce(text, ''), 1, 8)) AS pfx
+           FROM documents),
+ r AS (SELECT doc_id,
+              row_number() OVER (ORDER BY pfx, doc_id) AS rn
+       FROM d),
+ p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+ m AS (SELECT p.a_id, p.b_id,
+              CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END
+                  AS agree_lang,
+              CASE WHEN da.source = db.source THEN 1 ELSE 0 END
+                  AS agree_source,
+              CASE WHEN 10 * abs(da.n_chars - db.n_chars)
+                        <= greatest(da.n_chars, db.n_chars)
+                   THEN 1 ELSE 0 END AS agree_n_chars
+       FROM p
+       JOIN documents da ON da.doc_id = p.a_id
+       JOIN documents db ON db.doc_id = p.b_id)
+SELECT a_id, b_id,
+       CAST(agree_lang AS BIGINT) AS agree_lang,
+       CAST(agree_source AS BIGINT) AS agree_source,
+       CAST(agree_n_chars AS BIGINT) AS agree_n_chars,
+       round(CASE WHEN agree_lang = 1 THEN 1.15268 ELSE -2.639057 END
+             + CASE WHEN agree_source = 1 THEN 1.280934
+                    ELSE -2.014903 END
+             + CASE WHEN agree_n_chars = 1 THEN 1.446919
+                    ELSE -1.673976 END, 6) + 0 AS score
+FROM m ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6492,6 +6556,7 @@ QUERIES = {
     "jw_pairs": q_jw_pairs,
     "snapshot_diff": q_snapshot_diff,
     "state_intervals": q_state_intervals,
+    "fs_scores": q_fs_scores,
 }
 
 ORACLE_SQL = {
@@ -6632,6 +6697,7 @@ ORACLE_SQL = {
     "jw_pairs": SQL_JW_PAIRS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "state_intervals": SQL_STATE_INTERVALS,
+    "fs_scores": SQL_FS_SCORES,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

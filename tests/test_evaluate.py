@@ -102,3 +102,38 @@ def test_binary_auc_bruteforce_with_ties():
     assert abs(got["auc"].iloc[0] - want) < 1e-6
     assert got["n_pos"].iloc[0] == int(pos.sum())
     assert got["n_neg"].iloc[0] == int((~pos).sum())
+
+
+def test_fellegi_sunter_weight_sums(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.evaluate import fellegi_sunter
+
+    pairs = ray.data.from_arrow(
+        pa.table({"a_id": pa.array([1, 1], pa.int64()),
+                  "b_id": pa.array([2, 3], pa.int64())})
+    )
+    recs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "lang": pa.array(["en", "en", "de"]),
+                "n_chars": pa.array([100, 105, 200], pa.int64()),
+            }
+        )
+    )
+    out = (
+        fellegi_sunter(
+            pairs, recs, "doc_id",
+            {"lang": (1.0, -2.0)}, len_field=("n_chars", (0.5, -0.25)),
+        )
+        .to_pandas()
+        .sort_values("b_id")
+        .reset_index(drop=True)
+    )
+    # pair (1,2): lang agrees, |100-105|*10=50 <= 105 agrees -> 1.5
+    # pair (1,3): lang disagrees, |100-200|*10 > 200 -> -2.25
+    assert list(out["agree_lang"]) == [1, 0]
+    assert list(out["agree_n_chars"]) == [1, 0]
+    assert list(out["score"]) == [1.5, -2.25]

@@ -145,6 +145,7 @@ CHECKED = [
     ("jw_pairs", 0),
     ("snapshot_diff", 0),
     ("state_intervals", 0),
+    ("fs_scores", 0),
 ]
 
 
