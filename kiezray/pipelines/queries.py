@@ -6395,6 +6395,44 @@ FROM m ORDER BY a_id, b_id
 """
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Hourly peak concurrent sessions — the distributed sweep-line:
+    sessionize (one key shuffle), boundary combiner collapses each
+    batch to one row per distinct timestamp, ONE bucket shuffle, and a
+    two-phase prefix sum whose driver fold is O(calendar hours)."""
+    from ..windows import peak_concurrency, sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return peak_concurrency(sessionize(ev, "user_id", "ts", gap_s=1800))
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH e AS (SELECT CAST(user_id AS BIGINT) user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) es
+           FROM events),
+ flagged AS (SELECT user_id, es,
+                    CASE WHEN es - lag(es) OVER w > 1800
+                         OR lag(es) OVER w IS NULL THEN 1 ELSE 0 END
+                        AS new_s
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+ sess AS (SELECT user_id, es,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged),
+ s AS (SELECT min(es) AS session_start, max(es) AS session_end
+       FROM sess GROUP BY user_id, sid),
+ b AS (SELECT session_start AS t, 1 AS d FROM s
+       UNION ALL SELECT session_end + 1, -1 FROM s),
+ r AS (SELECT t, d,
+              sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS cc
+       FROM b)
+SELECT t // 3600 AS hour, CAST(max(cc) AS BIGINT) AS max_cc
+FROM r WHERE d = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6557,6 +6595,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "state_intervals": q_state_intervals,
     "fs_scores": q_fs_scores,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLE_SQL = {
@@ -6698,6 +6737,7 @@ ORACLE_SQL = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "state_intervals": SQL_STATE_INTERVALS,
     "fs_scores": SQL_FS_SCORES,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -146,6 +146,7 @@ CHECKED = [
     ("snapshot_diff", 0),
     ("state_intervals", 0),
     ("fs_scores", 0),
+    ("peak_concurrency", 0),
 ]
 
 

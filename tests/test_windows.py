@@ -741,3 +741,35 @@ def test_snapshot_diff_classification(ray_session):
     )
     assert list(out["k"]) == [1, 2, 3, 4]
     assert list(out["status"]) == ["removed", "unchanged", "changed", "added"]
+
+
+def test_peak_concurrency_bruteforce_partition_invariant(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.windows import peak_concurrency
+
+    rng = np.random.RandomState(8)
+    n = 800
+    start = rng.randint(0, 50_000, n).astype(np.int64)
+    end = start + rng.randint(0, 8_000, n)
+    # brute force: second-by-second occupancy
+    occ = np.zeros(int(end.max()) + 2, np.int64)
+    np.add.at(occ, start, 1)
+    np.add.at(occ, end + 1, -1)
+    cc = np.cumsum(occ)
+    # maxima are reported at +1 application points (the SQL d=1 rows):
+    # per hour, the max of cc at that hour's session-start seconds
+    want = {}
+    for h in np.unique(start // 3600):
+        pts = start[start // 3600 == h]
+        want[int(h)] = int(cc[pts].max())
+    t = pa.table({"session_start": pa.array(start),
+                  "session_end": pa.array(end)})
+    for parts in (1, 7):
+        out = peak_concurrency(
+            ray.data.from_arrow(t).repartition(parts)
+        )
+        got = dict(zip(out["hour"], out["max_cc"]))
+        assert got == want
