@@ -6433,6 +6433,57 @@ FROM r WHERE d = 1 GROUP BY 1 ORDER BY 1
 """
 
 
+def q_centroid_dist(sf_dir: str):
+    """Pairwise squared euclidean distance between label centroids —
+    EXACT end to end: centroids are integer micro-units (the
+    ``grouped_centroid`` fold), the distance is an int64 sum of
+    squared differences, and the only division is the final 1e12
+    rescale (identical doubles both sides). Distributed work is the
+    centroid fold; the label x label matrix is driver-trivial."""
+    from ..moments import grouped_centroid
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    cent = grouped_centroid(emb, "label", "embedding")
+    labels = np.sort(cent["label"].unique())
+    d = int(cent["dim"].max())
+    mu = np.zeros((len(labels), d), dtype=np.int64)
+    lab_idx = {int(l): i for i, l in enumerate(labels)}
+    mu[
+        cent["label"].map(lab_idx).to_numpy(),
+        cent["dim"].to_numpy() - 1,
+    ] = np.round(cent["centroid"].to_numpy() * 1e6).astype(np.int64)
+    rows = []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            d2 = int(((mu[i] - mu[j]) ** 2).sum())
+            rows.append((int(labels[i]), int(labels[j]), d2 / 1e12))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "dist2"])
+
+
+SQL_CENTROID_DIST = """
+WITH g AS (
+  SELECT CAST(label AS BIGINT) AS label, u.i AS dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+  GROUP BY 1, 2),
+ c AS (
+  SELECT label, dim,
+         CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+              ELSE -((2 * (-s) + n) // (2 * n)) END AS mu
+  FROM g)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum((a.mu - b.mu) * (a.mu - b.mu)) AS DOUBLE)
+           / 1000000000000.0 AS dist2
+FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6596,6 +6647,7 @@ QUERIES = {
     "state_intervals": q_state_intervals,
     "fs_scores": q_fs_scores,
     "peak_concurrency": q_peak_concurrency,
+    "centroid_dist": q_centroid_dist,
 }
 
 ORACLE_SQL = {
@@ -6738,6 +6790,7 @@ ORACLE_SQL = {
     "state_intervals": SQL_STATE_INTERVALS,
     "fs_scores": SQL_FS_SCORES,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "centroid_dist": SQL_CENTROID_DIST,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

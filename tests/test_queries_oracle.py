@@ -147,6 +147,7 @@ CHECKED = [
     ("state_intervals", 0),
     ("fs_scores", 0),
     ("peak_concurrency", 0),
+    ("centroid_dist", 0),
 ]
 
 
