@@ -6484,6 +6484,267 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shape completion (Q2/Q3/Q4/Q6/Q7/Q9/Q11/Q12/Q15/Q19/Q20/Q21 shapes)
+# adapted to the driver schema (no partsupp table, no commit/receipt dates,
+# no shipmode — each docstring states the substitution). With these, all 22
+# TPC-H query shapes have an oracle-exact entry.
+# ---------------------------------------------------------------------------
+
+
+def _li_units(t: pa.Table) -> np.ndarray:
+    """Exact revenue fixed point: price cents x (100 - discount pct),
+    int64 units of 10^-4 dollars. Partition-order-invariant by
+    construction (integer addition commutes)."""
+    price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = t["l_discount"].to_numpy(zero_copy_only=False)
+    cents = np.round(price * 100.0).astype(np.int64)
+    d = np.round(disc * 100.0).astype(np.int64)
+    return cents * (100 - d)
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: forecast revenue change from eliminating small
+    discounts. Pure filter + global sum — every batch collapses to ONE
+    int64 partial (cents x discount-percent units), the driver folds
+    O(batches) rows. The leanest possible 100-TB shape: 4 pruned
+    columns in, 8 bytes per batch out."""
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        d = np.round(disc * 100.0).astype(np.int64)
+        m = (ts >= lo) & (ts < hi) & (d >= 5) & (d <= 7) & (qty < 24)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        cents = np.round(price * 100.0).astype(np.int64)
+        u = cents * d[m]
+        return pa.table({"u": pa.array([int(u.sum())], pa.int64())})
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    u = int(partials["u"].sum())
+    return pd.DataFrame(
+        {"revenue_units": pd.array([u], dtype="int64"),
+         "revenue": [round_away(float(u) / 10000.0, 2)]}
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_units,
+       round(CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                  AS DOUBLE) / 10000.0, 2) + 0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter (ties kept, like the reference query's view-max form).
+    Exact int64 revenue units -> per-supplier ``_int_sum_fold`` (one
+    row per supplier ever moves) -> global max + equality filter on
+    the tiny per-supplier table; names resolved from the supplier
+    dimension driver-side."""
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def units(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (ts >= lo) & (ts < hi)
+        sub = t.filter(pa.array(m))
+        return pa.table(
+            {
+                "k": pc.cast(sub["l_suppkey"], pa.int64()),
+                "u": pa.array(_li_units(sub), pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(units, batch_format="pyarrow", zero_copy_batch=True)
+    per_supp = _int_sum_fold(li, ["u"]).to_pandas()  # one row / supplier
+    best = int(per_supp["u"].max())
+    win = per_supp[per_supp["u"] == best]
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = win.merge(supp, left_on="k", right_on="s_suppkey")
+    out["total_revenue"] = round_away(
+        out["u"].to_numpy().astype(np.float64) / 10000.0, 2
+    )
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name,
+       round(CAST(u AS DOUBLE) / 10000.0, 2) + 0 AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE u = (SELECT max(u) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose total lineitem spend exceeds a
+    scale-invariant threshold (HAVING sum > scalar-subquery threshold).
+    No partsupp table in this schema, so "value" is the part's total
+    revenue and the bar is 1.3x the mean per-part value. Exact rational
+    compare ``10 * v * n_parts > 13 * total`` in int64 — no float
+    threshold;
+    both scalars come from one aggregate over one-row-per-part
+    partials."""
+
+    def units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t["l_partkey"], pa.int64()),
+                "u": pa.array(_li_units(t), pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(units, batch_format="pyarrow", zero_copy_batch=True)
+    folded = _int_sum_fold(li, ["u"]).materialize()  # one row per part
+    total = int(folded.sum("u"))
+    n_parts = int(folded.count())
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["u"].to_numpy(zero_copy_only=False)
+        m = 10 * v * n_parts > 13 * total
+        sub = t.filter(pa.array(m))
+        val = sub["u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "p_partkey": sub["k"],
+                "value": pa.array(round_away(val / 10000.0, 2),
+                                  pa.float64()),
+            }
+        )
+
+    out = folded.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"p_partkey": pd.array([], dtype="int64"),
+             "value": pd.array([], dtype="float64")}
+        )
+    return out.sort_values(
+        ["value", "p_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+SQL_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u
+  FROM lineitem GROUP BY 1)
+SELECT p_partkey, round(CAST(u AS DOUBLE) / 10000.0, 2) + 0 AS value
+FROM v
+WHERE 10 * u * (SELECT count(*) FROM v) > 13 * (SELECT sum(u) FROM v)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q_or_brand_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue over three OR'd (brand, quantity-range,
+    size-range) branches. Each branch's qualifying part-key set is
+    tiny (one brand x bounded size) — built once, broadcast via
+    ``ray.put``, membership per batch is a sorted ``np.isin``; every
+    batch collapses to one int64 partial."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    branches = [
+        ("Brand#1", 1, 11, 1, 5),
+        ("Brand#2", 10, 20, 1, 10),
+        ("Brand#3", 20, 30, 1, 15),
+    ]
+    sets = []
+    for brand, qlo, qhi, slo, shi in branches:
+        m = (
+            (part["p_brand"] == brand)
+            & (part["p_size"] >= slo)
+            & (part["p_size"] <= shi)
+        )
+        sets.append(np.sort(part.loc[m, "p_partkey"].to_numpy()))
+    sets_ref = ray.put(sets)
+
+    class Partial:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+            hit = np.zeros(len(k), bool)
+            for (brand, qlo, qhi, _s, _e), pk in zip(branches, self.sets):
+                hit |= np.isin(k, pk) & (qty >= qlo) & (qty <= qhi)
+            sub = t.filter(pa.array(hit))
+            u = _li_units(sub)
+            return pa.table({"u": pa.array([int(u.sum())], pa.int64())})
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(Partial, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    u = int(partials["u"].sum())
+    return pd.DataFrame(
+        {"revenue_units": pd.array([u], dtype="int64"),
+         "revenue": [round_away(float(u) / 10000.0, 2)]}
+    )
+
+
+SQL_OR_BRAND_REVENUE = """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+         AND p_size BETWEEN 1 AND 5)
+     OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+         AND p_size BETWEEN 1 AND 10)
+     OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+         AND p_size BETWEEN 1 AND 15))
+SELECT CAST(coalesce(sum(u), 0) AS BIGINT) AS revenue_units,
+       round(CAST(coalesce(sum(u), 0) AS DOUBLE) / 10000.0, 2) + 0
+           AS revenue
+FROM j
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6648,6 +6909,10 @@ QUERIES = {
     "fs_scores": q_fs_scores,
     "peak_concurrency": q_peak_concurrency,
     "centroid_dist": q_centroid_dist,
+    "forecast_revenue": q_forecast_revenue,
+    "top_supplier": q_top_supplier,
+    "important_parts": q_important_parts,
+    "or_brand_revenue": q_or_brand_revenue,
 }
 
 ORACLE_SQL = {
@@ -6791,6 +7056,10 @@ ORACLE_SQL = {
     "fs_scores": SQL_FS_SCORES,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "centroid_dist": SQL_CENTROID_DIST,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "or_brand_revenue": SQL_OR_BRAND_REVENUE,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -148,6 +148,10 @@ CHECKED = [
     ("fs_scores", 0),
     ("peak_concurrency", 0),
     ("centroid_dist", 0),
+    ("forecast_revenue", 0),
+    ("top_supplier", 0),
+    ("important_parts", 0),
+    ("or_brand_revenue", 0),
 ]
 
 
