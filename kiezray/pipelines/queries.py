@@ -6745,6 +6745,364 @@ FROM j
 """
 
 
+def _int_max_fold(ds, val_cols, P=32):
+    """Exact per-key int64 MAX: same two-level shape as
+    ``_int_sum_fold`` (in-batch combiner -> one coarse hash shuffle ->
+    exact per-partition fold) with ``np.maximum.reduceat`` as the
+    reducer. Max is associative/commutative, so the fold is
+    partition-order-invariant."""
+    schema = pa.schema(
+        [("k", pa.int64())] + [(c, pa.int64()) for c in val_cols]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return schema.empty_table()
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        cols = {"k": pa.array(ks[starts], pa.int64())}
+        for c in val_cols:
+            v = t[c].to_numpy(zero_copy_only=False)[order]
+            cols[c] = pa.array(np.maximum.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: combine(g.select(["k"] + val_cols)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_ship_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 highest-revenue orders not yet shipped
+    at the cutoff, for one customer segment. The segment's customer
+    keys are broadcast once (dimension-bounded); lineitem revenue is
+    pre-folded per order (one row per order moves), hash-joined to the
+    filtered orders, and the global top-10 is a per-batch partial
+    top-10 + driver merge — no global sort."""
+    cutoff = np.datetime64("1998-01-01", "us")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    ck = np.sort(
+        np.concatenate(
+            [
+                b["c_custkey"].to_numpy(zero_copy_only=False)
+                for b in cust.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    ck_ref = ray.put(ck)
+
+    class OrderFilter:
+        def __init__(self):
+            self.ck = ray.get(ck_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t["o_orderdate"].to_numpy(zero_copy_only=False)
+            m = (ts < cutoff) & np.isin(
+                t["o_custkey"].to_numpy(zero_copy_only=False), self.ck
+            )
+            sub = t.filter(pa.array(m))
+            return pa.table(
+                {
+                    "k": pc.cast(sub["o_orderkey"], pa.int64()),
+                    "o_orderdate": sub["o_orderdate"],
+                }
+            )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(OrderFilter, concurrency=(1, 4), batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def units(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ts > cutoff))
+        return pa.table(
+            {
+                "k": pc.cast(sub["l_orderkey"], pa.int64()),
+                "u": pa.array(_li_units(sub), pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(units, batch_format="pyarrow", zero_copy_batch=True)
+    per_order = _int_sum_fold(li, ["u"])
+    joined = per_order.join(orders, join_type="inner", num_partitions=8,
+                            on=("k",))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -u))[:10]
+        return t.take(pa.array(order))
+
+    tops = joined.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    tops = tops.sort_values(["u", "k"], ascending=[False, True]).head(10)
+    return pd.DataFrame(
+        {
+            "l_orderkey": tops["k"].to_numpy(),
+            "o_orderdate": tops["o_orderdate"].to_numpy(),
+            "revenue": round_away(
+                tops["u"].to_numpy().astype(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+
+
+SQL_SHIP_PRIORITY = """
+WITH r AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01' GROUP BY 1)
+SELECT o_orderkey AS l_orderkey, o_orderdate,
+       round(CAST(u AS DOUBLE) / 10000.0, 2) + 0 AS revenue
+FROM r
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY u DESC, l_orderkey LIMIT 10
+"""
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+               "5-LOW"]
+
+
+def q_priority_count(sf_dir: str):
+    """TPC-H Q4 shape: orders per priority that had at least one line
+    shipped after the order date (the schema has no commit/receipt
+    dates, so the EXISTS predicate is ``l_shipdate > o_orderdate``).
+    The EXISTS collapses to a per-order MAX(shipdate) fold — one row
+    per order moves — hash-joined to the quarter's orders; counts are
+    5-bucket per-batch bincount partials."""
+    lo = np.datetime64("1996-07-01", "us")
+    hi = np.datetime64("1996-10-01", "us")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["l_orderkey"], pa.int64()),
+                "ship": pa.array(
+                    t["l_shipdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    max_ship = _int_max_fold(li, ["ship"])
+
+    prio_arr = pa.array(_PRIORITIES, pa.string())
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        m = (ts >= lo) & (ts < hi)
+        sub = t.filter(pa.array(m))
+        idx = pc.index_in(sub["o_orderpriority"], value_set=prio_arr)
+        return pa.table(
+            {
+                "k": pc.cast(sub["o_orderkey"], pa.int64()),
+                "odate": pa.array(
+                    sub["o_orderdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view(np.int64),
+                    pa.int64(),
+                ),
+                "prio": pc.cast(idx, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = orders.join(max_ship, join_type="inner", num_partitions=8,
+                         on=("k",))
+
+    def counts(t: pa.Table) -> pa.Table:
+        keep = (
+            t["ship"].to_numpy(zero_copy_only=False)
+            > t["odate"].to_numpy(zero_copy_only=False)
+        )
+        prio = t["prio"].to_numpy(zero_copy_only=False)[keep]
+        c = np.bincount(prio, minlength=5).astype(np.int64)
+        return pa.table(
+            {
+                "prio": pa.array(np.arange(5, dtype=np.int64)),
+                "n": pa.array(c, pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    agg = partials.groupby("prio")["n"].sum().reset_index()
+    agg = agg[agg["n"] > 0]
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [_PRIORITIES[i] for i in agg["prio"]],
+            "order_count": pd.array(agg["n"].to_numpy(), dtype="int64"),
+        }
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_PRIORITY_COUNT = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_line_priority(sf_dir: str):
+    """TPC-H Q12 shape: high- vs low-priority line counts per line
+    status for one ship-year (the schema has no l_shipmode; the group
+    key is l_linestatus). Lineitem collapses per batch to (order,
+    status, count) combiner rows before the join — at most 2 rows per
+    order per batch move — and the join output collapses to <=4
+    partial rows per batch."""
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array((ts >= lo) & (ts < hi)))
+        k = sub["l_orderkey"].to_numpy(zero_copy_only=False)
+        ls = (
+            sub["l_linestatus"].to_numpy(zero_copy_only=False) == "F"
+        ).astype(np.int64)
+        pk = k * 2 + ls  # linestatus is binary; pack is collision-free
+        order = np.argsort(pk, kind="stable")
+        pks = pk[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], pks[1:] != pks[:-1]))
+        )
+        cnt = np.diff(np.append(starts, len(pks)))
+        return pa.table(
+            {
+                "k": pa.array(pks[starts] >> 1, pa.int64()),
+                "ls": pa.array(pks[starts] & 1, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    ).map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["o_orderkey"], pa.int64()),
+                "high": pc.cast(
+                    pc.is_in(
+                        t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("k",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        ls = t["ls"].to_numpy(zero_copy_only=False)
+        high = t["high"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        out_ls, out_high, out_cnt = [], [], []
+        for s in (0, 1):
+            for h in (0, 1):
+                m = (ls == s) & (high == h)
+                out_ls.append(s)
+                out_high.append(h)
+                out_cnt.append(int(cnt[m].sum()))
+        return pa.table(
+            {
+                "ls": pa.array(out_ls, pa.int64()),
+                "high": pa.array(out_high, pa.int64()),
+                "n": pa.array(out_cnt, pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    agg = partials.groupby(["ls", "high"])["n"].sum().reset_index()
+    rows = []
+    for s, name in ((0, "O"), (1, "F")):
+        hi_n = int(agg[(agg["ls"] == s) & (agg["high"] == 1)]["n"].sum())
+        lo_n = int(agg[(agg["ls"] == s) & (agg["high"] == 0)]["n"].sum())
+        if hi_n + lo_n > 0:
+            rows.append((name, hi_n, lo_n))
+    rows.sort()
+    return pd.DataFrame(
+        rows, columns=["l_linestatus", "high_line_count", "low_line_count"]
+    ).astype(
+        {"high_line_count": "int64", "low_line_count": "int64"}
+    )
+
+
+SQL_LINE_PRIORITY = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -6913,6 +7271,9 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "important_parts": q_important_parts,
     "or_brand_revenue": q_or_brand_revenue,
+    "ship_priority": q_ship_priority,
+    "priority_count": q_priority_count,
+    "line_priority": q_line_priority,
 }
 
 ORACLE_SQL = {
@@ -7060,6 +7421,9 @@ ORACLE_SQL = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "important_parts": SQL_IMPORTANT_PARTS,
     "or_brand_revenue": SQL_OR_BRAND_REVENUE,
+    "ship_priority": SQL_SHIP_PRIORITY,
+    "priority_count": SQL_PRIORITY_COUNT,
+    "line_priority": SQL_LINE_PRIORITY,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -152,6 +152,9 @@ CHECKED = [
     ("top_supplier", 0),
     ("important_parts", 0),
     ("or_brand_revenue", 0),
+    ("ship_priority", 0),
+    ("priority_count", 0),
+    ("line_priority", 0),
 ]
 
 
