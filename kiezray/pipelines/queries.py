@@ -7103,6 +7103,378 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit by supplier nation and ship-year for one
+    product family. No partsupp table, so supply cost is proxied at
+    50% of p_retailprice; profit stays EXACT int64 units
+    (``cents*(100-d) - 50*retail_cents*qty``). Part attrs and the
+    supplier->nation map are broadcast once (dimension-bounded);
+    every batch folds to at most nations x years combiner rows."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name",
+                                           "p_retailprice"]
+    ).to_pandas()
+    m = part["p_name"].str.contains("widget")
+    pk = part.loc[m, "p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    pk = pk[order]
+    retail_cents = np.round(
+        part.loc[m, "p_retailprice"].to_numpy()[order] * 100.0
+    ).astype(np.int64)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    sk = supp["s_suppkey"].to_numpy()
+    snat = supp["s_nationkey"].to_numpy().astype(np.int64)
+    dims_ref = ray.put((pk, retail_cents, sk, snat))
+
+    class Partial:
+        def __init__(self):
+            self.pk, self.rc, self.sk, self.snat = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            m = np.isin(k, self.pk)
+            sub = t.filter(pa.array(m))
+            idx = np.searchsorted(self.pk, k[m])
+            qty = (
+                sub["l_quantity"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            units = _li_units(sub) - 50 * self.rc[idx] * qty
+            sidx = np.searchsorted(
+                self.sk, sub["l_suppkey"].to_numpy(zero_copy_only=False)
+            )
+            nat = self.snat[sidx]
+            ts = sub["l_shipdate"].to_numpy(zero_copy_only=False)
+            year = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table(
+                {
+                    "k": pa.array(nat * 10000 + year, pa.int64()),
+                    "u": pa.array(units, pa.int64()),
+                }
+            )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(Partial, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    folded = _int_sum_fold(li, ["u"]).to_pandas()  # nations x years rows
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    out = pd.DataFrame(
+        {
+            "n_name": [name[int(k) // 10000] for k in folded["k"]],
+            "o_year": pd.array(
+                folded["k"].to_numpy() % 10000, dtype="int64"
+            ),
+            "profit": round_away(
+                folded["u"].to_numpy().astype(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+    return out.sort_values(
+        ["n_name", "o_year"], ascending=[True, False]
+    ).reset_index(drop=True)
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      - 50 * CAST(round(p_retailprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / 10000.0, 2) + 0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+"""
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: revenue shipped between two nations, by
+    direction and ship-year. Supplier- and customer-nation membership
+    arrays are broadcast once; orders are PRE-FILTERED to the two
+    nations' customers before the order-key hash join, so only
+    qualifying rows shuffle; the final fold is (2 directions x years)
+    combiner rows."""
+    N1, N2 = "NATION_3", "NATION_8"
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    k1 = int(nation.loc[nation["n_name"] == N1, "n_nationkey"].iloc[0])
+    k2 = int(nation.loc[nation["n_name"] == N2, "n_nationkey"].iloc[0])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    s1 = np.sort(supp.loc[supp["s_nationkey"] == k1, "s_suppkey"].to_numpy())
+    s2 = np.sort(supp.loc[supp["s_nationkey"] == k2, "s_suppkey"].to_numpy())
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    c1 = np.sort(cust.loc[cust["c_nationkey"] == k1, "c_custkey"].to_numpy())
+    c2 = np.sort(cust.loc[cust["c_nationkey"] == k2, "c_custkey"].to_numpy())
+    empty = pd.DataFrame(
+        {
+            "supp_nation": pd.array([], dtype="str"),
+            "cust_nation": pd.array([], dtype="str"),
+            "l_year": pd.array([], dtype="int64"),
+            "revenue": pd.array([], dtype="float64"),
+        }
+    )
+    # an entirely empty join side would reach Ray's hash-join with no
+    # schema (Arrow can't resolve the key on a zero-column table) — and
+    # the result is definitionally empty anyway
+    if (len(s1) + len(s2) == 0) or (len(c1) + len(c2) == 0):
+        return empty
+    dims_ref = ray.put((s1, s2, c1, c2))
+
+    class LiRows:
+        def __init__(self):
+            self.s1, self.s2, _c1, _c2 = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            in1 = np.isin(sk, self.s1)
+            in2 = np.isin(sk, self.s2)
+            m = (ts >= lo) & (ts < hi) & (in1 | in2)
+            sub = t.filter(pa.array(m))
+            year = (
+                ts[m].astype("datetime64[Y]").astype(np.int64) + 1970
+            )
+            return pa.table(
+                {
+                    "k": pc.cast(sub["l_orderkey"], pa.int64()),
+                    "snat": pa.array(
+                        np.where(in1[m], 1, 2).astype(np.int64), pa.int64()
+                    ),
+                    "year": pa.array(year, pa.int64()),
+                    "u": pa.array(_li_units(sub), pa.int64()),
+                }
+            )
+
+    class OrdRows:
+        def __init__(self):
+            _s1, _s2, self.c1, self.c2 = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            in1 = np.isin(ck, self.c1)
+            in2 = np.isin(ck, self.c2)
+            m = in1 | in2
+            sub = t.filter(pa.array(m))
+            return pa.table(
+                {
+                    "k": pc.cast(sub["o_orderkey"], pa.int64()),
+                    "cnat": pa.array(
+                        np.where(in1[m], 1, 2).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(LiRows, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(OrdRows, concurrency=(1, 4), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("k",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        snat = t["snat"].to_numpy(zero_copy_only=False)
+        cnat = t["cnat"].to_numpy(zero_copy_only=False)
+        keep = snat != cnat
+        pk = (
+            snat[keep] * 10000
+            + t["year"].to_numpy(zero_copy_only=False)[keep]
+        )
+        u = t["u"].to_numpy(zero_copy_only=False)[keep]
+        if len(pk) == 0:
+            return pa.schema(
+                [("k", pa.int64()), ("u", pa.int64())]
+            ).empty_table()
+        order = np.argsort(pk, kind="stable")
+        pks = pk[order]
+        starts = np.flatnonzero(np.concatenate(([True], pks[1:] != pks[:-1])))
+        return pa.table(
+            {
+                "k": pa.array(pks[starts], pa.int64()),
+                "u": pa.array(np.add.reduceat(u[order], starts), pa.int64()),
+            }
+        )
+
+    folded = _int_sum_fold(
+        joined.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["u"],
+    ).to_pandas()
+    if folded.empty:
+        return empty
+    snat_idx = folded["k"].to_numpy() // 10000
+    out = pd.DataFrame(
+        {
+            "supp_nation": np.where(snat_idx == 1, N1, N2),
+            "cust_nation": np.where(snat_idx == 1, N2, N1),
+            "l_year": pd.array(
+                folded["k"].to_numpy() % 10000, dtype="int64"
+            ),
+            "revenue": round_away(
+                folded["u"].to_numpy().astype(np.float64) / 10000.0, 2
+            ),
+        }
+    )
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 2) + 0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for each part of one size, the supplier
+    offering the minimum price (ties -> lowest supplier key). No
+    partsupp table, so the offer book is lineitem's observed
+    (part, supplier, extendedprice cents). The argmin is an
+    associative per-key extreme-row fold — in-batch lexsort takes one
+    candidate row per part, one coarse hash shuffle folds candidates
+    exactly; supplier names resolve driver-side from the dimension."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    ).to_pandas()
+    pk = np.sort(part.loc[part["p_size"] == 5, "p_partkey"].to_numpy())
+    pk_ref = ray.put(pk)
+
+    class Candidates:
+        def __init__(self):
+            self.pk = ray.get(pk_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            m = np.isin(k, self.pk)
+            sub = t.filter(pa.array(m))
+            cents = np.round(
+                sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            sk = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+            kk = k[m]
+            order = np.lexsort((sk, cents, kk))
+            kks = kk[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], kks[1:] != kks[:-1]))
+            )
+            return pa.table(
+                {
+                    "k": pa.array(kks[starts], pa.int64()),
+                    "cents": pa.array(cents[order][starts], pa.int64()),
+                    "s": pa.array(sk[order][starts], pa.int64()),
+                }
+            )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(Candidates, concurrency=(1, 8), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part",
+            pc.cast(pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())),
+                    pa.int32()),
+        )
+
+    def fold_partition(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, cents, k))
+        ks = k[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        return pa.table(
+            {
+                "k": pa.array(ks[starts], pa.int64()),
+                "cents": pa.array(cents[order][starts], pa.int64()),
+                "s": pa.array(s[order][starts], pa.int64()),
+            }
+        )
+
+    folded = (
+        li.map_batches(add_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: fold_partition(g.select(["k", "cents", "s"])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = folded.merge(supp, left_on="s", right_on="s_suppkey")
+    out["min_price"] = round_away(
+        out["cents"].to_numpy().astype(np.float64) / 100.0, 2
+    )
+    out = out.rename(columns={"k": "p_partkey"})
+    return (
+        out[["p_partkey", "s_suppkey", "s_name", "min_price"]]
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH l AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size = 5),
+ m AS (SELECT l_partkey, min(c) AS mc FROM l GROUP BY 1),
+ w AS (SELECT l.l_partkey, mc, min(l_suppkey) AS s
+       FROM l JOIN m ON l.l_partkey = m.l_partkey AND l.c = m.mc
+       GROUP BY 1, 2)
+SELECT w.l_partkey AS p_partkey, w.s AS s_suppkey, s_name,
+       round(CAST(mc AS DOUBLE) / 100.0, 2) + 0 AS min_price
+FROM w JOIN supplier ON w.s = s_suppkey
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -7274,6 +7646,9 @@ QUERIES = {
     "ship_priority": q_ship_priority,
     "priority_count": q_priority_count,
     "line_priority": q_line_priority,
+    "product_profit": q_product_profit,
+    "volume_shipping": q_volume_shipping,
+    "min_cost_supplier": q_min_cost_supplier,
 }
 
 ORACLE_SQL = {
@@ -7424,6 +7799,9 @@ ORACLE_SQL = {
     "ship_priority": SQL_SHIP_PRIORITY,
     "priority_count": SQL_PRIORITY_COUNT,
     "line_priority": SQL_LINE_PRIORITY,
+    "product_profit": SQL_PRODUCT_PROFIT,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -155,6 +155,9 @@ CHECKED = [
     ("ship_priority", 0),
     ("priority_count", 0),
     ("line_priority", 0),
+    ("product_profit", 0),
+    ("volume_shipping", 0),
+    ("min_cost_supplier", 0),
 ]
 
 
