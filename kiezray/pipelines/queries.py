@@ -7475,6 +7475,292 @@ ORDER BY p_partkey
 """
 
 
+def q_promo_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers who moved more than a threshold
+    quantity of any 'small%' part in one ship-year (the nested
+    EXISTS-over-partsupp becomes a per-(supplier, part) quantity fold
+    — the schema has no partsupp). The two-column group key is NOT
+    packed into one int64 (part keys are unbounded at corpus scale);
+    the combiner lexsorts (s, p) pairs and the shuffle partitions on a
+    mixed hash of both."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    pk = np.sort(
+        part.loc[part["p_name"].str.startswith("small"),
+                 "p_partkey"].to_numpy()
+    )
+    pk_ref = ray.put(pk)
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    schema = pa.schema(
+        [("s", pa.int64()), ("p", pa.int64()), ("q", pa.int64())]
+    )
+
+    def combine2(s, p, q):
+        if len(s) == 0:
+            return schema.empty_table()
+        order = np.lexsort((p, s))
+        ss, ps, qs = s[order], p[order], q[order]
+        new = np.concatenate(
+            ([True], (ss[1:] != ss[:-1]) | (ps[1:] != ps[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "s": pa.array(ss[starts], pa.int64()),
+                "p": pa.array(ps[starts], pa.int64()),
+                "q": pa.array(np.add.reduceat(qs, starts), pa.int64()),
+            }
+        )
+
+    class LiPairs:
+        def __init__(self):
+            self.pk = ray.get(pk_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            m = (ts >= lo) & (ts < hi) & np.isin(k, self.pk)
+            sub = t.filter(pa.array(m))
+            return combine2(
+                sub["l_suppkey"].to_numpy(zero_copy_only=False),
+                k[m],
+                sub["l_quantity"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            )
+
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        mixed = pc.bit_wise_xor(
+            t["s"], pc.multiply(t["p"], pa.scalar(2654435761, pa.int64()))
+        )
+        return t.append_column(
+            "__part",
+            pc.cast(pc.bit_wise_and(mixed, pa.scalar(P - 1, pa.int64())),
+                    pa.int32()),
+        )
+
+    folded = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(LiPairs, concurrency=(1, 8), batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: combine2(
+                g["s"].to_numpy(zero_copy_only=False),
+                g["p"].to_numpy(zero_copy_only=False),
+                g["q"].to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["q"], pa.scalar(60, pa.int64()))
+            ).select(["s"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    winners = np.unique(folded["s"].to_numpy())  # tiny: distinct suppliers
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = supp[supp["s_suppkey"].isin(winners)]
+    return (
+        out[["s_suppkey", "s_name"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+SQL_PROMO_SUPPLIERS = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+ agg AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2)
+SELECT DISTINCT s_suppkey, s_name
+FROM agg JOIN supplier ON l_suppkey = s_suppkey
+WHERE q > 60 ORDER BY s_suppkey
+"""
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order ("late" adapts to ``l_shipdate >
+    o_orderdate + 30 days`` — the schema has no commit/receipt dates).
+    Per batch, lines collapse to distinct (order, supplier,
+    late-flag) pairs; one order-key shuffle later each partition
+    resolves the EXISTS / NOT-EXISTS pair exactly with reduceat folds
+    — no correlated subqueries, no per-order Python."""
+    late_us = np.int64(30 * 86400 * 1_000_000)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    ).map_batches(
+        lambda t: (
+            lambda sub: pa.table(
+                {
+                    "k": pc.cast(sub["o_orderkey"], pa.int64()),
+                    "odate": pa.array(
+                        sub["o_orderdate"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype("datetime64[us]")
+                        .view(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+        )(t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.cast(t["l_orderkey"], pa.int64()),
+                "s": pc.cast(t["l_suppkey"], pa.int64()),
+                "ship": pa.array(
+                    t["l_shipdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("k",))
+
+    pair_schema = pa.schema(
+        [("k", pa.int64()), ("s", pa.int64()), ("late", pa.int64())]
+    )
+
+    def pair_combine(k, s, late):
+        """Distinct (order, supplier) with late = any-line-late."""
+        if len(k) == 0:
+            return pair_schema.empty_table()
+        order = np.lexsort((s, k))
+        ks, ss, ls = k[order], s[order], late[order]
+        new = np.concatenate(
+            ([True], (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "k": pa.array(ks[starts], pa.int64()),
+                "s": pa.array(ss[starts], pa.int64()),
+                "late": pa.array(
+                    np.maximum.reduceat(ls, starts), pa.int64()
+                ),
+            }
+        )
+
+    def batch_pairs(t: pa.Table) -> pa.Table:
+        late = (
+            t["ship"].to_numpy(zero_copy_only=False)
+            > t["odate"].to_numpy(zero_copy_only=False) + late_us
+        ).astype(np.int64)
+        return pair_combine(
+            t["k"].to_numpy(zero_copy_only=False),
+            t["s"].to_numpy(zero_copy_only=False),
+            late,
+        )
+
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part",
+            pc.cast(pc.bit_wise_and(t["k"], pa.scalar(P - 1, pa.int64())),
+                    pa.int32()),
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        t = pair_combine(
+            g["k"].to_numpy(zero_copy_only=False),
+            g["s"].to_numpy(zero_copy_only=False),
+            g["late"].to_numpy(zero_copy_only=False),
+        )
+        k = t["k"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        late = t["late"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.schema([("w", pa.int64())]).empty_table()
+        starts = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1]))
+        )
+        ns = np.diff(np.append(starts, len(k)))
+        nl = np.add.reduceat(late, starts)
+        # the sole late supplier: max over (late * s) per order
+        ls = np.maximum.reduceat(late * s, starts)
+        keep = (ns >= 2) & (nl == 1)
+        return pa.table({"w": pa.array(ls[keep], pa.int64())})
+
+    waits = (
+        joined.map_batches(batch_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: resolve(g.select(["k", "s", "late"])),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"k": t["w"],
+                 "n": pa.array(np.ones(len(t), np.int64), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    per_supp = _int_sum_fold(waits, ["n"]).to_pandas()
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = per_supp.merge(supp, left_on="k", right_on="s_suppkey")
+    out = out.rename(columns={"n": "numwait"})
+    return (
+        out[["s_name", "numwait"]]
+        .astype({"numwait": "int64"})
+        .sort_values(["numwait", "s_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH pairs AS (
+  SELECT l_orderkey AS k, l_suppkey AS s,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+ q AS (SELECT k, count(*) AS ns, sum(late) AS nl,
+              max(CASE WHEN late = 1 THEN s END) AS ls
+       FROM pairs GROUP BY 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM q JOIN supplier ON ls = s_suppkey
+WHERE ns >= 2 AND nl = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -7649,6 +7935,8 @@ QUERIES = {
     "product_profit": q_product_profit,
     "volume_shipping": q_volume_shipping,
     "min_cost_supplier": q_min_cost_supplier,
+    "promo_suppliers": q_promo_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLE_SQL = {
@@ -7802,6 +8090,8 @@ ORACLE_SQL = {
     "product_profit": SQL_PRODUCT_PROFIT,
     "volume_shipping": SQL_VOLUME_SHIPPING,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "promo_suppliers": SQL_PROMO_SUPPLIERS,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

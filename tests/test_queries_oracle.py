@@ -158,6 +158,8 @@ CHECKED = [
     ("product_profit", 0),
     ("volume_shipping", 0),
     ("min_cost_supplier", 0),
+    ("promo_suppliers", 0),
+    ("waiting_suppliers", 0),
 ]
 
 
