@@ -7761,6 +7761,57 @@ GROUP BY 1 ORDER BY numwait DESC, s_name
 """
 
 
+def q_golden_record(sf_dir: str):
+    """ER survivorship: consolidate each user's event records into one
+    golden row — count, first-seen, modal event type (ties ->
+    lexicographically smallest), the props payload of the most recent
+    event (ts desc, event_id desc), and the exact fixed-point value
+    total. One key-hash shuffle of per-(user, event-type) combiner
+    partials; see ``relops.golden_record``."""
+    from ..relops import golden_record
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id", "props",
+                 "value"],
+    )
+    out = golden_record(
+        ev, key_col="user_id", mode_col="event_type", ts_col="ts",
+        latest_col="props", tie_col="event_id", value_col="value",
+    ).to_pandas()
+    out["total_value"] = round_away(
+        out.pop("sum_units").to_numpy().astype(np.float64) / 1e6, 6
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_GOLDEN_RECORD = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id, props,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events),
+ base AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(ts) AS first_ts, sum(v) AS sv
+          FROM ev GROUP BY 1),
+ tc AS (SELECT user_id, event_type, count(*) AS cnt
+        FROM ev GROUP BY 1, 2),
+ top AS (SELECT user_id, event_type AS top_event_type FROM
+         (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY cnt DESC, event_type) rn
+          FROM tc) WHERE rn = 1),
+ lastp AS (SELECT user_id, props AS last_props FROM
+           (SELECT user_id, props,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) rn
+            FROM ev) WHERE rn = 1)
+SELECT b.user_id, n_rows, first_ts, top_event_type, last_props,
+       round(CAST(sv AS DOUBLE) / 1000000.0, 6) + 0 AS total_value
+FROM base b JOIN top USING (user_id) JOIN lastp USING (user_id)
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -7937,6 +7988,7 @@ QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "promo_suppliers": q_promo_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "golden_record": q_golden_record,
 }
 
 ORACLE_SQL = {
@@ -8092,6 +8144,7 @@ ORACLE_SQL = {
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "promo_suppliers": SQL_PROMO_SUPPLIERS,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "golden_record": SQL_GOLDEN_RECORD,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -2093,3 +2093,148 @@ def rfm_segments(
         )
 
     return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def golden_record(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    mode_col: str,
+    ts_col: str,
+    latest_col: str,
+    tie_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Survivorship consolidation ("golden record"): collapse every
+    group of records that refer to one entity into a single canonical
+    row, picking each attribute by its own survivorship rule — the
+    step an ER pipeline runs AFTER clustering to emit the master
+    entity table.
+
+    Rules (all deterministic, partition-order-invariant):
+      - ``n_rows``       count of the group's records
+      - ``first_ts``     earliest ``ts_col``
+      - ``top_<mode>``   most frequent ``mode_col`` value (ties ->
+                         lexicographically smallest value)
+      - ``last_<latest>`` the ``latest_col`` value of the group's most
+                         recent record (``ts_col`` desc, ``tie_col``
+                         desc breaks equal timestamps)
+      - ``sum_units``    exact int64 sum of 1e-6-quantized
+                         ``value_col`` (integer addition commutes; the
+                         caller does the single final division)
+
+    Scale shape: ONE key-hash shuffle. Each input batch collapses to
+    one combiner row per distinct (key, mode-value) pair carrying the
+    count, the key-level extremes, and ONE latest-record candidate —
+    every rule is an associative fold, so partials merge exactly.
+    """
+    schema_cols = [
+        "__k", "__m", "__cnt", "__min_ts", "__sv",
+        "__bts", "__btie", "__bval", "__part",
+    ]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=schema_cols)
+        k = df[key_col].to_numpy().astype(np.int64)
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        tie = df[tie_col].to_numpy().astype(np.int64)
+        v = np.round(df[value_col].to_numpy() * 1e6).astype(np.int64)
+        w = pd.DataFrame(
+            {
+                "__k": k,
+                "__m": df[mode_col].to_numpy(),
+                "__ts": ts,
+                "__tie": tie,
+                "__v": v,
+                "__val": df[latest_col].to_numpy(),
+            }
+        )
+        # latest-record candidate per (key, mode value): ts desc, tie desc
+        w = w.sort_values(
+            ["__k", "__m", "__ts", "__tie"],
+            ascending=[True, True, False, False],
+            kind="stable",
+        )
+        cand = w.drop_duplicates(["__k", "__m"], keep="first")
+        agg = w.groupby(["__k", "__m"], sort=False).agg(
+            __cnt=("__v", "size"),
+            __min_ts=("__ts", "min"),
+            __sv=("__v", "sum"),
+        ).reset_index()
+        out = agg.merge(
+            cand[["__k", "__m", "__ts", "__tie", "__val"]],
+            on=["__k", "__m"],
+        ).rename(
+            columns={"__ts": "__bts", "__tie": "__btie", "__val": "__bval"}
+        )
+        out["__part"] = (
+            out["__k"].to_numpy() % num_partitions
+        ).astype(np.int32)
+        return out[schema_cols]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            key_col: pd.Series(dtype=np.int64),
+            "n_rows": pd.Series(dtype=np.int64),
+            "first_ts": pd.Series(dtype="datetime64[us]"),
+            f"top_{mode_col}": pd.Series(dtype=object),
+            f"last_{latest_col}": pd.Series(dtype=object),
+            "sum_units": pd.Series(dtype=np.int64),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(out_cols)
+        # re-combine partials of the same (key, mode value)
+        g = g.sort_values(
+            ["__k", "__m", "__bts", "__btie"],
+            ascending=[True, True, False, False],
+            kind="stable",
+        )
+        cand = g.drop_duplicates(["__k", "__m"], keep="first")
+        km = g.groupby(["__k", "__m"], sort=False).agg(
+            __cnt=("__cnt", "sum"),
+            __min_ts=("__min_ts", "min"),
+            __sv=("__sv", "sum"),
+        ).reset_index().merge(
+            cand[["__k", "__m", "__bts", "__btie", "__bval"]],
+            on=["__k", "__m"],
+        )
+        # key-level folds
+        base = km.groupby("__k", sort=False).agg(
+            n_rows=("__cnt", "sum"),
+            first_ts=("__min_ts", "min"),
+            sum_units=("__sv", "sum"),
+        ).reset_index()
+        top = (
+            km.sort_values(
+                ["__k", "__cnt", "__m"], ascending=[True, False, True],
+                kind="stable",
+            )
+            .drop_duplicates("__k", keep="first")[["__k", "__m"]]
+        )
+        last = (
+            km.sort_values(
+                ["__k", "__bts", "__btie"],
+                ascending=[True, False, False], kind="stable",
+            )
+            .drop_duplicates("__k", keep="first")[["__k", "__bval"]]
+        )
+        out = base.merge(top, on="__k").merge(last, on="__k")
+        return pd.DataFrame(
+            {
+                key_col: out["__k"].astype(np.int64),
+                "n_rows": out["n_rows"].astype(np.int64),
+                "first_ts": out["first_ts"].to_numpy().astype(
+                    "datetime64[us]"
+                ),
+                f"top_{mode_col}": out["__m"],
+                f"last_{latest_col}": out["__bval"],
+                "sum_units": out["sum_units"].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )

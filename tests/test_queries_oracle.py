@@ -160,6 +160,7 @@ CHECKED = [
     ("min_cost_supplier", 0),
     ("promo_suppliers", 0),
     ("waiting_suppliers", 0),
+    ("golden_record", 0),
 ]
 
 

@@ -997,3 +997,65 @@ def test_grouped_distinct_count_bruteforce_partition_invariant(ray_session):
         )
         assert list(got["k"]) == list(want.index)
         assert list(got["distinct_cnt"]) == list(want.values)
+
+
+def test_golden_record_bruteforce_partition_invariant(ray_session):
+    """Survivorship rules match a straight-line pandas oracle and are
+    invariant to input partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.relops import golden_record
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 23, n).astype(np.int64),
+            "event_type": rng.choice(list("abcd"), n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10_000, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "props": [f"p{i % 37}" for i in range(n)],
+            "value": rng.rand(n) * 10,
+        }
+    )
+    # duplicate timestamps to exercise the tie-break
+    df.loc[1, "ts"] = df.loc[0, "ts"]
+    df.loc[1, "user_id"] = df.loc[0, "user_id"]
+
+    def oracle(d):
+        rows = []
+        for u, g in d.groupby("user_id"):
+            vc = g.groupby("event_type").size()
+            top = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            g2 = g.sort_values(
+                ["ts", "event_id"], ascending=[False, False]
+            )
+            rows.append(
+                (
+                    u, len(g), g["ts"].min(), top,
+                    g2["props"].iloc[0],
+                    int(np.round(g["value"].to_numpy() * 1e6)
+                        .astype(np.int64).sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "n_rows", "first_ts", "top_event_type",
+                     "last_props", "sum_units"],
+        ).sort_values("user_id").reset_index(drop=True)
+
+    want = oracle(df)
+    for nparts in (1, 7):
+        ds = ray.data.from_pandas(df.sample(frac=1, random_state=3))
+        ds = ds.repartition(nparts)
+        got = (
+            golden_record(ds, "user_id", "event_type", "ts", "props",
+                          "event_id", "value")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
