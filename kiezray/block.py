@@ -621,3 +621,201 @@ def sorted_neighborhood_pairs(
         .groupby("__bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def meta_blocking(
+    docs_ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 20,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Weighted-node-pruned meta-blocking (Papadakis et al., TKDE'14
+    family): turn redundancy-positive token blocks into a pruned
+    candidate-pair graph.
+
+    Stages (each one bounded, no all-pairs anywhere):
+      1. block keys = distinct word BIGRAMS of the canonical text
+         (bigrams are selective where raw unigrams degenerate);
+      2. block purging — keys with document frequency outside
+         ``[2, cap]`` are dropped, so no block emits more than
+         C(cap, 2) pairs;
+      3. candidate pairs (a < b) per surviving block, folded to CBS
+         weights (= number of shared blocks) by a mixed-hash pair
+         shuffle;
+      4. weighted node pruning — a pair survives iff its weight
+         reaches EITHER endpoint's mean neighborhood weight, as the
+         EXACT integer compare ``cbs * deg >= sum_w`` (no float
+         averages); node stats arrive via two hash joins, never a
+         driver dict.
+
+    Output: (a, b, cbs int64) — the reduced comparison set a
+    downstream matcher actually scores.
+    """
+    import pyarrow.compute as pc
+
+    pair_schema = pa.schema(
+        [("tok", pa.string()), (id_col, pa.int64())]
+    )
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        canon = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t[text_col]), "[^a-z0-9]+", " "
+            )
+        )
+        toks = pc.split_pattern(canon, " ")
+        flat = toks.combine_chunks() if hasattr(toks, "combine_chunks") \
+            else toks
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offsets = flat.offsets.to_numpy(zero_copy_only=False)
+        values = flat.values.to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offsets)
+        if len(values) < 2:
+            return pair_schema.empty_table()
+        # adjacent-token join, masking positions that cross a doc edge
+        left = values[:-1]
+        right = values[1:]
+        pos = np.arange(len(values) - 1)
+        # position i is a valid bigram start iff i and i+1 are in the
+        # same doc: i+1 < that doc's end offset
+        doc_of = np.searchsorted(offsets, pos, side="right") - 1
+        valid = (pos + 1) < offsets[doc_of + 1]
+        bg = np.char.add(
+            np.char.add(left[valid].astype(str), "_"),
+            right[valid].astype(str),
+        )
+        doc_ids = np.repeat(ids, np.maximum(n_tok - 1, 0))
+        # distinct (doc, bigram) within the batch
+        df = pd.DataFrame({"tok": bg, id_col: doc_ids})
+        df = df.drop_duplicates()
+        return pa.table(
+            {
+                "tok": pa.array(df["tok"].to_numpy(), pa.string()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+            }
+        )
+
+    tok_ds = docs_ds.select_columns([id_col, text_col]).map_batches(
+        doc_bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": np.array([], np.int64), "b": np.array([], np.int64),
+             "w": np.array([], np.int64)}
+        )
+        ids = np.unique(g[id_col].to_numpy())
+        n = len(ids)
+        if n < 2 or n > cap:
+            return empty
+        iu, ju = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {"a": ids[iu], "b": ids[ju],
+             "w": np.ones(len(iu), np.int64)}
+        )
+
+    raw_pairs = tok_ds.groupby("tok").map_groups(
+        block_pairs, batch_format="pandas"
+    )
+
+    P = num_partitions
+    cbs_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("w", pa.int64())]
+    )
+
+    def pair_combine(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return cbs_schema.empty_table()
+        b = t["b"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, w = a[order], b[order], w[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "a": pa.array(a[starts], pa.int64()),
+                "b": pa.array(b[starts], pa.int64()),
+                "w": pa.array(np.add.reduceat(w, starts), pa.int64()),
+            }
+        )
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        mixed = pc.bit_wise_xor(
+            t["a"], pc.multiply(t["b"], pa.scalar(2654435761, pa.int64()))
+        )
+        return t.append_column(
+            "__part",
+            pc.cast(pc.bit_wise_and(mixed, pa.scalar(P - 1, pa.int64())),
+                    pa.int32()),
+        )
+
+    cbs = (
+        raw_pairs.map_batches(pair_combine, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .map_batches(add_pair_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda g: pair_combine(g.select(["a", "b", "w"])),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    # node neighborhood stats: sum of weights + degree per endpoint
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([a, b]), pa.int64()),
+                "s": pa.array(np.concatenate([w, w]), pa.int64()),
+                "deg": pa.array(np.ones(2 * len(a), np.int64), pa.int64()),
+            }
+        )
+
+    from .pipelines.queries import _int_sum_fold  # shared exact fold
+
+    nodes = _int_sum_fold(
+        cbs.map_batches(explode_nodes, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["s", "deg"],
+    )
+
+    # node stats reach pairs via hash joins (never a driver dict)
+    pa_side = cbs.map_batches(
+        lambda t: pa.table(
+            {"k": t["a"], "b": t["b"], "w": t["w"]}
+        ),
+        batch_format="pyarrow",
+    ).join(nodes, join_type="inner", num_partitions=8, on=("k",))
+    pb_side = pa_side.map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["b"], "a": t["k"], "w": t["w"],
+                "sa": t["s"], "dega": t["deg"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).join(nodes, join_type="inner", num_partitions=8, on=("k",))
+
+    def prune(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        keep = (
+            (w * t["dega"].to_numpy(zero_copy_only=False)
+             >= t["sa"].to_numpy(zero_copy_only=False))
+            | (w * t["deg"].to_numpy(zero_copy_only=False)
+               >= t["s"].to_numpy(zero_copy_only=False))
+        )
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {"a": sub["a"], "b": sub["k"], "cbs": sub["w"]}
+        )
+
+    return pb_side.map_batches(prune, batch_format="pyarrow",
+                               zero_copy_batch=True)

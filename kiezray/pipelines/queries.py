@@ -7812,6 +7812,47 @@ ORDER BY user_id
 """
 
 
+def q_meta_blocking(sf_dir: str):
+    """Weighted-node-pruned meta-blocking over the documents table:
+    bigram token blocks -> purge -> CBS pair weights -> keep pairs
+    reaching either endpoint's mean neighborhood weight (exact integer
+    compare). See ``block.meta_blocking``."""
+    from ..block import meta_blocking
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = meta_blocking(docs).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_META_BLOCKING = """
+WITH c AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                          ' ', 'g')), ' ') AS L
+  FROM documents),
+ bg AS (SELECT DISTINCT doc_id, L[i] || '_' || L[i + 1] AS tok
+        FROM c, unnest(range(1, len(L))) AS t(i)),
+ keep AS (SELECT tok FROM bg GROUP BY tok
+          HAVING count(*) BETWEEN 2 AND 20),
+ tk AS (SELECT doc_id, tok FROM bg JOIN keep USING (tok)),
+ pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(count(*) AS BIGINT) AS cbs
+           FROM tk x JOIN tk y ON x.tok = y.tok AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+ nodes AS (SELECT node, sum(cbs) AS s, count(*) AS deg FROM
+           (SELECT a AS node, cbs FROM pairs
+            UNION ALL SELECT b AS node, cbs FROM pairs)
+           GROUP BY 1)
+SELECT a, b, cbs FROM pairs
+JOIN nodes na ON na.node = pairs.a
+JOIN nodes nb ON nb.node = pairs.b
+WHERE cbs * na.deg >= na.s OR cbs * nb.deg >= nb.s
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -7989,6 +8030,7 @@ QUERIES = {
     "promo_suppliers": q_promo_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
     "golden_record": q_golden_record,
+    "meta_blocking": q_meta_blocking,
 }
 
 ORACLE_SQL = {
@@ -8145,6 +8187,7 @@ ORACLE_SQL = {
     "promo_suppliers": SQL_PROMO_SUPPLIERS,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "golden_record": SQL_GOLDEN_RECORD,
+    "meta_blocking": SQL_META_BLOCKING,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

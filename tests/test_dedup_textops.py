@@ -685,3 +685,31 @@ def test_jw_pairs_blocked_join(ray_session):
     assert ("acme corp", "acme corp.") in got
     assert all(a[0] == b[0] for a, b in got)
     assert not any("zenith" in a and "beta" in b for a, b in got)
+
+
+def test_meta_blocking_prunes_and_keeps_planted_pair(ray_session):
+    """A planted near-duplicate pair (shares many bigrams) must survive
+    weighted node pruning; weights count shared purge-surviving
+    bigram blocks; no pair exceeds the block cap's reach."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.block import meta_blocking
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, 12)) for _ in range(60)
+    ]
+    texts.append(texts[0] + " extra")  # planted near-dup of doc 0
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    out = meta_blocking(
+        ray.data.from_pandas(df), cap=20
+    ).to_pandas()
+    planted = out[(out["a"] == 0) & (out["b"] == 60)]
+    assert len(planted) == 1
+    # the planted pair shares ~11 bigrams — it must carry the top weight
+    assert planted["cbs"].iloc[0] == out["cbs"].max()

@@ -161,6 +161,7 @@ CHECKED = [
     ("promo_suppliers", 0),
     ("waiting_suppliers", 0),
     ("golden_record", 0),
+    ("meta_blocking", 0),
 ]
 
 
