@@ -1229,6 +1229,101 @@ def batch_levenshtein(a_texts, b_texts) -> np.ndarray:
     return out
 
 
+def batch_damerau_levenshtein(a_texts, b_texts, chunk: int = 2048) -> np.ndarray:
+    """Exact Damerau-Levenshtein distance (TRUE unrestricted-edit
+    Lowrance-Wagner form, NOT the OSA restriction) for a batch of
+    string pairs, vectorized ACROSS the batch and fuzz-verified
+    bitwise against DuckDB ``damerau_levenshtein``.
+
+    The transposition term ``d[i1-1][j1-1] + (i-i1-1) + 1 + (j-j1-1)``
+    references arbitrary earlier DP cells, so the kernel keeps the
+    whole (chunk, La+1, Lb+1) int32 history and resolves, per DP row,
+    ``i1`` (last row whose A-char matches each B column — a running
+    where-update) and ``j1`` (last column in B matching the current
+    A-char — an exclusive running-max scan) with whole-batch numpy;
+    the only Python loop is over maxlen_a rows. Designed for SHORT
+    fields (names, titles, codes): memory is chunk*(La+1)*(Lb+1)*4
+    bytes, so the batch is processed in ``chunk``-pair slices."""
+    n = len(a_texts)
+    res = np.zeros(n, dtype=np.int64)
+    for s0 in range(0, n, chunk):
+        sl = slice(s0, min(s0 + chunk, n))
+        res[sl] = _dl_chunk(list(a_texts[sl]), list(b_texts[sl]))
+    return res
+
+
+def _dl_chunk(a_texts, b_texts) -> np.ndarray:
+    P = len(a_texts)
+    out = np.zeros(P, dtype=np.int64)
+    if P == 0:
+        return out
+    la = np.fromiter((len(s) for s in a_texts), np.int64, P)
+    lb = np.fromiter((len(s) for s in b_texts), np.int64, P)
+    La, Lb = int(la.max()), int(lb.max())
+    out[la == 0] = lb[la == 0]
+    if La == 0:
+        return out
+    A = np.zeros((P, La), dtype=np.uint32)
+    B = np.full((P, max(Lb, 1)), 0xFFFFFFFF, dtype=np.uint32)
+    for i, s in enumerate(a_texts):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    for i, s in enumerate(b_texts):
+        if s:
+            B[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    BIG = np.int32(1 << 29)
+    j = np.arange(Lb + 1, dtype=np.int32)
+    D = np.empty((P, La + 1, Lb + 1), dtype=np.int32)
+    D[:, 0, :] = j
+    D[:, :, 0] = np.arange(La + 1, dtype=np.int32)
+    # lastA[p, jj] = last row index i' with A[p, i'-1] == B[p, jj]
+    lastA = np.zeros((P, max(Lb, 1)), dtype=np.int32)
+    pidx = np.arange(P)
+    cand = np.empty((P, Lb + 1), dtype=np.int32)
+    for i in range(1, La + 1):
+        ai = A[:, i - 1 : i]
+        sub = (ai != B[:, :Lb]).astype(np.int32)
+        prev = D[:, i - 1, :]
+        cand[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub, out=cand[:, 1:])
+        if i >= 2 and Lb >= 1:
+            # j1 per column j: last j' < j with B[j'-1] == A[i-1]
+            match_j = np.where(ai == B[:, :Lb], j[1:], 0).astype(np.int32)
+            j1 = np.empty((P, Lb + 1), dtype=np.int32)
+            j1[:, 0] = 0
+            np.maximum.accumulate(match_j, axis=1, out=match_j)
+            j1[:, 1:] = match_j  # j1 at column j uses matches <= j-1
+            j1 = np.concatenate(
+                [np.zeros((P, 1), np.int32), j1[:, :-1]], axis=1
+            )
+            i1 = lastA  # (P, Lb): last row matching B[:, j-1], j=1..Lb
+            valid = (i1[:, : Lb] > 0) & (j1[:, 1:] > 0)
+            ii = np.maximum(i1[:, :Lb], 1)
+            jj = np.maximum(j1[:, 1:], 1)
+            base = D[pidx[:, None], ii - 1, jj - 1]
+            t_cost = (
+                base
+                + (np.int32(i) - ii - 1)
+                + 1
+                + (j[1:][None, :] - jj - 1)
+            )
+            t_cost = np.where(valid, t_cost, BIG)
+            np.minimum(cand[:, 1:], t_cost, out=cand[:, 1:])
+        cur = (
+            np.minimum.accumulate(cand - j, axis=1, dtype=np.int32) + j
+        )
+        D[:, i, :] = cur
+        sel = la == i
+        if sel.any():
+            out[sel] = cur[sel, lb[sel]]
+        lastA = np.where(ai == B[:, :Lb], np.int32(i), lastA)
+    return out
+
+
 def edit_pairs(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -1847,4 +1942,80 @@ def dedup_canonical(
         .map_batches(add_keys, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(fold, batch_format="pandas")
+    )
+
+
+def dl_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "p_partkey",
+    text_col: str = "p_name",
+    max_dist: int = 3,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Blocked Damerau-Levenshtein similarity join over a SHORT name
+    field: every unordered pair sharing the name's first word, kept
+    when the TRUE (unrestricted) DL distance is <= ``max_dist`` ->
+    (a_id, b_id, dist), a_id < b_id. The first word is THE blocking
+    key (one shuffle); each partition expands its blocks with the
+    vectorized ``_run_pairs`` and scores them with ONE chunked
+    ``batch_damerau_levenshtein`` call — no per-pair Python."""
+    import pyarrow.compute as pc
+
+    from .block import _run_pairs
+
+    def add_key(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(pc.coalesce(t[text_col], ""), " "), 0
+        )
+        h = pd.util.hash_array(
+            first.to_pandas().to_numpy(dtype=object)
+        ).astype(np.uint64)
+        part = (_splitmix64(h) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "__blk": first,
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype=np.int64),
+                "b_id": pd.Series(dtype=np.int64),
+                "dist": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        blk = g["__blk"].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, blk))
+        blk, ids, texts = blk[order], ids[order], texts[order]
+        starts = np.flatnonzero(np.concatenate(([True], blk[1:] != blk[:-1])))
+        lengths = np.diff(np.append(starts, len(blk)))
+        a_idx, b_idx = _run_pairs(starts, lengths)
+        if len(a_idx) == 0:
+            return empty
+        dist = batch_damerau_levenshtein(
+            np.array([t or "" for t in texts[a_idx]], dtype=object),
+            np.array([t or "" for t in texts[b_idx]], dtype=object),
+        )
+        keep = dist <= max_dist
+        return pd.DataFrame(
+            {
+                "a_id": ids[a_idx][keep],
+                "b_id": ids[b_idx][keep],
+                "dist": dist[keep],
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_partition, batch_format="pandas")
     )

@@ -7853,6 +7853,30 @@ ORDER BY a, b
 """
 
 
+def q_dl_pairs(sf_dir: str):
+    """Blocked Damerau-Levenshtein name-similarity join over part
+    names (TRUE unrestricted DL, kernel fuzz-verified bitwise against
+    DuckDB). See ``dedup.dl_pairs``."""
+    from ..dedup import dl_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    out = dl_pairs(parts).to_pandas()
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+SQL_DL_PAIRS = """
+SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+       CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+WHERE damerau_levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8031,6 +8055,7 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "golden_record": q_golden_record,
     "meta_blocking": q_meta_blocking,
+    "dl_pairs": q_dl_pairs,
 }
 
 ORACLE_SQL = {
@@ -8188,6 +8213,7 @@ ORACLE_SQL = {
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "golden_record": SQL_GOLDEN_RECORD,
     "meta_blocking": SQL_META_BLOCKING,
+    "dl_pairs": SQL_DL_PAIRS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -713,3 +713,38 @@ def test_meta_blocking_prunes_and_keeps_planted_pair(ray_session):
     assert len(planted) == 1
     # the planted pair shares ~11 bigrams — it must carry the top weight
     assert planted["cbs"].iloc[0] == out["cbs"].max()
+
+
+def test_batch_damerau_levenshtein_matches_duckdb_bitwise():
+    """TRUE-DL kernel vs DuckDB damerau_levenshtein over adversarial
+    fuzz pairs (small alphabets maximize transposition interactions)."""
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from kiezray.dedup import batch_damerau_levenshtein
+
+    random.seed(7)
+    pairs = []
+    for alpha, count, maxlen in (("abcde", 2500, 12), ("ab", 2000, 9)):
+        for _ in range(count):
+            la, lb = random.randint(0, maxlen), random.randint(0, maxlen)
+            pairs.append(
+                ("".join(random.choice(alpha) for _ in range(la)),
+                 "".join(random.choice(alpha) for _ in range(lb)))
+            )
+    pairs.extend([("", ""), ("a", ""), ("", "ab"), ("ca", "abc")])
+    got = batch_damerau_levenshtein(
+        np.array([p[0] for p in pairs], dtype=object),
+        np.array([p[1] for p in pairs], dtype=object),
+        chunk=1024,
+    )
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    want = (
+        duckdb.connect()
+        .execute("SELECT damerau_levenshtein(a, b) FROM df")
+        .df().iloc[:, 0].to_numpy()
+    )
+    assert (got == want).all()

@@ -162,6 +162,7 @@ CHECKED = [
     ("waiting_suppliers", 0),
     ("golden_record", 0),
     ("meta_blocking", 0),
+    ("dl_pairs", 0),
 ]
 
 
