@@ -7877,6 +7877,96 @@ ORDER BY a_id, b_id
 """
 
 
+def q_rand_index(sf_dir: str):
+    """Adjusted Rand Index (Hubert-Arabie) between the embeddings'
+    ground-truth labels and an equi-depth NTILE(4) clustering of the
+    first embedding dimension — the pair-counting external cluster
+    quality metric alongside B-cubed. All pair counts are exact int64
+    from a (label, tile) contingency fold (`n*(n-1)/2` is always
+    even); only the final ARI ratio is floating point, mirrored
+    op-for-op by the SQL."""
+    from ..relops import global_ntile
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding",
+                                                 "label"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": pc.cast(t["label"], pa.int64()),
+                "e0": pc.cast(
+                    pc.list_element(t["embedding"], 0), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    tiled = global_ntile(emb, "e0", "vec_id", k=4)
+
+    def contingency(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        tile = t["tile"].to_numpy(zero_copy_only=False)
+        pk = lab * 16 + tile  # tile in 1..4; labels are small ints
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ct = _int_sum_fold(
+        tiled.map_batches(contingency, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["n"],
+    ).to_pandas()  # labels x 4 rows — tiny
+    lab = ct["k"].to_numpy() // 16
+    n = ct["n"].to_numpy()
+    sij = int((n * (n - 1) // 2).sum())
+    ra = pd.Series(n).groupby(lab).sum().to_numpy()
+    rb = pd.Series(n).groupby(ct["k"].to_numpy() % 16).sum().to_numpy()
+    sa = int((ra * (ra - 1) // 2).sum())
+    sb = int((rb * (rb - 1) // 2).sum())
+    tot = int(n.sum())
+    ncr = float(tot) * float(tot - 1) / 2.0
+    exp = float(sa) * float(sb) / ncr
+    ari = (float(sij) - exp) / ((float(sa) + float(sb)) / 2.0 - exp)
+    return pd.DataFrame(
+        {
+            "ari": [round_away(ari, 6)],
+            "sij": pd.array([sij], dtype="int64"),
+            "sum_a": pd.array([sa], dtype="int64"),
+            "sum_b": pd.array([sb], dtype="int64"),
+            "n_items": pd.array([tot], dtype="int64"),
+        }
+    )
+
+
+SQL_RAND_INDEX = """
+WITH e AS (SELECT vec_id, label,
+                  CAST(embedding[1] AS DOUBLE) AS e0 FROM embeddings),
+ r AS (SELECT label, ntile(4) OVER (ORDER BY e0, vec_id) AS nt FROM e),
+ ct AS (SELECT label, nt, CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2),
+ s AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS sij FROM ct),
+ sa AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS v FROM
+        (SELECT sum(n) AS n FROM ct GROUP BY label)),
+ sb AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS v FROM
+        (SELECT sum(n) AS n FROM ct GROUP BY nt)),
+ t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ct)
+SELECT round((CAST(sij AS DOUBLE)
+              - CAST(sa.v AS DOUBLE) * CAST(sb.v AS DOUBLE)
+                / (CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE) / 2.0))
+             / ((CAST(sa.v AS DOUBLE) + CAST(sb.v AS DOUBLE)) / 2.0
+                - CAST(sa.v AS DOUBLE) * CAST(sb.v AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)
+                     / 2.0)), 6) + 0 AS ari,
+       sij, sa.v AS sum_a, sb.v AS sum_b, t.n AS n_items
+FROM s, sa, sb, t
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8056,6 +8146,7 @@ QUERIES = {
     "golden_record": q_golden_record,
     "meta_blocking": q_meta_blocking,
     "dl_pairs": q_dl_pairs,
+    "rand_index": q_rand_index,
 }
 
 ORACLE_SQL = {
@@ -8214,6 +8305,7 @@ ORACLE_SQL = {
     "golden_record": SQL_GOLDEN_RECORD,
     "meta_blocking": SQL_META_BLOCKING,
     "dl_pairs": SQL_DL_PAIRS,
+    "rand_index": SQL_RAND_INDEX,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

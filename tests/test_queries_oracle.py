@@ -163,6 +163,7 @@ CHECKED = [
     ("golden_record", 0),
     ("meta_blocking", 0),
     ("dl_pairs", 0),
+    ("rand_index", 0),
 ]
 
 
