@@ -2019,3 +2019,110 @@ def dl_pairs(
         .groupby("__part")
         .map_groups(pairs_partition, batch_format="pandas")
     )
+
+
+def batch_byte_jaccard(a_texts, b_texts) -> np.ndarray:
+    """Distinct-BYTE Jaccard similarity for a batch of string pairs
+    (DuckDB ``jaccard`` semantics, probed empirically: distinct UTF-8
+    bytes, so ASCII text behaves as distinct characters). Vectorized:
+    one presence bitmap per side over the batch's 256-wide byte
+    alphabet, built with a single scatter per side — no per-pair
+    Python sets."""
+    P = len(a_texts)
+    out = np.zeros(P, dtype=np.float64)
+    if P == 0:
+        return out
+    pa_ = np.zeros((P, 256), dtype=bool)
+    pb_ = np.zeros((P, 256), dtype=bool)
+    for i, s in enumerate(a_texts):
+        if s:
+            pa_[i, np.frombuffer(s.encode("utf-8"), np.uint8)] = True
+    for i, s in enumerate(b_texts):
+        if s:
+            pb_[i, np.frombuffer(s.encode("utf-8"), np.uint8)] = True
+    inter = (pa_ & pb_).sum(axis=1).astype(np.float64)
+    union = (pa_ | pb_).sum(axis=1).astype(np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out
+
+
+def pair_features(
+    ds: "ray.data.Dataset",
+    id_col: str = "p_partkey",
+    text_col: str = "p_name",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """ER matcher feature extraction: for every blocked candidate pair
+    (first word of the name = the blocking key), the similarity
+    feature vector a learned / Fellegi-Sunter matcher consumes —
+    distinct-byte Jaccard, Jaro-Winkler, Levenshtein distance, and
+    length ratio. One block-key shuffle; each partition expands its
+    blocks with ``_run_pairs`` and scores the WHOLE pair batch with
+    one call per kernel (all batch-vectorized, fuzz-verified against
+    the DuckDB reference functions)."""
+    import pyarrow.compute as pc
+
+    from .block import _run_pairs
+
+    def add_key(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(pc.coalesce(t[text_col], ""), " "), 0
+        )
+        h = pd.util.hash_array(
+            first.to_pandas().to_numpy(dtype=object)
+        ).astype(np.uint64)
+        part = (_splitmix64(h) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "__blk": first,
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def feats_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype=np.int64),
+                "b_id": pd.Series(dtype=np.int64),
+                "jac": pd.Series(dtype=np.float64),
+                "jw": pd.Series(dtype=np.float64),
+                "lev": pd.Series(dtype=np.int64),
+                "len_ratio": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        blk = g["__blk"].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, blk))
+        blk, ids, texts = blk[order], ids[order], texts[order]
+        starts = np.flatnonzero(np.concatenate(([True], blk[1:] != blk[:-1])))
+        lengths = np.diff(np.append(starts, len(blk)))
+        a_idx, b_idx = _run_pairs(starts, lengths)
+        if len(a_idx) == 0:
+            return empty
+        at = [t or "" for t in texts[a_idx]]
+        bt = [t or "" for t in texts[b_idx]]
+        la = np.fromiter((len(s) for s in at), np.float64, len(at))
+        lb = np.fromiter((len(s) for s in bt), np.float64, len(bt))
+        return pd.DataFrame(
+            {
+                "a_id": ids[a_idx],
+                "b_id": ids[b_idx],
+                "jac": batch_byte_jaccard(at, bt),
+                "jw": batch_jaro_winkler(at, bt),
+                "lev": batch_levenshtein(at, bt),
+                "len_ratio": np.minimum(la, lb) / np.maximum(la, lb),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(feats_partition, batch_format="pandas")
+    )

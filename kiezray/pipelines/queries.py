@@ -7967,6 +7967,37 @@ FROM s, sa, sb, t
 """
 
 
+def q_pair_features(sf_dir: str):
+    """ER matcher feature vectors over blocked part-name pairs: byte
+    Jaccard, Jaro-Winkler, Levenshtein, length ratio. See
+    ``dedup.pair_features``; every kernel is batch-vectorized and
+    verified against the matching DuckDB function."""
+    from ..dedup import pair_features
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    out = pair_features(parts).to_pandas()
+    for c in ("jac", "jw", "len_ratio"):
+        out[c] = round_away(out[c].to_numpy(), 6)
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+SQL_PAIR_FEATURES = """
+SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+       round(jaccard(a.p_name, b.p_name), 6) + 0 AS jac,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) + 0 AS jw,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+       round(CAST(least(length(a.p_name), length(b.p_name)) AS DOUBLE)
+             / CAST(greatest(length(a.p_name), length(b.p_name))
+                    AS DOUBLE), 6) + 0 AS len_ratio
+FROM part a JOIN part b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8147,6 +8178,7 @@ QUERIES = {
     "meta_blocking": q_meta_blocking,
     "dl_pairs": q_dl_pairs,
     "rand_index": q_rand_index,
+    "pair_features": q_pair_features,
 }
 
 ORACLE_SQL = {
@@ -8306,6 +8338,7 @@ ORACLE_SQL = {
     "meta_blocking": SQL_META_BLOCKING,
     "dl_pairs": SQL_DL_PAIRS,
     "rand_index": SQL_RAND_INDEX,
+    "pair_features": SQL_PAIR_FEATURES,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -164,6 +164,7 @@ CHECKED = [
     ("meta_blocking", 0),
     ("dl_pairs", 0),
     ("rand_index", 0),
+    ("pair_features", 0),
 ]
 
 
