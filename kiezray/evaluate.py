@@ -349,3 +349,178 @@ def fellegi_sunter(
         return pa.table(out)
 
     return j.map_batches(score, batch_format="pyarrow")
+
+
+def stable_matching(
+    pairs_ds: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    score_col: str = "score",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed Gale-Shapley deferred acceptance over a scored
+    bipartite candidate-pair list: the 1:1 assignment step an ER
+    pipeline runs after pairwise scoring when every entity may match
+    at most one counterpart (Gale & Shapley 1962; proposer side =
+    ``a_col``). Preferences on both sides are (score desc, id asc), so
+    the proposer-optimal stable matching is unique and deterministic —
+    and by McVitie-Wilson, independent of proposal order.
+
+    Output: (a_col, b_col, score_col) — one row per matched pair.
+
+    Scale shape: deferred acceptance never crosses a connected
+    component of the candidate graph, so the job is EMBARRASSINGLY
+    PARALLEL ACROSS COMPONENTS: one ``connected_components`` pass over
+    the (side-disjoint-encoded) pair edges, one hash join to attach
+    labels, one component-key shuffle, then the classic O(E_c)
+    proposal loop per component inside its partition. (A fully
+    round-synchronous variant — propose/resolve via per-round hash
+    joins, pagerank-style — is semantically identical but pays ~4
+    shuffles per round; with component-bounded blocking the component
+    route does ONE shuffle total.) Partitioning assumption: component
+    sizes are bounded by upstream blocking, the same contract as the
+    LSH buckets and SNM windows; an adversarially chained pair list
+    concentrates in one partition but stays correct.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from .cluster import connected_components
+    from .relops import hash_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pa_": pc.cast(t[a_col], pa.int64()),
+                "pb_": pc.cast(t[b_col], pa.int64()),
+                "ps_": pc.cast(t[score_col], pa.float64()),
+            }
+        )
+
+    pairs = pairs_ds.map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # side-disjoint node encoding: proposer 2a, receiver 2b+1
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.multiply(t["pa_"], pa.scalar(2, pa.int64())),
+                "b": pc.add(
+                    pc.multiply(t["pb_"], pa.scalar(2, pa.int64())),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges).map_batches(
+        lambda t: pa.table(
+            {"node": pc.cast(t["node"], pa.int64()),
+             "comp": pc.cast(t["component"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    keyed = pairs.map_batches(
+        lambda t: t.append_column(
+            "ak", pc.multiply(t["pa_"], pa.scalar(2, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    tagged = hash_join(keyed, labels, "ak", "node",
+                       num_partitions=num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part",
+            pc.cast(
+                pc.bit_wise_and(t["comp"], pa.scalar(63, pa.int64())),
+                pa.int32(),
+            ),
+        )
+
+    out_schema = pa.schema(
+        [("pa_", pa.int64()), ("pb_", pa.int64()), ("ps_", pa.float64())]
+    )
+
+    def gs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pa_": pd.Series(dtype=np.int64),
+             "pb_": pd.Series(dtype=np.int64),
+             "ps_": pd.Series(dtype=np.float64)}
+        )
+        if len(g) == 0:
+            return empty
+        comp = g["comp"].to_numpy()
+        a = g["pa_"].to_numpy()
+        b = g["pb_"].to_numpy()
+        s = g["ps_"].to_numpy()
+        # global preference order (comp, a, score desc, b asc): each
+        # component's each proposer's candidates become one contiguous
+        # slice already in proposal order
+        order = np.lexsort((b, -s, a, comp))
+        comp, a, b, s = comp[order], a[order], b[order], s[order]
+        new_a = np.concatenate(
+            ([True], (comp[1:] != comp[:-1]) | (a[1:] != a[:-1]))
+        )
+        starts = np.flatnonzero(new_a)
+        ends = np.append(starts[1:], len(a))
+        ra, rb, rs = [], [], []
+        # per-component classic deferred acceptance; components are
+        # blocking-bounded, the loop is O(E_c) with tiny state
+        comp_of_slice = comp[starts]
+        cstarts = np.flatnonzero(
+            np.concatenate(([True], comp_of_slice[1:] != comp_of_slice[:-1]))
+        )
+        cends = np.append(cstarts[1:], len(starts))
+        for c0, c1 in zip(cstarts, cends):
+            ptr = {}
+            lists = {}
+            for k in range(c0, c1):
+                aa = a[starts[k]]
+                lists[aa] = (starts[k], ends[k])
+                ptr[aa] = starts[k]
+            engaged = {}  # b -> (score, -a) best proposal
+            free = sorted(lists)
+            while free:
+                prop = free.pop()
+                lo, hi = lists[prop]
+                p = ptr[prop]
+                if p >= hi:
+                    continue
+                ptr[prop] = p + 1
+                bb, ss = b[p], s[p]
+                cur = engaged.get(bb)
+                cand = (ss, -prop)
+                if cur is None:
+                    engaged[bb] = cand
+                elif cand > cur[:2]:
+                    free.append(-cur[1])
+                    engaged[bb] = cand
+                else:
+                    free.append(prop)
+            for bb, (ss, na) in engaged.items():
+                ra.append(-na)
+                rb.append(bb)
+                rs.append(ss)
+        return pd.DataFrame(
+            {"pa_": np.array(ra, np.int64), "pb_": np.array(rb, np.int64),
+             "ps_": np.array(rs, np.float64)}
+        )
+
+    return (
+        tagged.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: gs_partition(g[["comp", "pa_", "pb_", "ps_"]]),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {a_col: t["pa_"], b_col: t["pb_"], score_col: t["ps_"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )

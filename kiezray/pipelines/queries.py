@@ -7998,6 +7998,57 @@ ORDER BY a_id, b_id
 """
 
 
+def q_stable_match(sf_dir: str):
+    """Distributed Gale-Shapley 1:1 assignment composed on top of the
+    Fellegi-Sunter linkage scores: candidate pairs restricted to the
+    bipartite even->odd doc split (two "sources"), proposer side =
+    even ids, preferences (FS score desc, id asc). Rows-only by design
+    — deferred acceptance has no SQL form; conformance is pinned by
+    `tests/test_evaluate.py::test_stable_matching_equals_gale_shapley_and_is_stable`
+    (uniqueness of the proposer-optimal matching + no-blocking-pair
+    audit)."""
+    from ..block import sorted_neighborhood_pairs
+    from ..evaluate import fellegi_sunter, stable_matching
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, prefix_len=8
+    )
+    scored = fellegi_sunter(
+        pairs,
+        docs.select_columns(["doc_id", "lang", "source", "n_chars"]),
+        "doc_id",
+        {"lang": (1.15268, -2.639057), "source": (1.280934, -2.014903)},
+        len_field=("n_chars", (1.446919, -1.673976)),
+    )
+
+    def bipartite(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        s = t["score"].to_numpy(zero_copy_only=False)
+        # orient every even-odd pair as (even proposer, odd receiver)
+        keep = (a % 2) != (b % 2)
+        a, b, s = a[keep], b[keep], s[keep]
+        ev = np.where(a % 2 == 0, a, b)
+        od = np.where(a % 2 == 0, b, a)
+        return pa.table(
+            {
+                "a_id": pa.array(ev, pa.int64()),
+                "b_id": pa.array(od, pa.int64()),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    bip = scored.map_batches(
+        bipartite, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # pin: the round loop must not re-run SNM + FS
+    out = stable_matching(bip).to_pandas()
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8179,6 +8230,7 @@ QUERIES = {
     "dl_pairs": q_dl_pairs,
     "rand_index": q_rand_index,
     "pair_features": q_pair_features,
+    "stable_match": q_stable_match,
 }
 
 ORACLE_SQL = {

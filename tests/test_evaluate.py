@@ -137,3 +137,73 @@ def test_fellegi_sunter_weight_sums(ray_session):
     assert list(out["agree_lang"]) == [1, 0]
     assert list(out["agree_n_chars"]) == [1, 0]
     assert list(out["score"]) == [1.5, -2.25]
+
+
+def test_stable_matching_equals_gale_shapley_and_is_stable(ray_session):
+    """Distributed deferred acceptance == classic sequential G-S
+    (proposer-optimal matching is unique), and the result admits no
+    blocking pair."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from kiezray.evaluate import stable_matching
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for a in range(40):
+        bs = rng.choice(100, size=rng.randint(1, 8), replace=False)
+        for b in bs:
+            rows.append((a, 1000 + int(b), float(rng.randint(1, 50))))
+    df = pd.DataFrame(rows, columns=["a_id", "b_id", "score"])
+    df = df.drop_duplicates(["a_id", "b_id"])
+
+    # sequential Gale-Shapley oracle: prefs (score desc, id asc)
+    prefs = {
+        a: list(
+            g.sort_values(["score", "b_id"], ascending=[False, True])
+            .itertuples(index=False)
+        )
+        for a, g in df.groupby("a_id")
+    }
+    pair_score = {(r.a_id, r.b_id): r.score
+                  for r in df.itertuples(index=False)}
+    ptr = {a: 0 for a in prefs}
+    engaged = {}  # b -> (score, a)
+    free = sorted(prefs)
+    while free:
+        a = free.pop(0)
+        if ptr[a] >= len(prefs[a]):
+            continue
+        cand = prefs[a][ptr[a]]
+        ptr[a] += 1
+        b, s = cand.b_id, cand.score
+        cur = engaged.get(b)
+        if cur is None or (s, -a) > (cur[0], -cur[1]):
+            if cur is not None:
+                free.append(cur[1])
+            engaged[b] = (s, a)
+        else:
+            free.append(a)
+        free.sort()
+    want = sorted((a, b) for b, (s, a) in engaged.items())
+
+    got_df = stable_matching(
+        ray.data.from_pandas(df.sample(frac=1, random_state=9))
+    ).to_pandas()
+    got = sorted(zip(got_df["a_id"], got_df["b_id"]))
+    assert got == want
+
+    # stability: no (a, b) candidate pair where both would defect
+    match_of_a = {a: b for a, b in got}
+    best_of_b = {b: pair_score[(a, b)] for a, b in got}
+    for r in df.itertuples(index=False):
+        a, b, s = r.a_id, r.b_id, r.score
+        if match_of_a.get(a) == b:
+            continue
+        a_cur = (
+            pair_score[(a, match_of_a[a])] if a in match_of_a else -1
+        )
+        b_cur = best_of_b.get(b, -1)
+        # blocking pair: a strictly prefers b AND b strictly prefers a
+        assert not (s > a_cur and s > b_cur), (a, b, s, a_cur, b_cur)
