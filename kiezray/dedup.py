@@ -2126,3 +2126,127 @@ def pair_features(
         .groupby("__part")
         .map_groups(feats_partition, batch_format="pandas")
     )
+
+
+def monge_elkan_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "p_partkey",
+    text_col: str = "p_name",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Monge-Elkan token-level similarity over blocked candidate pairs
+    (Monge & Elkan 1996): ``ME(a->b) = mean over tokens of a of the
+    best Jaro-Winkler match in b`` — the hybrid matcher feature that
+    tolerates token reordering ("green forest" vs "forest green"),
+    which whole-string JW / Levenshtein penalize. Emits both
+    directions (``me_ab``, ``me_ba``) since ME is asymmetric.
+
+    Scale shape: identical to ``pair_features`` — first-word blocking
+    key, ONE coarse key-hash shuffle, per-partition vectorized pair
+    expansion (``_run_pairs``). The token cross-product per pair is
+    flattened across the WHOLE partition and scored with ONE
+    ``batch_jaro_winkler`` call; per-(pair, token) maxima and per-pair
+    means come from ``reduceat`` over segment offsets — no per-pair
+    Python in the kernel path. Cross size is bounded by (tokens/name)^2
+    per pair (~25 for part names), so traffic stays O(pairs).
+
+    Reference scope: the reference (kiez) ranks by vector-space
+    distance only; this is the string-matcher companion a linkage
+    pipeline runs on blocked pairs (cf. SURVEY §2 ER tier).
+    """
+    import pyarrow.compute as pc
+
+    from .block import _run_pairs
+
+    def add_key(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(pc.coalesce(t[text_col], ""), " "), 0
+        )
+        h = pd.util.hash_array(
+            first.to_pandas().to_numpy(dtype=object)
+        ).astype(np.uint64)
+        part = (_splitmix64(h) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "__blk": first,
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def me_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype=np.int64),
+                "b_id": pd.Series(dtype=np.int64),
+                "me_ab": pd.Series(dtype=np.float64),
+                "me_ba": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        blk = g["__blk"].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, blk))
+        blk, ids, texts = blk[order], ids[order], texts[order]
+        starts = np.flatnonzero(np.concatenate(([True], blk[1:] != blk[:-1])))
+        lengths = np.diff(np.append(starts, len(blk)))
+        a_idx, b_idx = _run_pairs(starts, lengths)
+        if len(a_idx) == 0:
+            return empty
+        # tokenize each distinct row once (DuckDB string_split(' ')
+        # semantics: no token merging, empty string -> [''])
+        toks = [(t or "").split(" ") for t in texts]
+        tok_arr = np.array([w for ts in toks for w in ts], dtype=object)
+        n_tok = np.fromiter(map(len, toks), np.int64, len(toks))
+        tok_start = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        na, nb = n_tok[a_idx], n_tok[b_idx]
+        sa, sb = tok_start[a_idx], tok_start[b_idx]
+        cs = na * nb  # cross-product size per pair
+        total = int(cs.sum())
+        P = len(a_idx)
+        pair_of = np.repeat(np.arange(P, dtype=np.int64), cs)
+        cross0 = np.concatenate(([0], np.cumsum(cs)))[:-1]
+        j = np.arange(total, dtype=np.int64) - cross0[pair_of]
+        a_off = j // nb[pair_of]
+        b_off = j - a_off * nb[pair_of]
+        jw = batch_jaro_winkler(
+            list(tok_arr[sa[pair_of] + a_off]),
+            list(tok_arr[sb[pair_of] + b_off]),
+        )
+
+        def directed_mean(scores, inner, outer):
+            # scores laid out outer-major: per (pair, outer-token)
+            # segment of length inner -> max, then per-pair mean over
+            # the outer tokens (sequential reduceat = SQL list order)
+            seg_starts = np.concatenate(
+                ([0], np.cumsum(np.repeat(inner, outer)))
+            )[:-1]
+            best = np.maximum.reduceat(scores, seg_starts)
+            p0 = np.concatenate(([0], np.cumsum(outer)))[:-1]
+            return np.add.reduceat(best, p0) / outer
+
+        me_ab = directed_mean(jw, nb, na)
+        # re-lay the same scores b-major (b_off*na + a_off) — one
+        # scatter instead of a second O(cross) JW kernel pass
+        perm = cross0[pair_of] + b_off * na[pair_of] + a_off
+        jw_b = np.empty_like(jw)
+        jw_b[perm] = jw
+        me_ba = directed_mean(jw_b, na, nb)
+        return pd.DataFrame(
+            {
+                "a_id": ids[a_idx],
+                "b_id": ids[b_idx],
+                "me_ab": me_ab,
+                "me_ba": me_ba,
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(me_partition, batch_format="pandas")
+    )

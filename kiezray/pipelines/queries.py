@@ -8049,6 +8049,40 @@ def q_stable_match(sf_dir: str):
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def q_monge_elkan(sf_dir: str):
+    """Monge-Elkan token-level similarity (best-JW-per-token mean, both
+    directions) over first-word-blocked part-name pairs — the
+    reorder-tolerant hybrid matcher feature. See
+    ``dedup.monge_elkan_pairs``; one shuffle, one flat JW kernel call
+    per partition."""
+    from ..dedup import monge_elkan_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    out = monge_elkan_pairs(parts).to_pandas()
+    for c in ("me_ab", "me_ba"):
+        out[c] = round_away(out[c].to_numpy(), 6)
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+SQL_MONGE_ELKAN = """
+SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+       round(list_sum([list_max([jaro_winkler_similarity(ta, tb)
+                                 for tb in string_split(b.p_name, ' ')])
+                       for ta in string_split(a.p_name, ' ')])
+             / len(string_split(a.p_name, ' ')), 6) + 0 AS me_ab,
+       round(list_sum([list_max([jaro_winkler_similarity(tb, ta)
+                                 for ta in string_split(a.p_name, ' ')])
+                       for tb in string_split(b.p_name, ' ')])
+             / len(string_split(b.p_name, ' ')), 6) + 0 AS me_ba
+FROM part a JOIN part b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8231,6 +8265,7 @@ QUERIES = {
     "rand_index": q_rand_index,
     "pair_features": q_pair_features,
     "stable_match": q_stable_match,
+    "monge_elkan": q_monge_elkan,
 }
 
 ORACLE_SQL = {
@@ -8391,6 +8426,7 @@ ORACLE_SQL = {
     "dl_pairs": SQL_DL_PAIRS,
     "rand_index": SQL_RAND_INDEX,
     "pair_features": SQL_PAIR_FEATURES,
+    "monge_elkan": SQL_MONGE_ELKAN,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

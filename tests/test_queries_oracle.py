@@ -165,6 +165,7 @@ CHECKED = [
     ("dl_pairs", 0),
     ("rand_index", 0),
     ("pair_features", 0),
+    ("monge_elkan", 0),
 ]
 
 
