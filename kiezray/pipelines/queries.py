@@ -8083,6 +8083,99 @@ ORDER BY a_id, b_id
 """
 
 
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency violation profiling — for each candidate
+    FD ``X -> Y`` report how many X keys exist, how many are violated
+    (>1 distinct Y), and the worst fan-out. The schema-discovery /
+    data-quality pass a linkage pipeline runs BEFORE trusting a column
+    as a blocking or survivorship key.
+
+    Scale shape: one ``relops.grouped_distinct_count`` per FD (in-batch
+    distinct-pair combiner, ONE two-int64-column shuffle each), then a
+    per-batch partial fold of the tiny (key, cnt) stream — the driver
+    only ever sees O(batches) 4-int rows per FD."""
+    from ..relops import grouped_distinct_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "prio": pc.cast(
+                    pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    specs = [
+        ("l_orderkey->l_suppkey", li, "l_orderkey", "l_suppkey"),
+        ("l_partkey->l_suppkey", li, "l_partkey", "l_suppkey"),
+        ("o_custkey->o_priority", orders, "o_custkey", "prio"),
+    ]
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        c = t["distinct_cnt"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_keys": pa.array([len(c)], pa.int64()),
+                "n_violating": pa.array([int((c > 1).sum())], pa.int64()),
+                "max_distinct": pa.array(
+                    [int(c.max()) if len(c) else 0], pa.int64()
+                ),
+            }
+        )
+
+    rows = []
+    for name, ds, k, v in specs:
+        parts = (
+            grouped_distinct_count(ds, k, v)
+            .map_batches(
+                fold_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()
+        )
+        rows.append(
+            {
+                "fd": name,
+                "n_keys": int(parts["n_keys"].sum()),
+                "n_violating": int(parts["n_violating"].sum()),
+                "max_distinct": int(parts["max_distinct"].max()),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("fd").reset_index(drop=True)
+
+
+SQL_FD_VIOLATIONS = """
+WITH f1 AS (SELECT l_orderkey AS k, count(DISTINCT l_suppkey) AS c
+            FROM lineitem GROUP BY 1),
+f2 AS (SELECT l_partkey AS k, count(DISTINCT l_suppkey) AS c
+       FROM lineitem GROUP BY 1),
+f3 AS (SELECT o_custkey AS k,
+              count(DISTINCT CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+                AS c
+       FROM orders GROUP BY 1)
+SELECT * FROM (
+  SELECT 'l_orderkey->l_suppkey' AS fd, count(*) AS n_keys,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_violating,
+         max(c) AS max_distinct FROM f1
+  UNION ALL
+  SELECT 'l_partkey->l_suppkey', count(*),
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), max(c) FROM f2
+  UNION ALL
+  SELECT 'o_custkey->o_priority', count(*),
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), max(c) FROM f3
+) ORDER BY fd
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8266,6 +8359,7 @@ QUERIES = {
     "pair_features": q_pair_features,
     "stable_match": q_stable_match,
     "monge_elkan": q_monge_elkan,
+    "fd_violations": q_fd_violations,
 }
 
 ORACLE_SQL = {
@@ -8427,6 +8521,7 @@ ORACLE_SQL = {
     "rand_index": SQL_RAND_INDEX,
     "pair_features": SQL_PAIR_FEATURES,
     "monge_elkan": SQL_MONGE_ELKAN,
+    "fd_violations": SQL_FD_VIOLATIONS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -166,6 +166,7 @@ CHECKED = [
     ("rand_index", 0),
     ("pair_features", 0),
     ("monge_elkan", 0),
+    ("fd_violations", 0),
 ]
 
 
