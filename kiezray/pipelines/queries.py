@@ -8176,6 +8176,108 @@ SELECT * FROM (
 """
 
 
+def q_iqr_outliers(sf_dir: str):
+    """Per-priority Tukey-fence outlier profile of order totals: exact
+    Q1/Q3 (``quantile_disc`` semantics) in int64 cents, then one
+    streaming pass counting/summing values outside
+    ``[Q1 - 1.5*IQR, Q3 + 1.5*IQR]``. The fence comparison is doubled
+    into pure integer arithmetic (``2v < 2*q1 - 3*iqr``), so the whole
+    query is order/partition-invariant exact math.
+
+    Scale shape: quantiles via ``quantile.grouped_quantiles`` (5
+    bounded keys — for whale keys the documented path is
+    ``exact_quantiles`` per key), fences (10 tiny rows) close over the
+    second pass's batch fn, which emits per-batch per-key partials —
+    two streaming reads, no row-level materialization."""
+    from ..quantile import grouped_quantiles
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = round_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "prio": pc.cast(
+                    pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1),
+                    pa.int64(),
+                ),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def orders_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    qt = grouped_quantiles(
+        orders_ds(), "prio", "cents", qs=(0.25, 0.75)
+    ).to_pandas()
+    q1 = {
+        int(r["prio"]): int(r["value"])
+        for _, r in qt[qt["q"] == 0.25].iterrows()
+    }
+    q3 = {
+        int(r["prio"]): int(r["value"])
+        for _, r in qt[qt["q"] == 0.75].iterrows()
+    }
+    prios = np.array(sorted(q1), dtype=np.int64)
+    lo2 = np.array([2 * q1[p] - 3 * (q3[p] - q1[p]) for p in prios])
+    hi2 = np.array([2 * q3[p] + 3 * (q3[p] - q1[p]) for p in prios])
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = t["prio"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        pi = np.searchsorted(prios, p)
+        out = (2 * c < lo2[pi]) | (2 * c > hi2[pi])
+        n = np.bincount(pi, weights=out, minlength=len(prios)).astype(
+            np.int64
+        )
+        s = np.bincount(
+            pi, weights=np.where(out, c, 0), minlength=len(prios)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "prio": pa.array(prios, pa.int64()),
+                "n_out": pa.array(n, pa.int64()),
+                "out_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    folded = (
+        orders_ds()
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("prio", as_index=False)
+        .sum()
+    )
+    folded["q1_c"] = [q1[p] for p in folded["prio"]]
+    folded["q3_c"] = [q3[p] for p in folded["prio"]]
+    cols = ["prio", "q1_c", "q3_c", "n_out", "out_cents"]
+    return folded[cols].sort_values("prio").reset_index(drop=True)
+
+
+SQL_IQR_OUTLIERS = """
+WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+q AS (SELECT prio, CAST(quantile_disc(c, 0.25) AS BIGINT) AS q1_c,
+             CAST(quantile_disc(c, 0.75) AS BIGINT) AS q3_c
+      FROM o GROUP BY prio)
+SELECT o.prio, q1_c, q3_c,
+       sum(CASE WHEN 2 * c < 2 * q1_c - 3 * (q3_c - q1_c)
+                  OR 2 * c > 2 * q3_c + 3 * (q3_c - q1_c)
+                THEN 1 ELSE 0 END) AS n_out,
+       coalesce(sum(CASE WHEN 2 * c < 2 * q1_c - 3 * (q3_c - q1_c)
+                           OR 2 * c > 2 * q3_c + 3 * (q3_c - q1_c)
+                         THEN c END), 0) AS out_cents
+FROM o JOIN q USING (prio)
+GROUP BY o.prio, q1_c, q3_c
+ORDER BY prio
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8360,6 +8462,7 @@ QUERIES = {
     "stable_match": q_stable_match,
     "monge_elkan": q_monge_elkan,
     "fd_violations": q_fd_violations,
+    "iqr_outliers": q_iqr_outliers,
 }
 
 ORACLE_SQL = {
@@ -8522,6 +8625,7 @@ ORACLE_SQL = {
     "pair_features": SQL_PAIR_FEATURES,
     "monge_elkan": SQL_MONGE_ELKAN,
     "fd_violations": SQL_FD_VIOLATIONS,
+    "iqr_outliers": SQL_IQR_OUTLIERS,
     # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality

@@ -167,6 +167,7 @@ CHECKED = [
     ("pair_features", 0),
     ("monge_elkan", 0),
     ("fd_violations", 0),
+    ("iqr_outliers", 0),
 ]
 
 
