@@ -599,3 +599,342 @@ def pagerank(
             .materialize()  # pin: next iteration must not re-run this one
         )
     return rank
+
+
+def _degree_ds(
+    edges_ds: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """(node, deg) over unique undirected (a, b) edge rows — in-batch
+    bincount combiner before ONE key-hash shuffle; traffic is
+    O(distinct nodes per batch), never O(edges)."""
+    from .dedup import _splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.concatenate(
+            [
+                t[a_col].to_numpy(zero_copy_only=False),
+                t[b_col].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        part = (
+            _splitmix64(uu.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(uu, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype=np.int64),
+                    "deg": pd.Series(dtype=np.int64),
+                }
+            )
+        n = g["node"].to_numpy()
+        c = g["cnt"].to_numpy()
+        order = np.argsort(n, kind="stable")
+        n, c = n[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True], n[1:] != n[:-1])))
+        return pd.DataFrame(
+            {"node": n[starts], "deg": np.add.reduceat(c, starts)}
+        )
+
+    return (
+        edges_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__part")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def kcore(
+    edges_ds: "ray.data.Dataset",
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 64,
+    distributed_rounds: int = 3,
+    local_edge_gate: int = 2_000_000,
+) -> tuple["ray.data.Dataset", int]:
+    """Exact k-core (maximal subgraph of minimum degree >= k) by
+    two-phase peeling. Input must be UNIQUE undirected edge rows
+    (either orientation, no duplicates — e.g. ``dedup_pair_rows``
+    output); returns ``(nodes_ds['node'], rounds)``.
+
+    Peeling to the fixpoint can need O(n) rounds (a fringe chain peels
+    one node per round), so a purely round-synchronous distributed loop
+    is the wrong shape. Phase 1 runs up to ``distributed_rounds``
+    synchronous peel rounds — one degree pass (in-batch bincount
+    combiner + key-hash shuffle) plus two ``relops.semi_join`` passes
+    each, materialized so round r+1 never re-executes round r — which
+    removes the heavy fringe mass (each round strictly shrinks the
+    graph or proves the fixpoint). Phase 2 collects the surviving edge
+    list (ids only, 16 B/edge) under ``local_edge_gate`` and finishes
+    the long convergence tail with a vectorized in-memory bincount
+    peel — the same big/small gate ``connected_components`` uses for
+    its union-find tail. Raises if the survivor graph still exceeds
+    the gate (raise the gate or ``distributed_rounds`` for denser
+    graphs).
+    """
+    import ray
+
+    from .relops import semi_join
+
+    cur = edges_ds
+    prev_n = -1
+    rounds = 0
+    for _ in range(distributed_rounds):
+        rounds += 1
+        deg = _degree_ds(cur, a_col, b_col, num_partitions)
+        nodes = (
+            deg.filter(expr=f"deg >= {int(k)}")
+            .select_columns(["node"])
+            .materialize()
+        )
+        n = nodes.count()
+        if n == prev_n:  # monotone peel: unchanged count IS the fixpoint
+            return nodes, rounds
+        prev_n = n
+        cur = semi_join(cur, nodes, a_col, "node")
+        cur = semi_join(cur, nodes, b_col, "node").materialize()
+        if cur.count() <= local_edge_gate:
+            break
+    n_edges = cur.count()
+    if n_edges == 0:
+        return (
+            ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64())})),
+            rounds,
+        )
+    if n_edges > local_edge_gate:
+        raise RuntimeError(
+            f"kcore: {n_edges} edges survive {rounds} distributed rounds, "
+            f"above the local finish gate ({local_edge_gate}); raise "
+            "distributed_rounds or local_edge_gate"
+        )
+    tbl = pa.concat_tables(ray.get(cur.to_arrow_refs()))
+    a = tbl[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(ids, a)
+    cb = np.searchsorted(ids, b)
+    alive = np.ones(len(a), dtype=bool)
+    while True:
+        rounds += 1
+        deg = np.bincount(ca[alive], minlength=len(ids)) + np.bincount(
+            cb[alive], minlength=len(ids)
+        )
+        node_ok = deg >= k
+        keep = alive & node_ok[ca] & node_ok[cb]
+        if keep.sum() == alive.sum():
+            break
+        alive = keep
+    deg = np.bincount(ca[alive], minlength=len(ids)) + np.bincount(
+        cb[alive], minlength=len(ids)
+    )
+    core = ids[deg >= k]
+    return (
+        ray.data.from_arrow(
+            pa.table({"node": pa.array(core, pa.int64())})
+        ),
+        rounds,
+    )
+
+
+def jaccard_link_prediction(
+    edges_ds: "ray.data.Dataset",
+    topn: int = 50,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Common-neighbor Jaccard link prediction over a unique undirected
+    (a < b) edge set: for every NON-adjacent pair (x, y) with at least
+    one shared neighbor, ``jac = |N(x) ∩ N(y)| / |N(x) ∪ N(y)|``;
+    returns the global top ``topn`` by (jac desc, x, y).
+
+    Scale shape: wedge enumeration per center partition (complete
+    adjacency lists co-located by ONE center-hash shuffle, pairs via
+    the vectorized ``_run_pairs``), intersection counts + existing-edge
+    suppression on ONE packed-pair-key shuffle (edges ride tagged into
+    the same partition), degrees attach by two key-hash joins, and the
+    global top-n is a per-partition partial top-n + driver merge of
+    O(partitions · topn) rows — no global sort, wedge volume is
+    Σ deg(u)²/2 (bounded for kNN graphs; salt hot vertices upstream
+    for power-law degree distributions).
+    """
+    from .block import _run_pairs
+    from .dedup import _splitmix64
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        part = (
+            _splitmix64(u.astype(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"x": pd.Series(dtype=np.int64), "y": pd.Series(dtype=np.int64)}
+        )
+        if len(g) == 0:
+            return empty
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        lengths = np.diff(np.append(starts, len(u)))
+        i, j = _run_pairs(starts, lengths)
+        if len(i) == 0:
+            return empty
+        return pd.DataFrame({"x": v[i], "y": v[j]})
+
+    wedge_ds = (
+        edges_ds.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def tag(x_col: str, y_col: str, is_edge: int):
+        def fn(t: pa.Table) -> pa.Table:
+            x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            key = _splitmix64(x.astype(np.uint64)) ^ _splitmix64(
+                ~y.astype(np.uint64)
+            )
+            part = (key % np.uint64(num_partitions)).astype(np.int32)
+            return pa.table(
+                {
+                    "x": pa.array(x, pa.int64()),
+                    "y": pa.array(y, pa.int64()),
+                    "e": pa.array(
+                        np.full(len(x), is_edge, np.int8), pa.int8()
+                    ),
+                    "__part": pa.array(part, pa.int32()),
+                }
+            )
+
+        return fn
+
+    tagged = wedge_ds.map_batches(
+        tag("x", "y", 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        edges_ds.map_batches(
+            tag(a_col, b_col, 1), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def inter_counts(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "x": pd.Series(dtype=np.int64),
+                "y": pd.Series(dtype=np.int64),
+                "inter": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        e = g["e"].to_numpy()
+        order = np.lexsort((y, x))
+        x, y, e = x[order], y[order], e[order]
+        new = np.concatenate(([True], (x[1:] != x[:-1]) | (y[1:] != y[:-1])))
+        starts = np.flatnonzero(new)
+        inter = np.add.reduceat((e == 0).astype(np.int64), starts)
+        is_edge = np.add.reduceat((e == 1).astype(np.int64), starts) > 0
+        keep = (~is_edge) & (inter > 0)  # non-adjacent with >=1 shared
+        return pd.DataFrame(
+            {"x": x[starts][keep], "y": y[starts][keep], "inter": inter[keep]}
+        )
+
+    cand = tagged.groupby("__part").map_groups(
+        inter_counts, batch_format="pandas"
+    )
+    deg = _degree_ds(edges_ds, a_col, b_col, num_partitions).materialize()
+    from .relops import hash_join
+
+    withx = hash_join(cand, deg, "x", "node", num_partitions=num_partitions)
+    withx = withx.map_batches(
+        lambda t: t.select(["x", "y", "inter", "deg"]).rename_columns(
+            ["x", "y", "inter", "deg_x"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    withy = hash_join(withx, deg, "y", "node", num_partitions=num_partitions)
+
+    def score_topn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "x": pd.Series(dtype=np.int64),
+                "y": pd.Series(dtype=np.int64),
+                "inter": pd.Series(dtype=np.int64),
+                "jac": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        inter = g["inter"].to_numpy().astype(np.float64)
+        union = (
+            g["deg_x"].to_numpy() + g["deg"].to_numpy()
+        ).astype(np.float64) - inter
+        jac = inter / union
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        order = np.lexsort((y, x, -jac))[:topn]
+        return pd.DataFrame(
+            {
+                "x": x[order],
+                "y": y[order],
+                "inter": inter[order].astype(np.int64),
+                "jac": jac[order],
+            }
+        )
+
+    parts = (
+        withy.map_batches(
+            lambda t: t.append_column(
+                "__p2",
+                pa.array(
+                    (
+                        _splitmix64(
+                            t["x"].to_numpy(zero_copy_only=False).astype(
+                                np.uint64
+                            )
+                        )
+                        % np.uint64(8)
+                    ).astype(np.int32),
+                    pa.int32(),
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__p2")
+        .map_groups(score_topn, batch_format="pandas")
+        .to_pandas()
+    )
+    order = np.lexsort(
+        (parts["y"].to_numpy(), parts["x"].to_numpy(), -parts["jac"].to_numpy())
+    )[:topn]
+    return parts.iloc[order].reset_index(drop=True)

@@ -8278,6 +8278,103 @@ ORDER BY prio
 """
 
 
+def _mutual_knn_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Unique (a < b) mutual-5NN edges over all embeddings — the shared
+    graph input of `triangle_count` / `kcore` / `jaccard_links`
+    (routed exact search + both-endpoint pair confirmation)."""
+    from ..dedup import dedup_pair_rows
+    from ..search import knn_search, shard_refs_from_dataset
+
+    ds = _emb_ds(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(ds)
+    knn = knn_search(ds, shards, k=5, exclude_self=True)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        ids_col = t["neigh_ids"].combine_chunks()
+        kk = len(ids_col[0]) if len(ids_col) else 0
+        ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(
+            len(q), kk
+        )
+        keep = (ids >= 0).ravel()
+        a = np.repeat(q, kk)[keep]
+        b = ids.ravel()[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b), pa.int64()),
+                "b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    directed = knn.map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dedup_pair_rows(directed, min_count=2)
+
+
+SQL_GRAPH_PRELUDE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+d AS (SELECT x.vec_id i, y.vec_id j, list_distance(x.e, y.e) dist
+      FROM v x JOIN v y ON x.vec_id <> y.vec_id),
+knn AS (SELECT i, j FROM
+        (SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY dist, j) rn
+         FROM d) WHERE rn <= 5),
+mut AS (SELECT k1.i a, k1.j b FROM knn k1
+        JOIN knn k2 ON k2.i = k1.j AND k2.j = k1.i
+        WHERE k1.i < k1.j),
+adj AS (SELECT a AS u, b AS v FROM mut UNION ALL SELECT b, a FROM mut)"""
+
+
+def q_kcore(sf_dir: str):
+    """Exact 3-core of the mutual-5NN graph (``cluster.kcore``:
+    bounded distributed peel + gated vectorized local finish) — the
+    dense-subgraph extraction pass a clustering pipeline runs to
+    separate core entities from fringe noise. Rows-only by design:
+    peeling to the fixpoint needs a data-dependent number of rounds
+    (a fringe chain peels one node per round), which SQL cannot
+    express — DuckDB's recursive CTEs disallow the per-level degree
+    aggregation. Conformance is pinned by
+    ``tests/test_cluster.py`` python-equivalence peels (exact node-set
+    equality on the sf0.001 graph and on planted clique+chain
+    graphs)."""
+    from ..cluster import kcore
+
+    nodes, _rounds = kcore(_mutual_knn_edges(sf_dir), k=3)
+    out = nodes.to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_jaccard_links(sf_dir: str):
+    """Common-neighbor Jaccard link prediction on the mutual-5NN graph:
+    top-50 non-adjacent pairs by |N(x)∩N(y)| / |N(x)∪N(y)| — the
+    candidate-edge generator for graph-based ER consolidation. See
+    ``cluster.jaccard_link_prediction`` (wedge shuffle + tagged edge
+    suppression + partial top-n)."""
+    from ..cluster import jaccard_link_prediction
+
+    out = jaccard_link_prediction(_mutual_knn_edges(sf_dir), topn=50)
+    out["jac"] = round_away(out["jac"].to_numpy(), 6)
+    out["inter"] = out["inter"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_JACCARD_LINKS = SQL_GRAPH_PRELUDE + """,
+deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+wed AS (SELECT a1.v AS x, a2.v AS y, count(*) AS inter
+        FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+        GROUP BY 1, 2),
+cand AS (SELECT w.x, w.y, w.inter FROM wed w
+         LEFT JOIN mut m ON m.a = w.x AND m.b = w.y
+         WHERE m.a IS NULL),
+sc AS (SELECT x, y, inter,
+              CAST(inter AS DOUBLE) / (dx.d + dy.d - inter) AS jac
+       FROM cand JOIN deg dx ON dx.u = cand.x
+       JOIN deg dy ON dy.u = cand.y)
+SELECT x, y, CAST(inter AS BIGINT) AS inter, round(jac, 6) + 0 AS jac
+FROM sc ORDER BY sc.jac DESC, x, y LIMIT 50
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8463,6 +8560,8 @@ QUERIES = {
     "monge_elkan": q_monge_elkan,
     "fd_violations": q_fd_violations,
     "iqr_outliers": q_iqr_outliers,
+    "kcore": q_kcore,
+    "jaccard_links": q_jaccard_links,
 }
 
 ORACLE_SQL = {
@@ -8626,7 +8725,10 @@ ORACLE_SQL = {
     "monge_elkan": SQL_MONGE_ELKAN,
     "fd_violations": SQL_FD_VIOLATIONS,
     "iqr_outliers": SQL_IQR_OUTLIERS,
-    # Intentionally rows-only (no DuckDB equivalent): knn_mp_normal /
+    "jaccard_links": SQL_JACCARD_LINKS,
+    # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
+    # fixpoint round count; recursive CTEs disallow per-level aggregation —
+    # python-equivalence peels in tests/test_cluster.py), knn_mp_normal /
     # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality
     # (hash-function-defined semantics), ann_graph / ann_pq / ann_rpforest

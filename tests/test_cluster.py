@@ -156,3 +156,90 @@ def test_pagerank_matches_dense_reference(ray_session):
         )
         assert list(got["node"]) == nodes
         np.testing.assert_allclose(got["r"].to_numpy(), r, atol=1e-12)
+
+
+def _py_kcore(edges, k):
+    """Reference set-based peel (exact fixpoint)."""
+    E = {(a, b) for a, b in edges if a != b}
+    nodes = {v for e in E for v in e}
+    while True:
+        deg = {}
+        for a, b in E:
+            if a in nodes and b in nodes:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        keep = {n for n in nodes if deg.get(n, 0) >= k}
+        if keep == nodes:
+            return nodes
+        nodes = keep
+
+
+def test_kcore_planted_clique_and_chain(ray_session):
+    """3-core of clique(6) + pendant chain + 4-cycle = exactly the
+    clique; the chain/cycle (deg <= 2) must peel away even though the
+    chain needs many peel rounds (exercises the local finish tail)."""
+    from kiezray.cluster import kcore
+
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chain = [(5 + i, 5 + i + 1) for i in range(1, 40)]  # pendant path
+    chain.insert(0, (5, 6))  # attach to the clique
+    cyc = [(100, 101), (101, 102), (102, 103), (103, 100)]
+    edges = clique + chain + cyc
+    nodes, rounds = kcore(_edges_ds(edges), k=3)
+    got = sorted(nodes.to_pandas()["node"].tolist())
+    assert got == [0, 1, 2, 3, 4, 5]
+    assert sorted(_py_kcore(edges, 3)) == got
+
+
+def test_kcore_random_graph_matches_python_peel(ray_session):
+    from kiezray.cluster import kcore
+
+    rng = np.random.RandomState(11)
+    n = 400
+    raw = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.randint(0, n, size=(1200, 2))
+        if a != b
+    }
+    edges = sorted(raw)
+    for k in (2, 3, 4):
+        nodes, _ = kcore(_edges_ds(edges), k=k)
+        got = sorted(nodes.to_pandas()["node"].tolist())
+        assert got == sorted(_py_kcore(edges, k)), f"k={k}"
+
+
+def test_jaccard_links_excludes_edges_and_matches_reference(ray_session):
+    """Top pairs from the distributed wedge pipeline equal a
+    brute-force common-neighbor Jaccard on a planted two-clique
+    bridge graph, and never include existing edges."""
+    from kiezray.cluster import jaccard_link_prediction
+
+    clique1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    clique2 = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    bridge = [(4, 10)]
+    edges = clique1 + clique2 + bridge
+    out = jaccard_link_prediction(_edges_ds(edges), topn=10)
+    E = {(a, b) for a, b in edges}
+    got_pairs = set(zip(out["x"].tolist(), out["y"].tolist()))
+    assert not (got_pairs & E)
+    # brute force
+    adjm = {}
+    for a, b in edges:
+        adjm.setdefault(a, set()).add(b)
+        adjm.setdefault(b, set()).add(a)
+    best = {}
+    for u in adjm:
+        for v in adjm:
+            if u < v and v not in adjm[u]:
+                inter = len(adjm[u] & adjm[v])
+                if inter:
+                    best[(u, v)] = inter / len(adjm[u] | adjm[v])
+    want = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(
+        zip(
+            zip(out["x"].tolist(), out["y"].tolist()),
+            out["jac"].tolist(),
+        )
+    )
+    assert [p for p, _ in got] == [p for p, _ in want]
+    assert np.allclose([s for _, s in got], [s for _, s in want])

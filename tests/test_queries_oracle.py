@@ -168,6 +168,7 @@ CHECKED = [
     ("monge_elkan", 0),
     ("fd_violations", 0),
     ("iqr_outliers", 0),
+    ("jaccard_links", 0),
 ]
 
 
