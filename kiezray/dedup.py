@@ -2250,3 +2250,178 @@ def monge_elkan_pairs(
         .groupby("__part")
         .map_groups(me_partition, batch_format="pandas")
     )
+
+
+def tfidf_cosine_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "p_partkey",
+    text_col: str = "p_name",
+    num_partitions: int = 32,
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TF-IDF-weighted cosine similarity over blocked candidate pairs
+    (Cohen/Ravikumar/Fienberg's vector-space matcher feature): tokens
+    weighted ``tf * idf``, ``cos = <wa, wb> / (|wa| |wb|)``.
+
+    Exactness: idf is quantized to fixed-point int64
+    (``round(ln(N/df) * scale)``), so dot products and norms are EXACT
+    integer sums — order/partition-invariant, and bit-identical to a
+    SQL oracle doing the same integer arithmetic; only the final
+    ``dot / sqrt(n2a * n2b)`` touches floating point (one deterministic
+    division per pair).
+
+    Scale shape: pass 1 folds per-batch (token, df-partial) combiner
+    rows to an idf table — ASSUMES a bounded vocabulary (part-name
+    vocab here is ~10^2; for open web vocab swap the broadcast for a
+    token-key hash join, the ``fs_scores``-style transport). Pass 2 is
+    the one block-key shuffle shared by every pair operator; inside a
+    partition, per-pair dot products come from the (block, token)
+    co-occurrence runs (``_run_pairs`` + one lexsort + reduceat), the
+    same wedge enumeration the triangle counter uses — no per-pair
+    Python, contribution volume is Σ_t |rows(t)|² within blocks.
+    """
+    import pyarrow.compute as pc
+
+    from .arrowutil import round_away
+    from .block import _run_pairs
+
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = [
+            np.unique((s or "").split(" "))
+            for s in t[text_col].to_pandas().to_numpy(dtype=object)
+        ]
+        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        uu, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uu.astype(object), pa.string()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dfp = (
+        ds.select_columns([text_col])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("tok", as_index=False)["c"]
+        .sum()
+    )
+    idf_fixed = round_away(
+        np.log(float(n_docs) / dfp["c"].to_numpy().astype(np.float64))
+        * scale,
+        0,
+    ).astype(np.int64)
+    vhash = pd.util.hash_array(
+        dfp["tok"].to_numpy(dtype=object)
+    ).astype(np.uint64)
+    vorder = np.argsort(vhash)
+    vhash, vwt = vhash[vorder], idf_fixed[vorder]
+
+    def add_key(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(pc.coalesce(t[text_col], ""), " "), 0
+        )
+        h = pd.util.hash_array(
+            first.to_pandas().to_numpy(dtype=object)
+        ).astype(np.uint64)
+        part = (_splitmix64(h) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "__blk": first,
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def cos_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype=np.int64),
+                "b_id": pd.Series(dtype=np.int64),
+                "cos_sim": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        blk = g["__blk"].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].to_numpy(dtype=object)
+        order = np.lexsort((ids, blk))
+        blk, ids, texts = blk[order], ids[order], texts[order]
+        R = len(g)
+        starts = np.flatnonzero(np.concatenate(([True], blk[1:] != blk[:-1])))
+        lengths = np.diff(np.append(starts, R))
+        blk_of = np.repeat(np.arange(len(starts)), lengths)
+        a_idx, b_idx = _run_pairs(starts, lengths)
+        if len(a_idx) == 0:
+            return empty
+        toks = [(s or "").split(" ") for s in texts]
+        n_tok = np.fromiter(map(len, toks), np.int64, R)
+        row_of = np.repeat(np.arange(R, dtype=np.int64), n_tok)
+        th = pd.util.hash_array(
+            np.array([w for ts in toks for w in ts], dtype=object)
+        ).astype(np.uint64)
+        # tf per (row, token): collapse duplicate tokens within a row
+        o2 = np.lexsort((th, row_of))
+        row_s, th_s = row_of[o2], th[o2]
+        new = np.concatenate(
+            ([True], (row_s[1:] != row_s[:-1]) | (th_s[1:] != th_s[:-1]))
+        )
+        rs = np.flatnonzero(new)
+        tf = np.diff(np.append(rs, len(th_s))).astype(np.int64)
+        urow, uth = row_s[rs], th_s[rs]
+        pos = np.searchsorted(vhash, uth)
+        w = tf * vwt[pos]  # exact int64 weights
+        n2 = np.zeros(R, dtype=np.int64)
+        np.add.at(n2, urow, w * w)
+        # per-(block, token) runs -> pairwise dot contributions
+        o3 = np.lexsort((urow, uth, blk_of[urow]))
+        br, bt, bw = urow[o3], uth[o3], w[o3]
+        bb = blk_of[br]
+        run_new = np.concatenate(
+            ([True], (bb[1:] != bb[:-1]) | (bt[1:] != bt[:-1]))
+        )
+        rstarts = np.flatnonzero(run_new)
+        rlens = np.diff(np.append(rstarts, len(br)))
+        ci, cj = _run_pairs(rstarts, rlens)
+        if len(ci):
+            contrib = bw[ci] * bw[cj]  # exact int64
+            pkey = br[ci] * np.int64(R) + br[cj]  # row order = id order
+            o4 = np.argsort(pkey, kind="stable")
+            pkey, contrib = pkey[o4], contrib[o4]
+            pnew = np.concatenate(([True], pkey[1:] != pkey[:-1]))
+            ps = np.flatnonzero(pnew)
+            dot_key = pkey[ps]
+            dot_val = np.add.reduceat(contrib, ps)
+        else:
+            dot_key = np.empty(0, np.int64)
+            dot_val = np.empty(0, np.int64)
+        want = a_idx * np.int64(R) + b_idx
+        loc = np.searchsorted(dot_key, want)
+        locc = np.minimum(loc, max(len(dot_key) - 1, 0))
+        hit = (
+            (dot_key[locc] == want) if len(dot_key) else np.zeros(len(want), bool)
+        )
+        dots = np.where(hit, dot_val[locc] if len(dot_val) else 0, 0).astype(
+            np.float64
+        )
+        denom = np.sqrt(
+            n2[a_idx].astype(np.float64) * n2[b_idx].astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "a_id": ids[a_idx],
+                "b_id": ids[b_idx],
+                "cos_sim": dots / denom,
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(cos_partition, batch_format="pandas")
+    )

@@ -8375,6 +8375,51 @@ FROM sc ORDER BY sc.jac DESC, x, y LIMIT 50
 """
 
 
+def q_tfidf_pairs(sf_dir: str):
+    """TF-IDF cosine similarity over first-word-blocked part-name pairs
+    (``dedup.tfidf_cosine_pairs``): fixed-point int64 idf weights make
+    every dot product / norm exact integer arithmetic — only the final
+    per-pair division is floating point, so the result is
+    order/partition-invariant and oracle-exact."""
+    from ..dedup import tfidf_cosine_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    out = tfidf_cosine_pairs(parts).to_pandas()
+    out["cos_sim"] = round_away(out["cos_sim"].to_numpy(), 6)
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+SQL_TFIDF_PAIRS = """
+WITH tok AS (SELECT p_partkey AS id, u.t AS tok, count(*) AS tf
+             FROM part, unnest(string_split(p_name, ' ')) AS u(t)
+             GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+w AS (SELECT id, tok.tok AS tok,
+             tf * CAST(round(ln(CAST((SELECT count(*) FROM part) AS DOUBLE)
+                                / df) * 1000000) AS BIGINT) AS wt
+      FROM tok JOIN df USING (tok)),
+nrm AS (SELECT id, sum(wt * wt) AS n2 FROM w GROUP BY 1),
+pr AS (SELECT a.p_partkey AS a_id, b.p_partkey AS b_id
+       FROM part a JOIN part b
+         ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        AND a.p_partkey < b.p_partkey),
+dt AS (SELECT pr.a_id, pr.b_id, sum(wa.wt * wb.wt) AS d
+       FROM pr JOIN w wa ON wa.id = pr.a_id
+       JOIN w wb ON wb.id = pr.b_id AND wb.tok = wa.tok
+       GROUP BY 1, 2)
+SELECT pr.a_id, pr.b_id,
+       round(CAST(coalesce(dt.d, 0) AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) + 0
+         AS cos_sim
+FROM pr LEFT JOIN dt ON dt.a_id = pr.a_id AND dt.b_id = pr.b_id
+JOIN nrm na ON na.id = pr.a_id
+JOIN nrm nb ON nb.id = pr.b_id
+ORDER BY pr.a_id, pr.b_id
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8562,6 +8607,7 @@ QUERIES = {
     "iqr_outliers": q_iqr_outliers,
     "kcore": q_kcore,
     "jaccard_links": q_jaccard_links,
+    "tfidf_pairs": q_tfidf_pairs,
 }
 
 ORACLE_SQL = {
@@ -8726,6 +8772,7 @@ ORACLE_SQL = {
     "fd_violations": SQL_FD_VIOLATIONS,
     "iqr_outliers": SQL_IQR_OUTLIERS,
     "jaccard_links": SQL_JACCARD_LINKS,
+    "tfidf_pairs": SQL_TFIDF_PAIRS,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal /

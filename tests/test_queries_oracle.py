@@ -169,6 +169,7 @@ CHECKED = [
     ("fd_violations", 0),
     ("iqr_outliers", 0),
     ("jaccard_links", 0),
+    ("tfidf_pairs", 0),
 ]
 
 
