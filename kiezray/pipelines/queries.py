@@ -8420,6 +8420,90 @@ ORDER BY pr.a_id, pr.b_id
 """
 
 
+def q_hhi_concentration(sf_dir: str):
+    """Per-nation supplier revenue concentration (Herfindahl-Hirschman
+    index): ``hhi = Σ_i rev_i² / (Σ_i rev_i)²`` over each nation's
+    suppliers. Revenue is the exact int64 fixed-point unit
+    (``cents × (100 − disc_pct)``) shared by the TPC-H queries;
+    per-supplier totals fold as exact integers (in-batch (nation,
+    supplier) combiner + driver fold of the supplier-sized partial
+    table — rev² exceeds int64, so the tiny final fold runs in Python
+    arbitrary-precision ints, matching DuckDB's HUGEINT sums bit for
+    bit). Supplier->nation is the zero-shuffle broadcast-dim pattern."""
+    sup = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sk_sorted = sup["s_suppkey"].to_numpy(np.int64)
+    nk_of = sup["s_nationkey"].to_numpy(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p100 = round_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        d100 = round_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        u = p100 * (100 - d100)
+        nk = nk_of[np.searchsorted(sk_sorted, sk)]
+        order = np.lexsort((sk, nk))
+        nk, sk, u = nk[order], sk[order], u[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (nk[1:] != nk[:-1]) | (sk[1:] != sk[:-1])))
+        )
+        return pa.table(
+            {
+                "nk": pa.array(nk[starts], pa.int64()),
+                "sk": pa.array(sk[starts], pa.int64()),
+                "rev": pa.array(np.add.reduceat(u, starts), pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    per_sup = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["nk", "sk"], as_index=False)["rev"]
+        .sum()
+    )
+    rows = []
+    for nk, g in per_sup.groupby("nk"):
+        revs = [int(r) for r in g["rev"].tolist()]
+        num = sum(r * r for r in revs)  # exact (rev² exceeds int64)
+        tot = sum(revs)
+        hhi = np.float64(num) / (np.float64(tot) * np.float64(tot))
+        rows.append(
+            {
+                "nk": int(nk),
+                "n_sup": len(revs),
+                "hhi": float(round_away(hhi, 6)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("nk").reset_index(drop=True)
+
+
+SQL_HHI = """
+WITH r AS (
+  SELECT s_nationkey AS nk, l_suppkey AS sk,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1, 2)
+SELECT nk, count(*) AS n_sup,
+       round(CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6) + 0
+         AS hhi
+FROM r GROUP BY nk ORDER BY nk
+"""
+
+
 QUERIES = {
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
@@ -8608,6 +8692,7 @@ QUERIES = {
     "kcore": q_kcore,
     "jaccard_links": q_jaccard_links,
     "tfidf_pairs": q_tfidf_pairs,
+    "hhi_concentration": q_hhi_concentration,
 }
 
 ORACLE_SQL = {
@@ -8773,6 +8858,7 @@ ORACLE_SQL = {
     "iqr_outliers": SQL_IQR_OUTLIERS,
     "jaccard_links": SQL_JACCARD_LINKS,
     "tfidf_pairs": SQL_TFIDF_PAIRS,
+    "hhi_concentration": SQL_HHI,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal /

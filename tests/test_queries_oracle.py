@@ -170,6 +170,7 @@ CHECKED = [
     ("iqr_outliers", 0),
     ("jaccard_links", 0),
     ("tfidf_pairs", 0),
+    ("hhi_concentration", 0),
 ]
 
 
