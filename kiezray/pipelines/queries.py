@@ -8420,16 +8420,14 @@ ORDER BY pr.a_id, pr.b_id
 """
 
 
-def q_hhi_concentration(sf_dir: str):
-    """Per-nation supplier revenue concentration (Herfindahl-Hirschman
-    index): ``hhi = Σ_i rev_i² / (Σ_i rev_i)²`` over each nation's
-    suppliers. Revenue is the exact int64 fixed-point unit
-    (``cents × (100 − disc_pct)``) shared by the TPC-H queries;
-    per-supplier totals fold as exact integers (in-batch (nation,
-    supplier) combiner + driver fold of the supplier-sized partial
-    table — rev² exceeds int64, so the tiny final fold runs in Python
-    arbitrary-precision ints, matching DuckDB's HUGEINT sums bit for
-    bit). Supplier->nation is the zero-shuffle broadcast-dim pattern."""
+def _nation_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """Exact int64 per-(nation, supplier) revenue units
+    (``cents × (100 − disc_pct)``, the shared TPC-H fixed point):
+    supplier->nation rides the zero-shuffle broadcast-dim pattern, an
+    in-batch (nation, supplier) combiner collapses every lineitem
+    batch to supplier-sized partials, and the driver folds only that
+    tiny partial table. Shared by the concentration/inequality
+    profiles (`hhi_concentration`, `gini_concentration`)."""
     sup = (
         ray.data.read_parquet(
             f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
@@ -8467,12 +8465,22 @@ def q_hhi_concentration(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
     )
-    per_sup = (
+    return (
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
         .groupby(["nk", "sk"], as_index=False)["rev"]
         .sum()
     )
+
+
+def q_hhi_concentration(sf_dir: str):
+    """Per-nation supplier revenue concentration (Herfindahl-Hirschman
+    index): ``hhi = Σ_i rev_i² / (Σ_i rev_i)²`` over each nation's
+    suppliers, on the exact fixed-point revenue fold of
+    ``_nation_supplier_revenue`` — rev² exceeds int64, so the tiny
+    final fold runs in Python arbitrary-precision ints, matching
+    DuckDB's HUGEINT sums bit for bit."""
+    per_sup = _nation_supplier_revenue(sf_dir)
     rows = []
     for nk, g in per_sup.groupby("nk"):
         revs = [int(r) for r in g["rev"].tolist()]
@@ -8501,6 +8509,53 @@ SELECT nk, count(*) AS n_sup,
              / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6) + 0
          AS hhi
 FROM r GROUP BY nk ORDER BY nk
+"""
+
+
+def q_gini_concentration(sf_dir: str):
+    """Per-nation Gini coefficient of supplier revenue (inequality
+    profile, the distributional companion of ``hhi_concentration``):
+    ascending-sort formula ``G = Σ_i (2i − n − 1)·x_i / (n · Σ x)``,
+    which is tie-stable (equal values contribute the same sum under
+    any tie order). Numerator terms exceed int64, so the
+    supplier-sized driver fold uses Python arbitrary-precision ints —
+    bit-matching DuckDB's HUGEINT arithmetic. Same A4 sort-based Gini
+    the hubness analysis uses (``analysis.py``), applied as a grouped
+    relational profile."""
+    per_sup = _nation_supplier_revenue(sf_dir)
+    rows = []
+    for nk, g in per_sup.groupby("nk"):
+        revs = sorted(int(r) for r in g["rev"].tolist())
+        n = len(revs)
+        tot = sum(revs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(revs))
+        gini = np.float64(num) / (np.float64(n) * np.float64(tot))
+        rows.append(
+            {
+                "nk": int(nk),
+                "n_sup": n,
+                "gini": float(round_away(gini, 6)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("nk").reset_index(drop=True)
+
+
+SQL_GINI = """
+WITH r AS (
+  SELECT s_nationkey AS nk, l_suppkey AS sk,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1, 2),
+o AS (SELECT nk, rev,
+             row_number() OVER (PARTITION BY nk ORDER BY rev, sk) AS i,
+             count(*) OVER (PARTITION BY nk) AS n
+      FROM r)
+SELECT nk, CAST(max(n) AS BIGINT) AS n_sup,
+       round(CAST(sum((2 * i - n - 1) * CAST(rev AS HUGEINT)) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6) + 0
+         AS gini
+FROM o GROUP BY nk ORDER BY nk
 """
 
 
@@ -8693,6 +8748,7 @@ QUERIES = {
     "jaccard_links": q_jaccard_links,
     "tfidf_pairs": q_tfidf_pairs,
     "hhi_concentration": q_hhi_concentration,
+    "gini_concentration": q_gini_concentration,
 }
 
 ORACLE_SQL = {
@@ -8859,6 +8915,7 @@ ORACLE_SQL = {
     "jaccard_links": SQL_JACCARD_LINKS,
     "tfidf_pairs": SQL_TFIDF_PAIRS,
     "hhi_concentration": SQL_HHI,
+    "gini_concentration": SQL_GINI,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal /

@@ -171,6 +171,7 @@ CHECKED = [
     ("jaccard_links", 0),
     ("tfidf_pairs", 0),
     ("hhi_concentration", 0),
+    ("gini_concentration", 0),
 ]
 
 
