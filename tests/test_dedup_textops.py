@@ -748,3 +748,84 @@ def test_batch_damerau_levenshtein_matches_duckdb_bitwise():
         .df().iloc[:, 0].to_numpy()
     )
     assert (got == want).all()
+
+
+def test_monge_elkan_invariants():
+    """Kernel invariants beyond the SQL oracle: identity = 1.0, token
+    reorder = 1.0 (the property whole-string JW lacks), and asymmetry
+    with a hand-computed directed mean."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import batch_jaro_winkler, monge_elkan_pairs
+
+    names = [
+        "alpha beta gamma",   # block key 'alpha'
+        "alpha beta gamma",
+        "alpha gamma beta",   # reorder of the same tokens
+        "alpha zulu",         # partial overlap
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "p_name": pa.array(names, pa.string())})
+    )
+    out = (
+        monge_elkan_pairs(ds)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .set_index(["a_id", "b_id"])
+    )
+    assert out.loc[(1, 2), "me_ab"] == 1.0 and out.loc[(1, 2), "me_ba"] == 1.0
+    assert out.loc[(1, 3), "me_ab"] == 1.0 and out.loc[(1, 3), "me_ba"] == 1.0
+    # directed means vs an explicit per-token best-match fold
+    a_toks, b_toks = names[0].split(" "), names[3].split(" ")
+    me_ab = np.mean(
+        [
+            max(batch_jaro_winkler([ta] * len(b_toks), b_toks))
+            for ta in a_toks
+        ]
+    )
+    me_ba = np.mean(
+        [
+            max(batch_jaro_winkler([tb] * len(a_toks), a_toks))
+            for tb in b_toks
+        ]
+    )
+    assert abs(out.loc[(1, 4), "me_ab"] - me_ab) < 1e-12
+    assert abs(out.loc[(1, 4), "me_ba"] - me_ba) < 1e-12
+    assert out.loc[(1, 4), "me_ab"] != out.loc[(1, 4), "me_ba"]  # asymmetric
+
+
+def test_tfidf_cosine_pairs_invariants():
+    """Identity pairs score exactly 1.0; a pair sharing only the
+    blocking token matches the hand-computed fixed-point cosine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import tfidf_cosine_pairs
+
+    names = ["red soft wool", "red soft wool", "red hard steel", "blue x y"]
+    ds = ray.data.from_arrow(
+        pa.table({"p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "p_name": pa.array(names, pa.string())})
+    )
+    out = (
+        tfidf_cosine_pairs(ds)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .set_index(["a_id", "b_id"])
+    )
+    assert out.loc[(1, 2), "cos_sim"] == 1.0
+    # hand fold for (1, 3): idf fixed-point exactly as the kernel does
+    def wt(df, n=4, scale=1_000_000):
+        x = np.log(n / df) * scale
+        return int(np.copysign(np.floor(abs(x) + 0.5), x))
+    w_red, w_pair, w_uniq = wt(3), wt(2), wt(1)
+    dot = w_red * w_red
+    n2_1 = w_red**2 + 2 * w_pair**2  # soft/wool appear in docs 1 AND 2
+    n2_3 = w_red**2 + 2 * w_uniq**2  # hard/steel are unique to doc 3
+    want = dot / np.sqrt(float(n2_1) * float(n2_3))
+    assert abs(out.loc[(1, 3), "cos_sim"] - want) < 1e-12
+    assert (4, 4) not in out.index  # singleton block emits no pairs
