@@ -8540,6 +8540,100 @@ def q_gini_concentration(sf_dir: str):
     return pd.DataFrame(rows).sort_values("nk").reset_index(drop=True)
 
 
+def q_winsorized_mean(sf_dir: str):
+    """Per-priority winsorized mean of order totals (robust-statistics
+    data cleaning): values clipped to the exact [P5, P95]
+    ``quantile_disc`` bounds before averaging. Same two-streaming-pass
+    shape as ``iqr_outliers`` — exact per-key quantiles, tiny fence
+    table closed over a per-batch integer partial fold (clipped sums
+    stay int64-exact), one double division per key at the end."""
+    from ..quantile import grouped_quantiles
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = round_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "prio": pc.cast(
+                    pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1),
+                    pa.int64(),
+                ),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def orders_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    qt = grouped_quantiles(
+        orders_ds(), "prio", "cents", qs=(0.05, 0.95)
+    ).to_pandas()
+    lo = {
+        int(r["prio"]): int(r["value"])
+        for _, r in qt[qt["q"] == 0.05].iterrows()
+    }
+    hi = {
+        int(r["prio"]): int(r["value"])
+        for _, r in qt[qt["q"] == 0.95].iterrows()
+    }
+    prios = np.array(sorted(lo), dtype=np.int64)
+    lo_a = np.array([lo[p] for p in prios])
+    hi_a = np.array([hi[p] for p in prios])
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = t["prio"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        pi = np.searchsorted(prios, p)
+        clipped = np.minimum(np.maximum(c, lo_a[pi]), hi_a[pi])
+        s = np.bincount(pi, weights=clipped, minlength=len(prios)).astype(
+            np.int64
+        )
+        n = np.bincount(pi, minlength=len(prios)).astype(np.int64)
+        return pa.table(
+            {
+                "prio": pa.array(prios, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    folded = (
+        orders_ds()
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("prio", as_index=False)
+        .sum()
+    )
+    folded["lo_c"] = lo_a
+    folded["hi_c"] = hi_a
+    folded["wmean_c"] = round_away(
+        folded["s"].to_numpy(np.float64) / folded["n"].to_numpy(np.float64),
+        6,
+    )
+    cols = ["prio", "lo_c", "hi_c", "wmean_c"]
+    return folded[cols].sort_values("prio").reset_index(drop=True)
+
+
+SQL_WINSORIZED_MEAN = """
+WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+q AS (SELECT prio, CAST(quantile_disc(c, 0.05) AS BIGINT) AS lo_c,
+             CAST(quantile_disc(c, 0.95) AS BIGINT) AS hi_c
+      FROM o GROUP BY prio)
+SELECT o.prio, lo_c, hi_c,
+       round(CAST(sum(least(greatest(c, lo_c), hi_c)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0 AS wmean_c
+FROM o JOIN q USING (prio)
+GROUP BY o.prio, lo_c, hi_c
+ORDER BY prio
+"""
+
+
 SQL_GINI = """
 WITH r AS (
   SELECT s_nationkey AS nk, l_suppkey AS sk,
@@ -8749,6 +8843,7 @@ QUERIES = {
     "tfidf_pairs": q_tfidf_pairs,
     "hhi_concentration": q_hhi_concentration,
     "gini_concentration": q_gini_concentration,
+    "winsorized_mean": q_winsorized_mean,
 }
 
 ORACLE_SQL = {
@@ -8916,6 +9011,7 @@ ORACLE_SQL = {
     "tfidf_pairs": SQL_TFIDF_PAIRS,
     "hhi_concentration": SQL_HHI,
     "gini_concentration": SQL_GINI,
+    "winsorized_mean": SQL_WINSORIZED_MEAN,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal /

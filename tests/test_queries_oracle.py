@@ -172,6 +172,7 @@ CHECKED = [
     ("tfidf_pairs", 0),
     ("hhi_concentration", 0),
     ("gini_concentration", 0),
+    ("winsorized_mean", 0),
 ]
 
 
