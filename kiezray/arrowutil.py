@@ -60,3 +60,51 @@ def matrix_to_list(mat: np.ndarray, value_type: pa.DataType) -> pa.ListArray:
     n, k = mat.shape
     offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
     return pa.ListArray.from_arrays(offsets, pa.array(mat.ravel(), type=value_type))
+
+
+def matrix_to_binary(mat: np.ndarray) -> pa.BinaryArray:
+    """(n, w) fixed-width numeric rows -> binary array, one blob per row.
+
+    Arrow's hash join rejects list payload columns, but fixed-width binary
+    rides a join and decodes back with ``binary_to_matrix`` (np.frombuffer
+    views, no per-row Python). Construction is zero-copy over the
+    row-major buffer."""
+    mat = np.ascontiguousarray(mat)
+    n = len(mat)
+    width = mat.shape[1] if mat.ndim == 2 else 1
+    row_bytes = mat.dtype.itemsize * width
+    assert (n + 1) * row_bytes < 2**31, "batch overflows int32 binary offsets"
+    offsets = np.arange(0, (n + 1) * row_bytes, row_bytes, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        n,
+        [
+            None,
+            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(mat.tobytes()),
+        ],
+    )
+
+
+def binary_to_matrix(col: pa.ChunkedArray | pa.Array, dtype) -> np.ndarray:
+    """Inverse of ``matrix_to_binary``: uniform-width binary column ->
+    (n, w) array of ``dtype``. Raises on ragged rows or nulls."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dtype = np.dtype(dtype)
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("binary column with nulls cannot decode to a matrix")
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ]
+    widths = np.diff(offs)
+    w = int(widths[0])
+    if not (widths == w).all():
+        raise ValueError("ragged binary rows; expected fixed width")
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = np.ascontiguousarray(data[offs[0] : offs[0] + n * w])
+    return flat.view(dtype).reshape(n, w // dtype.itemsize)

@@ -33,7 +33,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .arrowutil import matrix_to_fsl, matrix_to_list, emb_to_matrix
+from .arrowutil import (
+    binary_to_matrix,
+    emb_to_matrix,
+    matrix_to_binary,
+    matrix_to_fsl,
+    matrix_to_list,
+)
 from .rerank import (
     CalibrationStats,
     apply_kernel,
@@ -341,6 +347,177 @@ def _pack_t2s_batch(t: pa.Table) -> pa.Table:
     )
 
 
+#: 'auto' stats transport switches from broadcast to the shuffle join
+#: above this target-id-space size — past it the dense O(m_index) float64
+#: calibration arrays (64 MB per array at the limit) stop being
+#: "small side" broadcast state.
+STATS_BROADCAST_MAX = 8_000_000
+
+
+def _explode_candidate_rows(
+    t: pa.Table, keep_q_bin: bool, transport_hint: str
+) -> pa.Table:
+    """(query_id, neigh_ids, neigh_dists[, embedding]) -> long per-candidate
+    rows (query_id, pos, target_id, dist[, q_bin]) for the shuffle-join
+    transports. The neighbor-id column is named ``target_id`` regardless of
+    search direction (it is the join key against the per-neighbor table).
+    ``q_bin`` carries the query's own vector as fixed-width binary (list
+    columns cannot ride Arrow hash joins), repeated per candidate row.
+    """
+    q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_col = t["neigh_ids"].combine_chunks()
+    d_col = t["neigh_dists"].combine_chunks()
+    c = len(ids_col[0]) if len(t) else 0
+    I = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+    D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
+    if (I < 0).any():
+        raise ValueError(
+            "padded candidates (ind=-1) are not supported by the "
+            f"join transport; construct Kiez with {transport_hint}"
+        )
+    cols = {
+        "query_id": pa.array(np.repeat(q, c), pa.int64()),
+        "pos": pa.array(
+            np.tile(np.arange(c, dtype=np.int32), len(q)), pa.int32()
+        ),
+        "target_id": pa.array(I.ravel(), pa.int64()),
+        "dist": pa.array(D.ravel(), pa.float64()),
+    }
+    if keep_q_bin:
+        qm = emb_to_matrix(t["embedding"]).astype(np.float64)
+        qb = matrix_to_binary(qm)
+        cols["q_bin"] = qb.take(
+            pa.array(np.repeat(np.arange(len(q), dtype=np.int64), c))
+        )
+    return pa.table(cols)
+
+
+def _regroup_rows(t: pa.Table):
+    """Lexsort exploded candidate rows back to per-query (n, c) layout.
+
+    Returns ``(order, Q, n, c, firsts)`` where ``order`` re-sorts rows by
+    (query_id, pos), ``Q (n,)`` is the distinct query ids, and ``firsts``
+    is the boolean first-row-of-each-query mask over the ordered rows.
+    Asserts every query kept exactly c rows (the joined table covers every
+    neighbor id, so the inner join drops nothing)."""
+    q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = t["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, q))
+    qs = q[order]
+    firsts = np.concatenate(([True], qs[1:] != qs[:-1]))
+    counts = np.diff(np.append(np.flatnonzero(firsts), len(qs)))
+    c = int(counts[0])
+    assert (counts == c).all(), "candidate rows lost in the join"
+    return order, qs[firsts], len(counts), c, firsts
+
+
+class _StatsJoinRerank:
+    """map_groups kernel for one coarse partition of exploded candidate
+    rows carrying their joined per-target calibration scalars: reassemble
+    per-query (n, c) arrays with one lexsort, run the SAME row kernels the
+    broadcast tier delegates to (rerank.csls_rows etc. — byte-identical by
+    construction), emit per-query top-k (plus DSL's row_min for the
+    global-shift finalize pass)."""
+
+    def __init__(self, method: str, k: int):
+        self.method = method
+        self.k = k
+        self.__name__ = f"stats_join_rerank_{method}"
+
+    def _empty(self) -> pa.Table:
+        cols = {
+            "query_id": pa.array([], pa.int64()),
+            "neigh_ids": pa.array([], pa.list_(pa.int64())),
+            "neigh_dists": pa.array([], pa.list_(pa.float64())),
+        }
+        if self.method == "dsl":
+            cols["row_min"] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .rerank import (
+            csls_rows,
+            dsl_preshift_rows,
+            local_scaling_rows,
+            mp_normal_rows,
+            nicdm_rows,
+        )
+
+        if len(t) == 0:
+            return self._empty()
+        order, Q, n, c, firsts = _regroup_rows(t)
+        tid = (
+            t["target_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+            .reshape(n, c)
+        )
+        D = t["dist"].to_numpy(zero_copy_only=False)[order].reshape(n, c)
+
+        def stat(col: str) -> np.ndarray:
+            return t[col].to_numpy(zero_copy_only=False)[order].reshape(n, c)
+
+        if self.method == "csls":
+            sec = csls_rows(D, stat("s1"))
+        elif self.method == "ls":
+            sec = local_scaling_rows(D, stat("s1"))
+        elif self.method == "nicdm":
+            sec = nicdm_rows(D, stat("s1"))
+        elif self.method == "mp_normal":
+            sec = mp_normal_rows(D, stat("s1"), stat("s2"))
+        elif self.method == "dsl":
+            cand = binary_to_matrix(t["vec_bin"], np.float64)[order].reshape(
+                n, c, -1
+            )
+            qv = binary_to_matrix(t["q_bin"], np.float64)[order][firsts]
+            sec = dsl_preshift_rows(D, stat("d2c"), qv, cand)
+        else:  # pragma: no cover - guarded by Kiez._stats_join
+            raise ValueError(f"no join rerank for method {self.method!r}")
+        sec_k, ids_k = topk_sorted(sec, tid, self.k)
+        cols = {
+            "query_id": pa.array(Q, pa.int64()),
+            "neigh_ids": matrix_to_list(ids_k, pa.int64()),
+            "neigh_dists": matrix_to_list(sec_k, pa.float64()),
+        }
+        if self.method == "dsl":
+            cols["row_min"] = pa.array(sec.min(axis=1), pa.float64())
+        return pa.table(cols)
+
+
+class _DslCentroidJoin:
+    """Join-transport DSL centroid pass (dis_sim.py:94-107 semantics): one
+    coarse partition of exploded t->s rows carrying their joined source-NN
+    vectors; reassembles (n, c, d) in neighbor-list order — the same order
+    the broadcast ShardGather produces, so the centroid float sums are
+    byte-identical — and emits each target's squared distance to the
+    centroid of its source NNs."""
+
+    def __init__(self):
+        self.__name__ = "dsl_centroid_join"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "target_id": pa.array([], pa.int64()),
+                    "d2c": pa.array([], pa.float64()),
+                }
+            )
+        order, Q, n, c, firsts = _regroup_rows(t)
+        sv = binary_to_matrix(t["vec_bin"], np.float64)[order].reshape(
+            n, c, -1
+        )
+        tv = binary_to_matrix(t["q_bin"], np.float64)[order][firsts]
+        centroids = sv.mean(axis=1)
+        diff = tv - centroids
+        return pa.table(
+            {
+                "target_id": pa.array(Q, pa.int64()),
+                "d2c": pa.array(np.einsum("nd,nd->n", diff, diff), pa.float64()),
+            }
+        )
+
+
 class _EmpiricJoinRerank:
     """map_groups kernel for one coarse partition of exploded candidate
     rows carrying their joined t->s blobs: reassemble per-query (c,) and
@@ -420,6 +597,7 @@ class Kiez:
         shards_per_actor: int | None = None,
         route_groups: int | None = None,
         empiric_transport: str = "join",
+        stats_transport: str = "auto",
     ):
         if not np.issubdtype(type(n_candidates), np.integer):
             raise TypeError(
@@ -497,7 +675,22 @@ class Kiez:
                 f" {empiric_transport!r}"
             )
         self.empiric_transport = empiric_transport
+        #: calibration-state transport for csls/ls/nicdm/mp_normal/dsl:
+        #: "broadcast" keeps the reference-shaped dense O(m_index) arrays
+        #: (ray.put once, read per actor — right while the target id space
+        #: fits a node); "join" shuffle-joins a (target_id, stats) table
+        #: onto exploded candidates so no actor ever holds O(m) state —
+        #: the 100-TB path; "auto" (default) picks join past
+        #: STATS_BROADCAST_MAX ids. Results are byte-identical across
+        #: transports (both delegate to the same row kernels).
+        if stats_transport not in ("auto", "broadcast", "join"):
+            raise ValueError(
+                f"stats_transport must be 'auto', 'broadcast' or 'join',"
+                f" got {stats_transport!r}"
+            )
+        self.stats_transport = stats_transport
         self._t2s_packed = None
+        self._stats_table = None
         self._fitted = False
 
     @classmethod
@@ -569,6 +762,8 @@ class Kiez:
         (converted), or Ray Datasets with (row_id:int64 dense,
         embedding:list<float>) columns."""
         self._self_query = target is None
+        self._t2s_packed = None  # re-fit drops any prior join tables
+        self._stats_table = None
         source = self._coerce_input(source)
         target = self._coerce_input(target)
         if isinstance(source, np.ndarray):
@@ -617,6 +812,19 @@ class Kiez:
         assert m2 == self._m
         # stats/dense arrays are indexed by row id; ids may be sparse
         self._m_index = t_max_id + 1
+        if self.stats_transport == "join":
+            use_join = True
+        elif self.stats_transport == "broadcast":
+            use_join = False
+        else:  # auto: dense O(m_index) arrays stop being broadcast-small
+            use_join = self._m_index > STATS_BROADCAST_MAX
+        # custom kernels consume the dense t2s arrays; mp_empiric has its
+        # own transport knob (empiric_transport)
+        self._stats_join = (
+            use_join
+            and self.hubness in ("csls", "nicdm", "ls", "mp_normal", "dsl")
+            and self._kernel_fn is None
+        )
         if self.hubness != "none":
             if self._source_ds is self._target_ds:
                 self._source_shards, n2, s_max_id = (
@@ -644,7 +852,22 @@ class Kiez:
                 shards_per_actor=self.shards_per_actor,
                 route_groups=self.route_groups,
             )
-            if self.hubness == "dsl":
+            if self.hubness == "dsl" and self._stats_join:
+                # join transport: d2c scalars from a join-based centroid
+                # pass + each target's vector packed binary, one (target_id,
+                # d2c, vec_bin) table the rerank joins on — no actor ever
+                # holds every target shard (ShardGather) or an O(m_index)
+                # dense array
+                d2c = self._dsl_centroid_join(t2s)
+                tvec = self._packed_vec_table(self._target_ds)
+                self._stats_table = d2c.join(
+                    tvec,
+                    join_type="inner",
+                    num_partitions=self._join_partitions(),
+                    on=("target_id",),
+                ).materialize()
+                stats = CalibrationStats(method="dsl", n_candidates=c)
+            elif self.hubness == "dsl":
                 # distributed centroid pass: each batch gathers its source-NN
                 # vectors from the broadcast shards; the driver only collects
                 # the O(m) (target_id, dist_to_centroid) scalars
@@ -664,6 +887,17 @@ class Kiez:
                     q = batch["query_id"].to_numpy(zero_copy_only=False)
                     v = batch["d2c"].to_numpy(zero_copy_only=False)
                     stats.dist_to_centroid[q.astype(np.int64)] = v
+            elif self._stats_join:
+                # join transport: the per-target scalar stats stay a
+                # distributed (target_id, s1[, s2]) table
+                from .stats import calibration_stats_table
+
+                self._stats_table = calibration_stats_table(
+                    t2s, self.hubness
+                ).materialize()
+                stats = CalibrationStats(
+                    method=self.hubness, n_candidates=c
+                )
             elif (
                 self.hubness == "mp_empiric"
                 and self.empiric_transport == "join"
@@ -689,6 +923,105 @@ class Kiez:
         self._fitted = True
         return self
 
+    @staticmethod
+    def _join_partitions() -> int:
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        return max(2, min(8, cpus // 2))
+
+    def _joined_groups(self, ex: "ray.data.Dataset", table: "ray.data.Dataset"):
+        """Inner-join exploded candidate rows with a per-neighbor table on
+        target_id, then group by a coarse hash partition of query_id (every
+        candidate row of a query lands in one map_groups call)."""
+        from .dedup import _splitmix64
+
+        joined = ex.join(
+            table,
+            join_type="inner",
+            num_partitions=self._join_partitions(),
+            on=("target_id",),
+        )
+        P = 32
+
+        def add_part(t: pa.Table) -> pa.Table:
+            q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = (_splitmix64(q) % np.uint64(P)).astype(np.int32)
+            return t.append_column("__part", pa.array(part, pa.int32()))
+
+        return joined.map_batches(add_part, batch_format="pyarrow").groupby(
+            "__part"
+        )
+
+    @staticmethod
+    def _packed_vec_table(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """(row_id, embedding) -> materialized (target_id, vec_bin) with
+        each vector packed as fixed-width binary (rides Arrow hash joins,
+        which reject list payload columns). The key is named ``target_id``
+        because exploded candidate rows always call their neighbor-id
+        column target_id regardless of search direction."""
+
+        def pack(t: pa.Table) -> pa.Table:
+            ids = t["row_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = emb_to_matrix(t["embedding"]).astype(np.float64)
+            return pa.table(
+                {
+                    "target_id": pa.array(ids, pa.int64()),
+                    "vec_bin": matrix_to_binary(m),
+                }
+            )
+
+        return (
+            ds.select_columns(["row_id", "embedding"])
+            .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+
+    def _dsl_centroid_join(self, t2s: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Join-transport centroid pass: t->s rows explode per neighbor,
+        pick up the source-NN vectors by a hash join on the neighbor id,
+        and a coarse map_groups emits (target_id, d2c) — the scale path
+        that replaces the broadcast ShardGather when no node should hold
+        every source shard."""
+        ex = t2s.map_batches(
+            lambda t: _explode_candidate_rows(
+                t, keep_q_bin=True, transport_hint="stats_transport='broadcast'"
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        svec = self._packed_vec_table(self._source_ds)
+        return self._joined_groups(ex, svec).map_groups(
+            _DslCentroidJoin(), batch_format="pyarrow"
+        )
+
+    def _stats_join_kneighbors(
+        self, cand: "ray.data.Dataset", k: int
+    ) -> "ray.data.Dataset":
+        """Rerank via the shuffle-join stats transport (VERDICT r3 item 1).
+
+        Candidates explode to (query_id, pos, target_id, dist[, q_bin])
+        rows, each picks up its target's calibration scalars (and for DSL
+        its vector) by an inner hash join on target_id, and a coarse
+        hash-partitioned map_groups reassembles per-query (n, c) arrays
+        for the same row kernels the broadcast tier delegates to. No
+        O(m_index) dense array exists anywhere, so the target id space is
+        unbounded by any single node's memory."""
+        ex = cand.map_batches(
+            lambda t: _explode_candidate_rows(
+                t,
+                keep_q_bin=self.hubness == "dsl",
+                transport_hint="stats_transport='broadcast'",
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return self._joined_groups(ex, self._stats_table).map_groups(
+            _StatsJoinRerank(self.hubness, k), batch_format="pyarrow"
+        )
+
     def _empiric_join_kneighbors(
         self, cand: "ray.data.Dataset", k: int
     ) -> "ray.data.Dataset":
@@ -701,62 +1034,15 @@ class Kiez:
         arrays exist on the driver or in broadcast state, so m (the
         indexed side) is unbounded by any single node's memory.
         """
-        from .dedup import _splitmix64
-
-        def explode(t: pa.Table) -> pa.Table:
-            q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ids_col = t["neigh_ids"].combine_chunks()
-            d_col = t["neigh_dists"].combine_chunks()
-            c = len(ids_col[0]) if len(t) else 0
-            I = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
-            D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), c)
-            if (I < 0).any():
-                raise ValueError(
-                    "padded candidates (ind=-1) are not supported by the "
-                    "join transport; construct Kiez with "
-                    "empiric_transport='broadcast'"
-                )
-            return pa.table(
-                {
-                    "query_id": pa.array(np.repeat(q, c), pa.int64()),
-                    "pos": pa.array(
-                        np.tile(np.arange(c, dtype=np.int32), len(q)),
-                        pa.int32(),
-                    ),
-                    "target_id": pa.array(I.ravel(), pa.int64()),
-                    "dist": pa.array(D.ravel(), pa.float64()),
-                }
-            )
-
         ex = cand.map_batches(
-            explode, batch_format="pyarrow", zero_copy_batch=True
+            lambda t: _explode_candidate_rows(
+                t, keep_q_bin=False, transport_hint="empiric_transport='broadcast'"
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        cpus = (
-            int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized()
-            else 8
-        )
-        nparts = max(2, min(8, cpus // 2))
-        joined = ex.join(
-            self._t2s_packed,
-            join_type="inner",
-            num_partitions=nparts,
-            on=("target_id",),
-        )
-        P = 32
-
-        def add_part(t: pa.Table) -> pa.Table:
-            q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            part = (_splitmix64(q) % np.uint64(P)).astype(np.int32)
-            return t.append_column("__part", pa.array(part, pa.int32()))
-
-        return (
-            joined.map_batches(add_part, batch_format="pyarrow")
-            .groupby("__part")
-            .map_groups(
-                _EmpiricJoinRerank(k),
-                batch_format="pyarrow",
-            )
+        return self._joined_groups(ex, self._t2s_packed).map_groups(
+            _EmpiricJoinRerank(k), batch_format="pyarrow"
         )
 
     @staticmethod
@@ -837,21 +1123,24 @@ class Kiez:
             and self._kernel_fn is None
         ):
             return self._empiric_join_kneighbors(cand, n_neighbors)
-        fn_kwargs = dict(
-            method=self.hubness,
-            stats_ref=self._stats_ref,
-            k=n_neighbors,
-            target_shards=self._target_shards if self.hubness == "dsl" else None,
-            kernel_fn=self._kernel_fn,
-        )
-        reranked = cand.map_batches(
-            RerankStage,
-            fn_constructor_kwargs=fn_kwargs,
-            batch_format="pyarrow",
-            batch_size=self.batch_size,
-            concurrency=self.concurrency or (1, 8),
-            zero_copy_batch=True,
-        )
+        if self._stats_table is not None:
+            reranked = self._stats_join_kneighbors(cand, n_neighbors)
+        else:
+            fn_kwargs = dict(
+                method=self.hubness,
+                stats_ref=self._stats_ref,
+                k=n_neighbors,
+                target_shards=self._target_shards if self.hubness == "dsl" else None,
+                kernel_fn=self._kernel_fn,
+            )
+            reranked = cand.map_batches(
+                RerankStage,
+                fn_constructor_kwargs=fn_kwargs,
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.concurrency or (1, 8),
+                zero_copy_batch=True,
+            )
         if self.hubness == "dsl":
             # global non-negative shift needs a global min: materialize the
             # (small, k-wide) reranked table once, aggregate, finalize.

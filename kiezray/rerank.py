@@ -81,31 +81,56 @@ class CalibrationStats:
 # ---------------------------------------------------------------------------
 
 
+def csls_rows(D: np.ndarray, r_mean_t: np.ndarray) -> np.ndarray:
+    """CSLS on pre-gathered per-candidate stats ``r_mean_t (n, c)``.
+
+    The broadcast kernel (``csls``) and the shuffle-join transport both
+    delegate here, so the two tiers are byte-identical by construction."""
+    r_test = D.mean(axis=1, keepdims=True)
+    return 2.0 * D - r_test - r_mean_t
+
+
 def csls(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
     """2*d - mean_c(d_query_row) - mean_c(d_t2s)[target]."""
-    r_test = D.mean(axis=1, keepdims=True)
-    return 2.0 * D - r_test - stats.r_mean[I]
+    return csls_rows(D, stats.r_mean[I])
+
+
+def local_scaling_rows(D: np.ndarray, r_kth_t: np.ndarray) -> np.ndarray:
+    """standard LS on pre-gathered ``r_kth_t (n, c)``."""
+    r_s = D[:, -1].reshape(-1, 1)
+    return 1.0 - np.exp(-(D**2) / (r_s * r_kth_t))
 
 
 def local_scaling(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
     """standard LS: 1 - exp(-d^2 / (r_query_kth * r_target_kth))."""
-    r_s = D[:, -1].reshape(-1, 1)
-    return 1.0 - np.exp(-(D**2) / (r_s * stats.r_kth[I]))
+    return local_scaling_rows(D, stats.r_kth[I])
+
+
+def nicdm_rows(D: np.ndarray, r_mean_t: np.ndarray) -> np.ndarray:
+    """NICDM on pre-gathered ``r_mean_t (n, c)``."""
+    r_s = D.mean(axis=1, keepdims=True)
+    return D / np.sqrt(r_s * r_mean_t)
 
 
 def nicdm(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
     """d / sqrt(mean_c(d_query_row) * mean_c(d_t2s)[target])."""
-    r_s = D.mean(axis=1, keepdims=True)
-    return D / np.sqrt(r_s * stats.r_mean[I])
+    return nicdm_rows(D, stats.r_mean[I])
+
+
+def mp_normal_rows(
+    D: np.ndarray, mu_t: np.ndarray, sd_t: np.ndarray
+) -> np.ndarray:
+    """MP-normal on pre-gathered ``mu_t/sd_t (n, c)``."""
+    mu_q = np.nanmean(D, axis=1).reshape(-1, 1)
+    sd_q = np.nanstd(D, axis=1).reshape(-1, 1)
+    p1 = norm_sf(D, mu_q, sd_q)
+    p2 = norm_sf(D, mu_t, sd_t)
+    return 1.0 - p1 * p2
 
 
 def mp_normal(D: np.ndarray, I: np.ndarray, stats: CalibrationStats) -> np.ndarray:
     """1 - SF(d; mu_q, sd_q) * SF(d; mu_t[ind], sd_t[ind]) (population sd)."""
-    mu_q = np.nanmean(D, axis=1).reshape(-1, 1)
-    sd_q = np.nanstd(D, axis=1).reshape(-1, 1)
-    p1 = norm_sf(D, mu_q, sd_q)
-    p2 = norm_sf(D, stats.mu[I], stats.sd[I])
-    return 1.0 - p1 * p2
+    return mp_normal_rows(D, stats.mu[I], stats.sd[I])
 
 
 #: byte budget for mp_empiric's boolean match intermediate; the kernel
@@ -183,6 +208,28 @@ def mp_empiric_rows(
     return out
 
 
+def dsl_preshift_rows(
+    D: np.ndarray,
+    d2c_t: np.ndarray,
+    query_vecs: np.ndarray,
+    cand_vecs: np.ndarray,
+) -> np.ndarray:
+    """DisSimLocal pre-shift distance on pre-gathered ``d2c_t (n, c)``.
+
+    Both transports (broadcast ShardGather and the target_id shuffle join)
+    delegate here with identically-ordered ``cand_vecs``, so the tiers are
+    byte-identical by construction."""
+    cand = cand_vecs  # (n, c, d)
+    q = query_vecs[:, None, :]  # (n, 1, d)
+    diff = q - cand
+    hub = np.einsum("ncd,ncd->nc", diff, diff)  # exact sq euclidean
+    centroids = cand.mean(axis=1)  # (n, d)
+    qc = query_vecs - centroids
+    hub -= np.einsum("nd,nd->n", qc, qc).reshape(-1, 1)
+    hub -= d2c_t
+    return hub
+
+
 def dsl_preshift(
     D: np.ndarray,
     I: np.ndarray,
@@ -199,15 +246,7 @@ def dsl_preshift(
     The global min-shift and optional sqrt (dis_sim.py:168-177) are applied
     in a second pass because the minimum is a global aggregate.
     """
-    cand = cand_vecs  # (n, c, d)
-    q = query_vecs[:, None, :]  # (n, 1, d)
-    diff = q - cand
-    hub = np.einsum("ncd,ncd->nc", diff, diff)  # exact sq euclidean
-    centroids = cand.mean(axis=1)  # (n, d)
-    qc = query_vecs - centroids
-    hub -= np.einsum("nd,nd->n", qc, qc).reshape(-1, 1)
-    hub -= stats.dist_to_centroid[I]
-    return hub
+    return dsl_preshift_rows(D, stats.dist_to_centroid[I], query_vecs, cand_vecs)
 
 
 def dsl_finalize(hub: np.ndarray, global_min: float, squared: bool) -> np.ndarray:

@@ -20,6 +20,44 @@ import ray
 from .rerank import CalibrationStats
 
 
+def calibration_stats_table(
+    t2s_ds: "ray.data.Dataset", method: str
+) -> "ray.data.Dataset":
+    """Per-target calibration scalars as a ``(target_id, s1[, s2])`` Dataset.
+
+    This is the shuffle-join transport's stats table
+    (``Kiez(stats_transport="join")``): O(m) rows that stay distributed
+    and are hash-joined onto exploded candidates keyed on target_id — no
+    dense id-indexed array ever exists on the driver or in broadcast
+    state, so m (the indexed side) is unbounded by any node's memory.
+    The broadcast tier (``compute_calibration_stats``) consumes the same
+    reducer, so both tiers see bit-identical scalars.
+    """
+    import pyarrow as pa
+
+    if method not in ("csls", "nicdm", "ls", "mp_normal"):
+        raise ValueError(f"no scalar stats table for method {method!r}")
+
+    def reduce_rows(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_col = t["neigh_dists"].combine_chunks()
+        k = len(d_col[0]) if len(d_col) else 0
+        D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        cols = {"target_id": pa.array(q, pa.int64())}
+        if method in ("csls", "nicdm"):
+            cols["s1"] = pa.array(D.mean(axis=1), pa.float64())
+        elif method == "ls":
+            cols["s1"] = pa.array(D[:, -1], pa.float64())
+        else:  # mp_normal
+            cols["s1"] = pa.array(np.nanmean(D, axis=1), pa.float64())
+            cols["s2"] = pa.array(np.nanstd(D, axis=1), pa.float64())
+        return pa.table(cols)
+
+    return t2s_ds.map_batches(
+        reduce_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def compute_calibration_stats(
     t2s_ds: "ray.data.Dataset",
     method: str,
@@ -60,30 +98,11 @@ def compute_calibration_stats(
     if method in ("csls", "nicdm", "ls", "mp_normal"):
         # per-row scalars: reduce in WORKERS, driver pulls O(m) floats
         # instead of the O(m*c) neighbor lists
-        import pyarrow as pa
-
-        def reduce_rows(t: pa.Table) -> pa.Table:
-            q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            d_col = t["neigh_dists"].combine_chunks()
-            k = len(d_col[0]) if len(d_col) else 0
-            D = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
-            cols = {"query_id": pa.array(q, pa.int64())}
-            if method in ("csls", "nicdm"):
-                cols["s1"] = pa.array(D.mean(axis=1), pa.float64())
-            elif method == "ls":
-                cols["s1"] = pa.array(D[:, -1], pa.float64())
-            else:  # mp_normal
-                cols["s1"] = pa.array(np.nanmean(D, axis=1), pa.float64())
-                cols["s2"] = pa.array(np.nanstd(D, axis=1), pa.float64())
-            return pa.table(cols)
-
-        reduced = t2s_ds.map_batches(
-            reduce_rows, batch_format="pyarrow", zero_copy_batch=True
-        )
+        reduced = calibration_stats_table(t2s_ds, method)
         for batch in reduced.iter_batches(
             batch_size=65536, batch_format="pyarrow"
         ):
-            q = batch["query_id"].to_numpy(zero_copy_only=False)
+            q = batch["target_id"].to_numpy(zero_copy_only=False)
             s1 = batch["s1"].to_numpy(zero_copy_only=False)
             if method in ("csls", "nicdm"):
                 stats.r_mean[q] = s1

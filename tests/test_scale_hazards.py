@@ -191,6 +191,107 @@ def test_mp_empiric_join_transport_matches_broadcast(ray_session):
     np.testing.assert_array_equal(dj, db)  # byte-identical, not just close
 
 
+@pytest.mark.parametrize(
+    "hub,hkw,akw",
+    [
+        ("csls", {}, {"metric": "euclidean"}),
+        ("localscaling", {}, {"metric": "euclidean"}),
+        ("localscaling", {"method": "nicdm"}, {"metric": "euclidean"}),
+        ("mutualproximity", {}, {"metric": "euclidean"}),
+        ("dsl", {}, {"metric": "sqeuclidean"}),
+    ],
+)
+def test_stats_join_transport_matches_broadcast(ray_session, hub, hkw, akw):
+    """VERDICT r3 item 1: calibration state (csls/ls/nicdm/mp_normal r_mean/
+    r_kth/mu/sd, DSL d2c + candidate vectors) is shuffle-joinable onto the
+    candidates keyed on target_id — byte-identical to the broadcast dense
+    arrays, with no O(m_index) state in any actor."""
+    from kiezray import Kiez
+
+    rng = np.random.RandomState(29)
+    src = rng.rand(250, 12)
+    tgt = rng.rand(380, 12)
+    res = {}
+    for mode in ("broadcast", "join"):
+        kz = Kiez(
+            n_candidates=9,
+            algorithm="exact",
+            algorithm_kwargs=dict(akw),
+            hubness=hub,
+            hubness_kwargs=dict(hkw),
+            stats_transport=mode,
+            rows_per_shard=100,
+        )
+        kz.fit(src, tgt)
+        res[mode] = kz.kneighbors(5)
+        if mode == "join":
+            assert kz._stats_table is not None
+            stats = ray.get(kz._stats_ref)
+            # no dense id-indexed arrays anywhere in broadcast state
+            for arr in (stats.r_mean, stats.r_kth, stats.mu, stats.sd,
+                        stats.dist_to_centroid):
+                assert arr is None
+    db, ib = res["broadcast"]
+    dj, ij = res["join"]
+    np.testing.assert_array_equal(ib, ij)
+    # byte-identical, not just close (same row kernels on both tiers)
+    np.testing.assert_array_equal(db.view(np.uint64), dj.view(np.uint64))
+
+
+@pytest.mark.parametrize("hub,akw", [
+    ("csls", {"metric": "euclidean"}),
+    ("dsl", {"metric": "sqeuclidean"}),
+])
+def test_stats_join_sparse_huge_id_space(ray_session, hub, akw):
+    """Forced-large target id space (ids ~2^41): 'auto' must resolve to the
+    join tier and complete — the broadcast tier would allocate an
+    O(max_id) dense array (terabytes) and is structurally impossible here.
+    Results must match a dense-id broadcast run on the same vectors (ids
+    are order-preservingly remapped, so tie-breaks agree)."""
+    from kiezray import Kiez
+    from kiezray.arrowutil import matrix_to_fsl
+
+    rng = np.random.RandomState(47)
+    n, m, d = 120, 180, 8
+    src = rng.rand(n, d)
+    tgt = rng.rand(m, d)
+
+    def ds_with_ids(mat, base):
+        ids = base + np.arange(len(mat), dtype=np.int64) * 2**33
+        tbl = pa.table(
+            {
+                "row_id": pa.array(ids, pa.int64()),
+                "embedding": matrix_to_fsl(mat, pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(tbl).repartition(3)
+
+    kz = Kiez(
+        n_candidates=8, algorithm="exact", algorithm_kwargs=dict(akw),
+        hubness=hub, rows_per_shard=64,
+    )
+    kz.fit(ds_with_ids(src, 3), ds_with_ids(tgt, 7))
+    assert kz._stats_join  # auto resolved to the join tier
+    rows = kz.kneighbors_dataset(4).take_all()
+
+    kd = Kiez(
+        n_candidates=8, algorithm="exact", algorithm_kwargs=dict(akw),
+        hubness=hub, stats_transport="broadcast", rows_per_shard=64,
+    )
+    kd.fit(src, tgt)
+    d_want, i_want = kd.kneighbors(4)
+
+    assert len(rows) == n
+    for r in rows:
+        qpos = (r["query_id"] - 3) >> 33
+        got_ids = (np.asarray(r["neigh_ids"], dtype=np.int64) - 7) >> 33
+        np.testing.assert_array_equal(got_ids, i_want[qpos])
+        got_d = np.asarray(r["neigh_dists"])
+        np.testing.assert_array_equal(
+            got_d.view(np.uint64), d_want[qpos].view(np.uint64)
+        )
+
+
 def test_new_keyed_ops_big_keys_match_pandas(ray_session):
     """Keys >= 2^33 through the splitmix partition hash: event_gaps,
     event_sequences and grouped_mad must stay exact (no 32-bit masking,
