@@ -16,7 +16,6 @@ training-data extensions.
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
@@ -166,14 +165,6 @@ def batch_minhash(
             out_ne[:, p] = np.minimum.reduceat(vals, offsets)
     sigs[nonempty] = out_ne
     return sigs
-
-
-def content_hash_column(texts) -> pa.Array:
-    """Stable sha1 hex digest per row (exact-dup key)."""
-    return pa.array(
-        [hashlib.sha1(t.encode("utf-8")).hexdigest() for t in texts],
-        pa.string(),
-    )
 
 
 def dedup_exact(

@@ -274,11 +274,43 @@ def q_knn_mp_normal(sf_dir: str):
 
 
 def q_knn_mp_empiric(sf_dir: str):
-    """Rows-only: MP-empiric joint-exceedance rerank (O(n*c^2) kernel)."""
+    """MP-empiric joint-exceedance rerank (O(n*c^2) kernel), run over the
+    shuffle-join transport (empiric_transport='join' default)."""
     return _explode_neighbors(
         _knn_ds(sf_dir, "mutualproximity", k=TOPK, hkw={"method": "empiric"}),
         digits=6,
     )
+
+
+# The empiric secondary distance is pure counting (mutual_proximity.py:
+# 185-212): for query i and candidate j, d_j[l] = the distance recorded in
+# target j's t->s neighbor list under id I[i,l] if present else (kth +
+# 1e-6); score = 1 - |{l : D[i,l] > D[i,j] and d_j[l] > D[i,j]}| / c. The
+# LEFT JOIN keeps the reference's id-space quirk (candidate TARGET ids
+# looked up among SOURCE neighbor ids) bit-for-bit.
+SQL_KNN_MP_EMPIRIC = f"""
+WITH {_sql_sides()},
+kth AS (SELECT tid, max(dist) + 1e-6 AS dflt FROM tcand GROUP BY tid),
+pairs AS (
+  SELECT cj.sid, cj.tid, cj.dist AS dij, cl.dist AS dil,
+         coalesce(ts.dist, kth.dflt) AS djl
+  FROM cand cj
+  JOIN cand cl ON cl.sid = cj.sid
+  JOIN kth ON kth.tid = cj.tid
+  LEFT JOIN tcand ts ON ts.tid = cj.tid AND ts.sid = cl.tid
+),
+sec AS (SELECT sid, tid,
+               1.0 - CAST(sum(CASE WHEN dil > dij AND djl > dij
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / {N_CAND} AS hdist
+        FROM pairs GROUP BY sid, tid, dij),
+ranked AS (SELECT sid, tid, hdist,
+                  row_number() OVER (PARTITION BY sid ORDER BY hdist, tid) rk
+           FROM sec)
+SELECT sid AS source_id, rk AS rank, tid AS target_id,
+       round(hdist, 6) + 0 AS dist
+FROM ranked WHERE rk <= {TOPK} ORDER BY source_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -6498,8 +6530,10 @@ def _li_units(t: pa.Table) -> np.ndarray:
     construction (integer addition commutes)."""
     price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
     disc = t["l_discount"].to_numpy(zero_copy_only=False)
-    cents = np.round(price * 100.0).astype(np.int64)
-    d = np.round(disc * 100.0).astype(np.int64)
+    # round_away for oracle consistency (2-decimal TPC-H prices can't hit
+    # a *100 tie, but every oracle-compared quantization uses one rule)
+    cents = round_away(price * 100.0, 0).astype(np.int64)
+    d = round_away(disc * 100.0, 0).astype(np.int64)
     return cents * (100 - d)
 
 
@@ -6578,6 +6612,14 @@ def q_top_supplier(sf_dir: str):
                  "l_discount"],
     ).map_batches(units, batch_format="pyarrow", zero_copy_batch=True)
     per_supp = _int_sum_fold(li, ["u"]).to_pandas()  # one row / supplier
+    if per_supp.empty:  # no lineitem in the quarter: oracle returns 0 rows
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.array([], dtype="int64"),
+                "s_name": pd.array([], dtype=object),
+                "total_revenue": pd.array([], dtype="float64"),
+            }
+        )
     best = int(per_supp["u"].max())
     win = per_supp[per_supp["u"] == best]
     supp = ray.data.read_parquet(
@@ -6615,11 +6657,12 @@ def q_important_parts(sf_dir: str):
     """TPC-H Q11 shape: parts whose total lineitem spend exceeds a
     scale-invariant threshold (HAVING sum > scalar-subquery threshold).
     No partsupp table in this schema, so "value" is the part's total
-    revenue and the bar is 1.3x the mean per-part value. Exact rational
-    compare ``10 * v * n_parts > 13 * total`` in int64 — no float
-    threshold;
-    both scalars come from one aggregate over one-row-per-part
-    partials."""
+    revenue and the bar is 1.3x the mean per-part value. The threshold is
+    hoisted driver-side as exact Python big-int arithmetic (keep iff
+    ``v >= 13*total // (10*n_parts) + 1``, the integer form of
+    ``10*v*n_parts > 13*total``) — the in-kernel int64 product would
+    silently wrap at the 10^12-unit scale this targets; both scalars come
+    from one aggregate over one-row-per-part partials."""
 
     def units(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -6636,10 +6679,16 @@ def q_important_parts(sf_dir: str):
     folded = _int_sum_fold(li, ["u"]).materialize()  # one row per part
     total = int(folded.sum("u"))
     n_parts = int(folded.count())
+    # exact big-int threshold: v integer and X = 13*total/(10*n_parts)
+    # rational, so v > X  <=>  v >= floor(X) + 1 in every case
+    thresh = 13 * total // (10 * n_parts) + 1 if n_parts else 0
 
     def keep(t: pa.Table) -> pa.Table:
         v = t["u"].to_numpy(zero_copy_only=False)
-        m = 10 * v * n_parts > 13 * total
+        if thresh > np.iinfo(np.int64).max:
+            m = np.zeros(len(v), dtype=bool)
+        else:
+            m = v >= np.int64(thresh)
         sub = t.filter(pa.array(m))
         val = sub["u"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
@@ -8234,9 +8283,11 @@ def q_iqr_outliers(sf_dir: str):
         n = np.bincount(pi, weights=out, minlength=len(prios)).astype(
             np.int64
         )
-        s = np.bincount(
-            pi, weights=np.where(out, c, 0), minlength=len(prios)
-        ).astype(np.int64)
+        # int64 scatter-add for the cent sums (float-weighted bincount is
+        # exact only below 2^53 per batch-key sum); the 0/1 outlier count
+        # above cannot overflow a float64 at any batch size
+        s = np.zeros(len(prios), dtype=np.int64)
+        np.add.at(s, pi, np.where(out, c, 0))
         return pa.table(
             {
                 "prio": pa.array(prios, pa.int64()),
@@ -8589,9 +8640,10 @@ def q_winsorized_mean(sf_dir: str):
         c = t["cents"].to_numpy(zero_copy_only=False)
         pi = np.searchsorted(prios, p)
         clipped = np.minimum(np.maximum(c, lo_a[pi]), hi_a[pi])
-        s = np.bincount(pi, weights=clipped, minlength=len(prios)).astype(
-            np.int64
-        )
+        # int64 scatter-add, not float-weighted bincount: a float64
+        # accumulator is exact only below 2^53 per (batch, key) sum
+        s = np.zeros(len(prios), dtype=np.int64)
+        np.add.at(s, pi, clipped)
         n = np.bincount(pi, minlength=len(prios)).astype(np.int64)
         return pa.table(
             {
@@ -8654,6 +8706,12 @@ FROM o GROUP BY nk ORDER BY nk
 
 
 QUERIES = {
+    # --- driver correctness window: the driver oracle-checks the FIRST
+    # 50 entries, so this prefix samples every operator family's
+    # flagship (knn/rerank, analysis, ANN, media, sketch, graph, dedup,
+    # text, ER, edit-distance, matcher, TPC-H, windows, joins, sampling,
+    # quantiles). The remaining entries are covered by the builder's
+    # full DuckDB sweep in tests/test_queries_oracle.py. ---
     "knn_basic": q_knn_basic,
     "knn_csls": q_knn_csls,
     "knn_ls": q_knn_ls,
@@ -8667,55 +8725,70 @@ QUERIES = {
     "hits_at_k": q_hits,
     "ann_cosine": q_ann_cosine,
     "ann_graph": q_ann_graph,
-    "ann_pq": q_ann_pq,
-    "ann_rpforest": q_ann_rpforest,
     "media_features": q_media_features,
-    "media_dedup": q_media_dedup,
-    "ngram_pairs": q_ngram_pairs,
+    "video_dedup": q_video_dedup,
     "heavy_hitters": q_heavy_hitters,
     "approx_distinct": q_approx_distinct,
     "components": q_components,
+    "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
+    "jaccard_links": q_jaccard_links,
     "dedup_exact": q_dedup_exact,
+    "minhash_dedup": q_minhash_dedup,
+    "embed_dup": q_embed_dup,
+    "dedup_canonical": q_dedup_canonical,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
-    "er_pipeline": q_er_pipeline,
-    "minhash_dedup": q_minhash_dedup,
     "token_counts": q_token_counts,
+    "quality_filter": q_quality_filter,
+    "decontaminate": q_decontaminate,
+    "er_pipeline": q_er_pipeline,
+    "golden_record": q_golden_record,
+    "meta_blocking": q_meta_blocking,
+    "edit_pairs": q_edit_pairs,
+    "pair_features": q_pair_features,
+    "rand_index": q_rand_index,
+    "pricing_summary": q_pricing_summary,
+    "volume_shipping": q_volume_shipping,
+    "min_cost_supplier": q_min_cost_supplier,
+    "tumbling_window": q_tumbling,
+    "sessionize": q_sessionize,
+    "running_totals": q_running_totals,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "broadcast_join": q_broadcast_join,
+    "stratified_sample": q_stratified_sample,
+    "train_split": q_train_split,
+    "pack_chunks": q_pack_chunks,
+    "grouped_quantiles": q_grouped_quantiles,
+    "winsorized_mean": q_winsorized_mean,
+    # --- balance of the registry (builder-sweep coverage) ---
+    "ann_pq": q_ann_pq,
+    "ann_rpforest": q_ann_rpforest,
+    "media_dedup": q_media_dedup,
+    "ngram_pairs": q_ngram_pairs,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "simhash_dedup": q_simhash_dedup,
-    "embed_dup": q_embed_dup,
     "hubness_all": q_hubness_all,
-    "tumbling_window": q_tumbling,
-    "sessionize": q_sessionize,
     "sliding_window": q_sliding,
-    "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
     "sample_hash": q_sample_hash,
     "sample_bottomk": q_sample_bottomk,
     "grouped_topk": q_grouped_topk,
     "quantiles": q_quantiles,
-    "grouped_quantiles": q_grouped_quantiles,
-    "asof_join": q_asof_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "inner_join": q_inner_join,
     "left_join": q_left_join,
     "event_pivot": q_event_pivot,
-    "running_totals": q_running_totals,
     "repetition": q_repetition,
     "global_rank": q_global_rank,
-    "pack_chunks": q_pack_chunks,
     "kmeans_clusters": q_kmeans,
     "audio_features": q_audio_features,
-    "range_join": q_range_join,
     "distinct_count": q_distinct_count,
-    "stratified_sample": q_stratified_sample,
     "top_terms": q_top_terms,
-    "broadcast_join": q_broadcast_join,
-    "quality_filter": q_quality_filter,
     "redact": q_redact,
-    "decontaminate": q_decontaminate,
     "delta_dedup": q_delta_dedup,
     "shuffle_rank": q_shuffle_rank,
     "tfidf_topk": q_tfidf,
@@ -8727,8 +8800,6 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "grouped_mad": q_grouped_mad,
     "bloom_semi": q_bloom_semi,
-    "train_split": q_train_split,
-    "triangle_count": q_triangle_count,
     "pmi_bigrams": q_pmi_bigrams,
     "event_seq": q_event_seq,
     "full_join": q_full_join,
@@ -8753,11 +8824,8 @@ QUERIES = {
     "funnel": q_funnel,
     "nation_revenue": q_nation_revenue,
     "video_features": q_video_features,
-    "video_dedup": q_video_dedup,
-    "edit_pairs": q_edit_pairs,
     "market_share": q_market_share,
     "length_deciles": q_length_deciles,
-    "pagerank": q_pagerank,
     "dim_stats": q_dim_stats,
     "skyline": q_skyline,
     "ks_drift": q_ks_drift,
@@ -8803,7 +8871,6 @@ QUERIES = {
     "activity_heatmap": q_activity_heatmap,
     "order_gaps": q_order_gaps,
     "weighted_avg": q_weighted_avg,
-    "dedup_canonical": q_dedup_canonical,
     "large_orders": q_large_orders,
     "small_qty_revenue": q_small_qty_revenue,
     "promo_share": q_promo_share,
@@ -8825,25 +8892,17 @@ QUERIES = {
     "priority_count": q_priority_count,
     "line_priority": q_line_priority,
     "product_profit": q_product_profit,
-    "volume_shipping": q_volume_shipping,
-    "min_cost_supplier": q_min_cost_supplier,
     "promo_suppliers": q_promo_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
-    "golden_record": q_golden_record,
-    "meta_blocking": q_meta_blocking,
     "dl_pairs": q_dl_pairs,
-    "rand_index": q_rand_index,
-    "pair_features": q_pair_features,
     "stable_match": q_stable_match,
     "monge_elkan": q_monge_elkan,
     "fd_violations": q_fd_violations,
     "iqr_outliers": q_iqr_outliers,
     "kcore": q_kcore,
-    "jaccard_links": q_jaccard_links,
     "tfidf_pairs": q_tfidf_pairs,
     "hhi_concentration": q_hhi_concentration,
     "gini_concentration": q_gini_concentration,
-    "winsorized_mean": q_winsorized_mean,
 }
 
 ORACLE_SQL = {
@@ -8851,6 +8910,7 @@ ORACLE_SQL = {
     "knn_csls": SQL_KNN_CSLS,
     "knn_ls": SQL_KNN_LS,
     "knn_nicdm": SQL_KNN_NICDM,
+    "knn_mp_empiric": SQL_KNN_MP_EMPIRIC,
     "knn_dsl": SQL_KNN_DSL,
     "mp_stats": SQL_MP_STATS,
     "k_occurrence": SQL_K_OCCURRENCE,
@@ -9014,8 +9074,9 @@ ORACLE_SQL = {
     "winsorized_mean": SQL_WINSORIZED_MEAN,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
-    # python-equivalence peels in tests/test_cluster.py), knn_mp_normal /
-    # knn_mp_empiric (no erf), hubness_all (truncnorm moment), er_pipeline
+    # python-equivalence peels in tests/test_cluster.py), knn_mp_normal
+    # (no erf in DuckDB; mp_empiric IS oracle-checked — pure exceedance
+    # counting), hubness_all (truncnorm moment), er_pipeline
     # / minhash_dedup / weighted_dedup / simhash_dedup / fingerprint / quality
     # (hash-function-defined semantics), ann_graph / ann_pq / ann_rpforest
     # (approximate by construction; recall-tested vs the exact oracle),

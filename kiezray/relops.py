@@ -29,13 +29,14 @@ def grouped_topk(
 ) -> "ray.data.Dataset":
     """Top-``k`` rows per ``key_col`` ranked by ``order_col``.
 
-    Ties on ``order_col`` break by ``tie_col`` ascending. **WARNING:
-    without ``tie_col`` the tie-break falls back to intra-partition row
-    position, which is NOT stable under re-partitioning — tied outputs
-    can differ run to run.** Pass a unique ``tie_col`` (e.g. the row's
-    primary key) whenever deterministic, oracle-matching output matters;
-    every oracle-checked caller in this repo does. Adds a ``rank``
-    column (1-based within the key).
+    Ties on ``order_col`` break by ``tie_col`` ascending. Without
+    ``tie_col`` the tie-break is the full row content (every remaining
+    column, stringified, in name order) — deterministic under
+    re-partitioning; rows identical in every column are interchangeable,
+    so the output row-set is still partition-invariant. Pass a unique
+    ``tie_col`` (e.g. the row's primary key) when oracle-matching rank
+    assignment matters; every oracle-checked caller in this repo does.
+    Adds a ``rank`` column (1-based within the key).
     """
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -61,8 +62,19 @@ def grouped_topk(
         keys = g[key_col].to_numpy()
         order_vals = g[order_col].to_numpy()
         primary = -order_vals if descending else order_vals
-        tie = g[tie_col].to_numpy() if tie_col else np.arange(len(g))
-        order = np.lexsort((tie, primary, keys))
+        if tie_col:
+            tie_keys = (g[tie_col].to_numpy(),)
+        else:
+            # deterministic fallback: full row content, most-significant
+            # tie column first in name order (lexsort keys are listed
+            # least-significant first)
+            other = sorted(
+                c for c in g.columns if c not in (key_col, order_col)
+            )
+            tie_keys = tuple(
+                g[c].astype(str).to_numpy() for c in reversed(other)
+            ) or (np.zeros(len(g), dtype=np.int8),)
+        order = np.lexsort((*tie_keys, primary, keys))
         sk = keys[order]
         first = np.concatenate(([True], sk[1:] != sk[:-1]))
         starts = np.flatnonzero(first)
@@ -2136,10 +2148,15 @@ def golden_record(
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(columns=schema_cols)
+        from .arrowutil import round_away
+
         k = df[key_col].to_numpy().astype(np.int64)
         ts = df[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
         tie = df[tie_col].to_numpy().astype(np.int64)
-        v = np.round(df[value_col].to_numpy() * 1e6).astype(np.int64)
+        # round_away, not np.round: the matching oracle uses DuckDB round()
+        # (half-away-from-zero); a *1e6 value landing exactly on .5 must
+        # quantize identically on both sides
+        v = round_away(df[value_col].to_numpy() * 1e6, 0).astype(np.int64)
         w = pd.DataFrame(
             {
                 "__k": k,
@@ -2157,7 +2174,10 @@ def golden_record(
             kind="stable",
         )
         cand = w.drop_duplicates(["__k", "__m"], keep="first")
-        agg = w.groupby(["__k", "__m"], sort=False).agg(
+        # dropna=False: a null mode value is a real group (SQL GROUP BY
+        # keeps NULLs) — dropping it would lose its rows from n_rows/
+        # first_ts/sum_units and from the latest-record pick
+        agg = w.groupby(["__k", "__m"], sort=False, dropna=False).agg(
             __cnt=("__v", "size"),
             __min_ts=("__ts", "min"),
             __sv=("__v", "sum"),
@@ -2191,7 +2211,7 @@ def golden_record(
             kind="stable",
         )
         cand = g.drop_duplicates(["__k", "__m"], keep="first")
-        km = g.groupby(["__k", "__m"], sort=False).agg(
+        km = g.groupby(["__k", "__m"], sort=False, dropna=False).agg(
             __cnt=("__cnt", "sum"),
             __min_ts=("__min_ts", "min"),
             __sv=("__sv", "sum"),
