@@ -776,10 +776,97 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_er_exact(sf_dir: str):
+    """Oracle-checked ER composition: the flagship's downstream stages —
+    candidate generation (routed exact search), raw-cosine threshold
+    match decision (BlockPairScorer's decision rule), symmetric pair
+    dedup, transitive clustering — run over the embeddings table, where
+    every step is SQL-expressible. The documents-table flagship
+    (``er_pipeline``) stays rows-only by design: its hash embedding and
+    MinHash blocking have no DuckDB equivalent; this variant gives the
+    scoring semantics and the clustering stage full rows+hash checks."""
+    from ..dedup import dedup_pair_rows
+
+    TAU = 0.35
+    C = 6
+    ds = _emb_ds(sf_dir)
+    shards, _, _ = shard_refs_from_dataset(
+        ds, rows_per_shard=ROUTED["rows_per_shard"]
+    )
+    nds = knn_search(
+        ds, shards, k=C, algorithm="exact",
+        algorithm_kwargs={"metric": "cosine"}, exclude_self=True,
+        route_groups=ROUTED["route_groups"],
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        ids_col = t["neigh_ids"].combine_chunks()
+        d_col = t["neigh_dists"].combine_chunks()
+        k = len(ids_col[0]) if len(ids_col) else 0
+        ids = ids_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        dist = d_col.values.to_numpy(zero_copy_only=False).reshape(len(q), k)
+        sim = 1.0 - dist.ravel()
+        keep = (ids.ravel() >= 0) & (sim >= TAU)
+        a = np.repeat(q, k)[keep]
+        b = ids.ravel()[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b), pa.int64()),
+                "b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    edges = dedup_pair_rows(
+        nds.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    nodes = ds.map_batches(
+        lambda t: pa.table({"node": t["row_id"]}), batch_format="pyarrow"
+    )
+    comp = connected_components(edges, extra_nodes_ds=nodes)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["node"], pa.int64()),
+                "cluster_id": pc.cast(t["component"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ER_EXACT = """
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+d AS (SELECT a.vec_id i, b.vec_id j, list_cosine_similarity(a.v, b.v) s
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+cand AS (SELECT i, j, s FROM
+         (SELECT i, j, s,
+                 row_number() OVER (PARTITION BY i ORDER BY s DESC, j) rn
+          FROM d) WHERE rn <= 6),
+pairs AS (SELECT DISTINCT least(i, j) a, greatest(i, j) b
+          FROM cand WHERE s >= 0.35),
+undirected AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach (node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT u.a, reach.r FROM undirected u JOIN reach ON reach.node = u.b
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def q_er_pipeline(sf_dir: str):
-    """Flagship (rows-only): full blocking -> hubness-reranked pair scoring
-    -> transitive clustering over the documents table adapted to the
-    interleaved-span schema. Returns (doc_id, cluster_id)."""
+    """Flagship (rows-only BY DESIGN): full blocking -> hubness-reranked
+    pair scoring -> transitive clustering over the documents table
+    adapted to the interleaved-span schema. No SQL oracle is possible —
+    the embedding stage is a seeded feature hash and the blocking stage
+    is MinHash-LSH, neither expressible in DuckDB; ``er_exact`` gives
+    the downstream stages (threshold decision, pair dedup, clustering)
+    full driver oracle checks, and tests/test_er_pipeline.py pins
+    F1 >= 0.99 vs brute-force oracle clusters per hubness variant.
+    Returns (doc_id, cluster_id)."""
     from ..pipelines.er import ERConfig, run_er
     from ..synth import docs_from_plain_text
 
@@ -8743,6 +8830,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
     "er_pipeline": q_er_pipeline,
+    "er_exact": q_er_exact,
     "golden_record": q_golden_record,
     "meta_blocking": q_meta_blocking,
     "edit_pairs": q_edit_pairs,
@@ -8761,8 +8849,8 @@ QUERIES = {
     "train_split": q_train_split,
     "pack_chunks": q_pack_chunks,
     "grouped_quantiles": q_grouped_quantiles,
-    "winsorized_mean": q_winsorized_mean,
     # --- balance of the registry (builder-sweep coverage) ---
+    "winsorized_mean": q_winsorized_mean,
     "ann_pq": q_ann_pq,
     "ann_rpforest": q_ann_rpforest,
     "media_dedup": q_media_dedup,
@@ -8911,6 +8999,7 @@ ORACLE_SQL = {
     "knn_ls": SQL_KNN_LS,
     "knn_nicdm": SQL_KNN_NICDM,
     "knn_mp_empiric": SQL_KNN_MP_EMPIRIC,
+    "er_exact": SQL_ER_EXACT,
     "knn_dsl": SQL_KNN_DSL,
     "mp_stats": SQL_MP_STATS,
     "k_occurrence": SQL_K_OCCURRENCE,

@@ -19,6 +19,7 @@ CHECKED = [
     ("knn_basic", 2e-4),
     ("knn_csls", 2e-4),
     ("knn_mp_empiric", 0),
+    ("er_exact", 0),
     ("knn_dsl", 2e-4),
     ("mp_stats", 2e-6),
     ("k_occurrence", 0),
