@@ -149,6 +149,54 @@ def batch_minhash(
     sigs = np.zeros((n, num_perm), dtype=np.uint64)
     if n == 0:
         return sigs
+    if shingle_k <= 8:
+        # whole-batch path: ONE sliding-window/pack/mix pass over the
+        # concatenated byte buffer instead of ~10 tiny numpy calls per
+        # doc (_shingle_hashes). Signatures are bit-identical to the
+        # per-doc path: padding replicates _shingle_hashes exactly
+        # (string-pad to k chars, then byte-pad to k), boundary-crossing
+        # windows are dropped by the gather, and the per-doc np.unique
+        # is unnecessary — the permutation MIN over a multiset equals
+        # the min over its set.
+        k = shingle_k
+        bufs = []
+        lens = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            s = (t or "").lower()
+            if len(s) < k:
+                s = s + " " * (k - len(s))
+            bb = s.encode("utf-8")
+            if len(bb) < k:  # multibyte edge: re-pad in byte space
+                bb = bb + b" " * (k - len(bb))
+            bufs.append(bb)
+            lens[i] = len(bb)
+        big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        win = np.lib.stride_tricks.sliding_window_view(big, k)
+        weights = (np.uint64(256) ** np.arange(k, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        with np.errstate(over="ignore"):
+            packed = (win.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            hashes = _splitmix64(packed)
+            # gather each doc's valid window starts (drop windows that
+            # straddle a doc boundary); every doc has >= 1 by padding
+            n_win = lens - k + 1
+            out_off = np.zeros(n, dtype=np.int64)
+            np.cumsum(n_win[:-1], out=out_off[1:])
+            ar = (
+                np.arange(int(n_win.sum()), dtype=np.int64)
+                - np.repeat(out_off, n_win)
+                + np.repeat(offs[:-1], n_win)
+            )
+            flat = hashes[ar]
+            for p in range(num_perm):
+                vals = flat * a[p] + b[p]
+                sigs[:, p] = np.minimum.reduceat(vals, out_off)
+        return sigs
     hash_list = [_shingle_hashes(t or "", shingle_k) for t in texts]
     lens = np.array([len(h) for h in hash_list], dtype=np.int64)
     nonempty = lens > 0
