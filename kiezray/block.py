@@ -125,19 +125,24 @@ def blocking_keys(
     concurrency=(1, 8),
     emit_string_keys: bool = True,
 ) -> "ray.data.Dataset":
+    # the keyer's state (seeded permutation params) is microseconds to
+    # build, so it ships as a pickled INSTANCE and runs in the shared
+    # task pool — paying a fresh actor-pool spin-up per call was the
+    # measured bulk of the blocking stage at bench scale (~2.5s fixed)
+    keyer = BlockKeyer(
+        bands=bands,
+        rows_per_band=rows_per_band,
+        shingle_k=shingle_k,
+        seed=seed,
+        text_from_spans=text_from_spans,
+        extra_cols=tuple(carry_cols),
+        emit_string_keys=emit_string_keys,
+    )
+    cap = max(concurrency) if isinstance(concurrency, tuple) else concurrency
     return docs_ds.map_batches(
-        BlockKeyer,
-        fn_constructor_kwargs=dict(
-            bands=bands,
-            rows_per_band=rows_per_band,
-            shingle_k=shingle_k,
-            seed=seed,
-            text_from_spans=text_from_spans,
-            extra_cols=tuple(carry_cols),
-            emit_string_keys=emit_string_keys,
-        ),
+        keyer,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=cap,
         zero_copy_batch=True,
     )
 
@@ -149,21 +154,17 @@ def block_histogram(keys_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return keys_ds.groupby("block_key").aggregate(Count(alias_name="n_docs"))
 
 
-def split_oversized_blocks(
+def oversized_block_payload(
     keys_ds: "ray.data.Dataset",
     max_block: int = 256,
-) -> "ray.data.Dataset":
-    """Salt any block with > max_block docs into hash sub-blocks.
-
-    Two grouped passes: histogram, then broadcast the (small) oversized-key
-    -> fanout map into a rewrite of the key column. Deterministic: salt =
-    crc32(doc_id) % fanout. The input is pinned first because both passes
-    consume it.
-    """
+):
+    """Object-store ref of the (small) oversized-block -> fanout map, or
+    None when no block exceeds ``max_block``. One narrow histogram
+    shuffle; only the oversized keys (rare by construction) reach the
+    driver."""
     import ray
     from ray.data.aggregate import Count
 
-    keys_ds = keys_ds.materialize()
     has_hash = "block_hash" in keys_ds.schema().names
     # filter DISTRIBUTED: only the oversized keys (rare by construction)
     # reach the driver — the full histogram is corpus-sized at 10^12 docs.
@@ -218,7 +219,7 @@ def split_oversized_blocks(
             .to_pandas()
         )
     if len(over) == 0:
-        return keys_ds
+        return None
     fanouts = np.ceil(over["n_docs"].to_numpy() / max_block).astype(np.int64)
     if has_hash:
         hashes = over["block_hash"].to_numpy().astype(np.int64)
@@ -228,95 +229,137 @@ def split_oversized_blocks(
         payload = (
             dict(zip(over["block_key"], (int(f) for f in fanouts))),
         )
-    ref = ray.put(payload)
+    return ray.put(payload)
 
-    class Salt:
-        def __init__(self, ref):
-            p = ray.get(ref)
-            if len(p) == 2:
-                self.hashes, self.fanouts = p  # sorted int64 + aligned fanout
-                self.fanout_map = None
+
+# per-worker-process cache of the resolved salt payload: _Salt ships as a
+# pickled instance (task pool, no actor spin-up) holding only the ref;
+# each process ray.get's the small map once
+_SALT_CACHE: dict = {}
+
+
+class _Salt:
+    def __init__(self, ref):
+        self.ref = ref
+
+    def _payload(self):
+        import ray
+
+        key = self.ref.hex()
+        p = _SALT_CACHE.get(key)
+        if p is None:
+            raw = ray.get(self.ref)
+            if len(raw) == 2:
+                p = (raw[0], raw[1], None)  # sorted int64 + aligned fanout
             else:
-                self.hashes = None
-                self.fanout_map = p[0]
+                p = (None, None, raw[0])
+            _SALT_CACHE.clear()
+            _SALT_CACHE[key] = p
+        return p
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import numpy as np
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
 
-            from .dedup import _splitmix64
+        from .dedup import _splitmix64
 
-            if self.hashes is not None:
-                # vectorized membership: searchsorted over the small sorted
-                # oversized-hash array (no per-row dict probes)
-                bh_all = t["block_hash"].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(self.hashes, bh_all)
-                pos_c = np.minimum(pos, len(self.hashes) - 1)
-                flags = self.hashes[pos_c] == bh_all
-                if not flags.any():
-                    return t
-                fan = self.fanouts[pos_c[flags]]
-            else:
-                keys_all = np.asarray(t["block_key"].to_pylist(), dtype=object)
-                flags = np.array([k in self.fanout_map for k in keys_all])
-                if not flags.any():
-                    return t
-                fan = np.array(
-                    [self.fanout_map[k] for k in keys_all[flags]],
-                    dtype=np.int64,
-                )
-            # only oversized-block rows pay per-row work (rare by
-            # construction); untouched rows never leave Arrow
-            flagnz = pa.array(np.flatnonzero(flags), pa.int64())
-            ids_f = t["doc_id"].take(flagnz).to_pylist()
-            salts = (
-                np.array(
-                    [zlib.crc32(d.encode()) for d in ids_f], dtype=np.uint64
-                )
-                % fan.astype(np.uint64)
+        hashes, fanouts, fanout_map = self._payload()
+        if hashes is not None:
+            # vectorized membership: searchsorted over the small sorted
+            # oversized-hash array (no per-row dict probes)
+            bh_all = t["block_hash"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(hashes, bh_all)
+            pos_c = np.minimum(pos, len(hashes) - 1)
+            flags = hashes[pos_c] == bh_all
+            if not flags.any():
+                return t
+            fan = fanouts[pos_c[flags]]
+        else:
+            keys_all = np.asarray(t["block_key"].to_pylist(), dtype=object)
+            flags = np.array([k in fanout_map for k in keys_all])
+            if not flags.any():
+                return t
+            fan = np.array(
+                [fanout_map[k] for k in keys_all[flags]],
+                dtype=np.int64,
             )
-            mask = pa.array(flags)
-            out = t
-            if "block_key" in t.column_names:
-                keys_f = t["block_key"].take(flagnz).to_pylist()
-                new_keys = pc.replace_with_mask(
-                    t["block_key"].combine_chunks(),
-                    mask,
-                    pa.array(
-                        [f"{k}#s{s}" for k, s in zip(keys_f, salts)],
-                        pa.string(),
-                    ),
-                )
-                out = t.set_column(
-                    t.schema.get_field_index("block_key"),
-                    "block_key",
-                    new_keys,
-                )
-            if "block_hash" in t.column_names:
-                bh_f = (
-                    t["block_hash"].take(flagnz).to_numpy(zero_copy_only=False)
-                )
-                new_bh = pc.replace_with_mask(
-                    t["block_hash"].combine_chunks(),
-                    mask,
-                    pa.array(
-                        (
-                            bh_f.astype(np.uint64)
-                            ^ _splitmix64(salts + np.uint64(1))
-                        ).astype(np.int64),
-                        pa.int64(),
-                    ),
-                )
-                out = out.set_column(
-                    out.schema.get_field_index("block_hash"),
-                    "block_hash",
-                    new_bh,
-                )
-            return out
+        # only oversized-block rows pay per-row work (rare by
+        # construction); untouched rows never leave Arrow
+        flagnz = pa.array(np.flatnonzero(flags), pa.int64())
+        ids_f = t["doc_id"].take(flagnz).to_pylist()
+        salts = (
+            np.array(
+                [zlib.crc32(d.encode()) for d in ids_f], dtype=np.uint64
+            )
+            % fan.astype(np.uint64)
+        )
+        mask = pa.array(flags)
+        out = t
+        if "block_key" in t.column_names:
+            keys_f = t["block_key"].take(flagnz).to_pylist()
+            new_keys = pc.replace_with_mask(
+                t["block_key"].combine_chunks(),
+                mask,
+                pa.array(
+                    [f"{k}#s{s}" for k, s in zip(keys_f, salts)],
+                    pa.string(),
+                ),
+            )
+            out = t.set_column(
+                t.schema.get_field_index("block_key"),
+                "block_key",
+                new_keys,
+            )
+        if "block_hash" in t.column_names:
+            bh_f = (
+                t["block_hash"].take(flagnz).to_numpy(zero_copy_only=False)
+            )
+            new_bh = pc.replace_with_mask(
+                t["block_hash"].combine_chunks(),
+                mask,
+                pa.array(
+                    (
+                        bh_f.astype(np.uint64)
+                        ^ _splitmix64(salts + np.uint64(1))
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            )
+            out = out.set_column(
+                out.schema.get_field_index("block_hash"),
+                "block_hash",
+                new_bh,
+            )
+        return out
 
-    return keys_ds.map_batches(
-        Salt, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
+
+def salt_stream(ds: "ray.data.Dataset", ref) -> "ray.data.Dataset":
+    """Apply the oversized-block salt rewrite (from
+    ``oversized_block_payload``) to a stream carrying block_hash /
+    block_key columns; extra columns (e.g. riding embeddings) pass
+    through untouched. Pure map — no shuffle, no actor pool."""
+    if ref is None:
+        return ds
+    return ds.map_batches(
+        _Salt(ref), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def split_oversized_blocks(
+    keys_ds: "ray.data.Dataset",
+    max_block: int = 256,
+) -> "ray.data.Dataset":
+    """Salt any block with > max_block docs into hash sub-blocks.
+
+    Two grouped passes: histogram, then broadcast the (small) oversized-key
+    -> fanout map into a rewrite of the key column. Deterministic: salt =
+    crc32(doc_id) % fanout. The input is pinned first because both passes
+    consume it.
+    """
+    keys_ds = keys_ds.materialize()
+    ref = oversized_block_payload(keys_ds, max_block)
+    if ref is None:
+        return keys_ds
+    return salt_stream(keys_ds, ref)
 
 
 def _run_pairs(starts: np.ndarray, lengths: np.ndarray):

@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray.data
 
 from ..arrowutil import emb_to_matrix
-from ..block import blocking_keys, split_oversized_blocks
+from ..block import blocking_keys
 from ..cluster import connected_components
 from ..embed import embed_docs
 from ..lineage import fingerprint, run_stage, run_stage_sharded
@@ -82,14 +82,19 @@ class ERConfig:
     resume: bool = True
     concurrency: tuple = (1, 8)
     #: how pair-scoring workers get embeddings:
-    #:  - "join" (default): embeddings ride the partition shuffle via a
-    #:    hash join keyed on doc_id (x bands wire duplication, but no node
-    #:    ever holds the corpus) — the 10^12-doc path, and also measured
-    #:    faster at bench scale (12.2s vs 14.1s at 14k docs);
+    #:  - "ride" (default): raw float32 embeddings ride the band explode
+    #:    into the ONE scoring shuffle (groupby part) and are normalized
+    #:    inside the scorer. No join exchange at all, and x bands
+    #:    duplication of the 2-KB float32 rows is half the wire bytes of
+    #:    the join path's float64 packing — no node ever holds the
+    #:    corpus, so this is also the 10^12-doc path;
+    #:  - "join": embeddings ship via a hash join keyed on doc_id onto
+    #:    the exploded keys (kept as the general-purpose fallback when
+    #:    blocking keys are NOT derivable from the embedded batch alone);
     #:  - "broadcast": normalized shards in the object store, per-process
     #:    lookup cache — only viable while the corpus embedding table fits
     #:    every node's object store.
-    emb_transport: str = "join"
+    emb_transport: str = "ride"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -191,18 +196,32 @@ class BlockPairScorer:
             keys = part["block_hash"].to_numpy(zero_copy_only=False)
         else:
             keys = np.asarray(part["block_key"].to_pylist(), dtype=object)
-        order = np.argsort(keys, kind="stable")
+        ids = np.asarray(part["doc_id"].to_pylist(), dtype=object)
+        # composite (block, doc_id) sort: scoring is a pure function of
+        # the partition's row SET — arrival order (which shuffle/join
+        # implementations do not guarantee) can no longer flip
+        # equal-distance tie-breaks between runs
+        order = np.lexsort((ids, keys))
         keys = keys[order]
-        ids = np.asarray(part["doc_id"].to_pylist(), dtype=object)[order]
-        if lookup is None:  # embeddings arrived with the shuffle (join)
-            # binary-packed rows (Arrow's hash join rejects list columns)
+        ids = ids[order]
+        if lookup is not None:
+            index, all_mat = lookup
+            mat = all_mat[index.get_indexer(ids)]
+        elif "embedding_bin" in part.column_names:
+            # join transport: binary-packed normalized float64 rows
+            # (Arrow's hash join rejects list columns)
             blobs = part["embedding_bin"].to_pylist()
             mat = np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(
                 len(blobs), -1
             )[order]
         else:
-            index, all_mat = lookup
-            mat = all_mat[index.get_indexer(ids)]
+            # ride transport: raw float32 fsl rows rode the band explode;
+            # normalize here (same float64 math as the join path's
+            # norm_emb, so scores are identical)
+            mat = emb_to_matrix(part["embedding"]).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = (mat / norms)[order]
         bounds = np.flatnonzero(
             np.concatenate(([True], keys[1:] != keys[:-1], [True]))
         )
@@ -447,11 +466,16 @@ def run_er(
         cfg.resume,
     ))
 
-    def make_keys():
-        # keys stay (doc_id, block_key) ONLY — embeddings do NOT ride the
-        # blocking shuffle (x bands duplication); the score stage reads
-        # them from broadcast object-store shards instead
-        keys = blocking_keys(
+    from ..block import oversized_block_payload, salt_stream
+
+    # salt decisions are shared between the checkpointed narrow keys and
+    # the ride transport's wide re-keying: stash the payload ref when the
+    # block stage computes it fresh; the ride path recomputes it from a
+    # narrow re-key only on checkpoint resume (make_keys skipped)
+    _salt_box: dict = {}
+
+    def _narrow_keys():
+        return blocking_keys(
             embedded,
             bands=cfg.bands,
             rows_per_band=cfg.rows_per_band,
@@ -464,7 +488,15 @@ def run_er(
             # f-string pass and shrinks the blocking shuffle
             emit_string_keys=False,
         )
-        return split_oversized_blocks(keys, max_block=cfg.max_block)
+
+    def make_keys():
+        # keys stay (doc_id, block_hash) ONLY — the checkpointed blocking
+        # artifact is narrow; embeddings reach the scorer via the
+        # configured transport instead
+        keys = _narrow_keys().materialize()
+        ref = oversized_block_payload(keys, cfg.max_block)
+        _salt_box["ref"] = ref
+        return salt_stream(keys, ref)
 
     keys = _timed("block", lambda: run_stage(
         "block", fingerprint(stage_fp, "block"), make_keys, ck, cfg.resume
@@ -494,11 +526,14 @@ def run_er(
                 }
             )
 
-        emb_norm = embedded.select_columns(["doc_id", "embedding"]).map_batches(
-            norm_emb,  # per-input-block (no coalescing): parallel tasks
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        def make_emb_norm():
+            return embedded.select_columns(
+                ["doc_id", "embedding"]
+            ).map_batches(
+                norm_emb,  # per-input-block (no coalescing): parallel tasks
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
 
         scorer = BlockPairScorer(cfg.n_candidates, cfg.sim_threshold, cfg.hubness)
         # coarse hash partitions: each map_groups call scores MANY whole
@@ -522,13 +557,42 @@ def run_er(
                 )
             return t.append_column("part", part)
 
+        def shard_filter(t: pa.Table) -> pa.Table:
+            part = t["part"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(part % n_shards == shard))
+
+        if cfg.emb_transport == "ride":
+            # no join at all: raw float32 embeddings ride the band
+            # explode, the salt rewrite and the ONE scoring shuffle;
+            # the scorer normalizes per partition. The wide stream is
+            # never materialized — it flows straight into the groupby.
+            if "ref" not in _salt_box:  # checkpoint resume skipped make_keys
+                _salt_box["ref"] = oversized_block_payload(
+                    _narrow_keys(), cfg.max_block
+                )
+            wide = blocking_keys(
+                embedded,
+                bands=cfg.bands,
+                rows_per_band=cfg.rows_per_band,
+                shingle_k=cfg.shingle_k,
+                seed=cfg.seed,
+                carry_cols=("embedding",),
+                concurrency=cfg.concurrency,
+                emit_string_keys=False,
+            )
+            parted = salt_stream(wide, _salt_box["ref"]).map_batches(
+                add_part, batch_format="pyarrow"
+            )
+            if shard is not None:
+                parted = parted.map_batches(
+                    shard_filter, batch_format="pyarrow", zero_copy_batch=True
+                )
+            return parted.groupby("part").map_groups(
+                lambda g: scorer(g), batch_format="pyarrow"
+            )
+
         parted = keys.map_batches(add_part, batch_format="pyarrow")
         if shard is not None:
-
-            def shard_filter(t: pa.Table) -> pa.Table:
-                part = t["part"].to_numpy(zero_copy_only=False)
-                return t.filter(pa.array(part % n_shards == shard))
-
             parted = parted.map_batches(
                 shard_filter, batch_format="pyarrow", zero_copy_batch=True
             )
@@ -560,7 +624,7 @@ def run_er(
                     {"doc_id": t["doc_id"], "embedding_bin": bin_arr}
                 )
 
-            emb_bin = emb_norm.map_batches(
+            emb_bin = make_emb_norm().map_batches(
                 to_bin, batch_format="pyarrow", zero_copy_batch=True
             )
             parted = parted.join(
@@ -576,7 +640,7 @@ def run_er(
         else:
             # broadcast path: normalized shards in the object store, read
             # zero-copy once per node, per-process lookup cache
-            emb_shards = emb_norm.materialize().to_arrow_refs()
+            emb_shards = make_emb_norm().materialize().to_arrow_refs()
 
             def score_partition(g: pa.Table) -> pa.Table:
                 lookup = _shard_lookup(emb_shards)

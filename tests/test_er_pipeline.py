@@ -193,8 +193,11 @@ def test_stale_tmp_stage_is_ignored(small_docs, tmp_path):
 
 
 def test_emb_transport_join_equals_broadcast(tmp_path):
-    """The 10^12-doc shuffle-join embedding transport must produce exactly
-    the same verified pairs and clusters as the broadcast path."""
+    """All three embedding transports (ride explode / shuffle join /
+    object-store broadcast) must produce exactly the same verified pairs
+    and clusters — the scorer's composite (block, doc_id) sort makes the
+    output a pure function of each partition's row set, so transport
+    arrival order cannot flip equal-distance tie-breaks."""
     import pandas as pd
     import ray
 
@@ -217,8 +220,11 @@ def test_emb_transport_join_equals_broadcast(tmp_path):
 
     pb, cb = pairs_of("broadcast")
     pj, cj = pairs_of("join")
+    pr, cr = pairs_of("ride")
     pd.testing.assert_frame_equal(pb, pj)
     pd.testing.assert_frame_equal(cb, cj)
+    pd.testing.assert_frame_equal(pb, pr)
+    pd.testing.assert_frame_equal(cb, cr)
 
 
 def test_run_stage_empty_and_sharded_empty(tmp_path):
