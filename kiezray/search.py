@@ -245,6 +245,42 @@ class SearchStage:
         return pa.table(cols)
 
 
+# per-worker-process LRU of built SearchStages, keyed by (shard refs,
+# search params): stages whose per-"actor" setup is just a zero-copy
+# plasma read (the exact index stores array views) run in the shared
+# TASK pool — a pickled _CachedSearchStage instance — instead of paying
+# a fresh actor-pool spin-up per query. Capped so long sessions running
+# many different searches release their plasma pins.
+_STAGE_CACHE: dict = {}
+_STAGE_CACHE_CAP = 4
+
+
+class _CachedSearchStage:
+    def __init__(self, ctor_kwargs: dict):
+        self.ctor_kwargs = ctor_kwargs
+        ak = ctor_kwargs.get("algorithm_kwargs") or {}
+        self.key = (
+            tuple(r.hex() for r in ctor_kwargs["shard_refs"]),
+            ctor_kwargs.get("algorithm", "exact"),
+            tuple(sorted((k, repr(v)) for k, v in ak.items())),
+            ctor_kwargs["k"],
+            ctor_kwargs.get("exclude_self", False),
+            ctor_kwargs.get("keep_query_embedding", False),
+            ctor_kwargs.get("chain_output", False),
+            ctor_kwargs.get("id_col"),
+            ctor_kwargs.get("emb_col"),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stage = _STAGE_CACHE.pop(self.key, None)
+        if stage is None:
+            stage = SearchStage(**self.ctor_kwargs)
+            while len(_STAGE_CACHE) >= _STAGE_CACHE_CAP:
+                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+        _STAGE_CACHE[self.key] = stage  # re-insert = LRU touch
+        return stage(batch)
+
+
 def knn_search(
     query_ds: "ray.data.Dataset",
     shard_refs: list,
@@ -259,6 +295,7 @@ def knn_search(
     concurrency: int | tuple | None = None,
     shards_per_actor: int | None = None,
     route_groups: int | None = None,
+    stage_mode: str = "auto",
 ) -> "ray.data.Dataset":
     """query Dataset -> (query_id, neigh_ids, neigh_dists[, embedding]).
 
@@ -305,22 +342,45 @@ def knn_search(
             list(shard_refs[i : i + shards_per_actor])
             for i in range(0, len(shard_refs), shards_per_actor)
         ]
+    # "task" mode (auto-picked for the exact index, whose per-stage setup
+    # is a zero-copy plasma read): ship a pickled _CachedSearchStage into
+    # the shared task pool with a per-process LRU — no actor-pool spin-up
+    # per query. Heavy-build indexes (graph / pq / rp-forest) keep the
+    # actor pool so the build is paid once per actor, not once per worker
+    # process.
+    if stage_mode == "auto":
+        stage_mode = "task" if algorithm in ("exact", "sklearn") else "actor"
     out = query_ds.select_columns([id_col, emb_col])
     for gi, group in enumerate(groups):
         last = gi == len(groups) - 1
-        out = out.map_batches(
-            SearchStage,
-            fn_constructor_kwargs=dict(
-                fn_kwargs,
-                shard_refs=group,
-                keep_query_embedding=keep_query_embedding,
-                chain_output=not last,
-            ),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency or (1, 8),
-            zero_copy_batch=True,
+        ctor = dict(
+            fn_kwargs,
+            shard_refs=group,
+            keep_query_embedding=keep_query_embedding,
+            chain_output=not last,
         )
+        if stage_mode == "task":
+            cap = (
+                max(concurrency)
+                if isinstance(concurrency, tuple)
+                else concurrency
+            )
+            out = out.map_batches(
+                _CachedSearchStage(ctor),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=cap,
+                zero_copy_batch=True,
+            )
+        else:
+            out = out.map_batches(
+                SearchStage,
+                fn_constructor_kwargs=ctor,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency or (1, 8),
+                zero_copy_batch=True,
+            )
     return out
 
 
