@@ -220,6 +220,7 @@ def dedup_exact(
     content_cols: list[str],
     id_col: str = "doc_id",
     num_partitions: int = 64,
+    keep_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Keep the minimum-id row of each exact-content group.
 
@@ -228,6 +229,12 @@ def dedup_exact(
     its per-hash min-id row with a single vectorized lexsort pass. Coarse
     partitions — not per-hash groups — because per-group ``map_groups``
     overhead dominates at high key cardinality.
+
+    ``keep_cols`` (id_col is always kept) restricts which columns ride
+    the shuffle and appear in the output: a caller that only needs the
+    surviving ids shuffles ~28 B/row of hashes instead of the document
+    payload — the difference between a metadata shuffle and re-moving
+    the corpus at the 100-TB tier. Default (None) keeps every column.
     """
 
     def add_keys(t: pa.Table) -> pa.Table:
@@ -252,6 +259,9 @@ def dedup_exact(
                     ).astype(np.uint64)
                 )
         part = (h1 % np.uint64(num_partitions)).astype(np.int32)
+        if keep_cols is not None:
+            carried = [id_col] + [c for c in keep_cols if c != id_col]
+            t = t.select(carried)
         return (
             t.append_column("__ch1", pa.array(h1.astype(np.int64), pa.int64()))
             .append_column("__ch2", pa.array(h2.astype(np.int64), pa.int64()))

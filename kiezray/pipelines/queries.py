@@ -739,7 +739,11 @@ def q_dedup_exact(sf_dir: str):
 
     from ..dedup import dedup_exact
 
-    kept = dedup_exact(union, content_cols=["text"], id_col="doc_id")
+    # keep_cols=[]: only (doc_id, 128-bit hash) ride the dedup shuffle —
+    # the text column never moves
+    kept = dedup_exact(
+        union, content_cols=["text"], id_col="doc_id", keep_cols=[]
+    )
     return kept.select_columns(["doc_id"])
 
 
