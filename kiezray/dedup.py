@@ -1127,6 +1127,127 @@ def dedup_embedding_cosine(
     return connected_components(edges, extra_nodes_ds=nodes)
 
 
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "row_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 8,
+    seed: int = 0,
+    max_cluster: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding column, then inside each
+    cluster mark every row whose cosine similarity to another cluster
+    member reaches ``threshold``, keeping exactly one representative
+    (minimum id) per within-cluster near-dup component.
+
+    Scale shape: the k-means trainer is shuffle-free (broadcast
+    centroids + per-batch partial sums, kiezray.cluster.kmeans); the
+    final centroid matrix is tiny (k×d floats), so the assignment pass
+    is ONE map_batches that keeps the embedding column riding along —
+    no join, no second scan of the id space. The prune is then ONE
+    groupby(cluster) shuffle whose group work is bounded — clusters
+    larger than ``max_cluster`` are processed in
+    centroid-distance-ordered chunks (nearest-to-centroid first), so
+    per-group memory is O(max_cluster^2) regardless of skew. Cross-chunk
+    duplicates inside one oversized cluster are missed — the same
+    documented recall trade as block salting; raise n_clusters so
+    clusters stay small rather than raising max_cluster.
+
+    Returns (id_col, cluster int64, keep bool) — filter on ``keep`` for
+    the surviving rows. Deterministic under any partitioning: k-means
+    init is hash-priority sampling and the prune sorts each group by
+    (dist-to-centroid, id).
+    """
+    import ray
+
+    from .arrowutil import emb_to_matrix
+    from .cluster import kmeans
+
+    _, cent = kmeans(
+        ds, id_col=id_col, vec_col=emb_col, k=n_clusters, iters=iters,
+        seed=seed,
+    )
+    cref = ray.put(cent)
+
+    def assign_with_vec(t: pa.Table) -> pa.Table:
+        # same ||x-c||² assignment (argmin ties -> lowest index) as the
+        # kmeans trainer, but the vectors stay in the row so they ride
+        # the single cluster shuffle instead of needing a join
+        x = emb_to_matrix(t[emb_col]).astype(np.float64)
+        c = ray.get(cref)
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)
+        )
+        a = np.argmin(d2, axis=1)
+        best = np.maximum(d2[np.arange(len(x)), a], 0.0)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "dist": pa.array(np.sqrt(best), pa.float64()),
+                emb_col: t[emb_col],
+            }
+        )
+
+    joined = ds.map_batches(assign_with_vec, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        dist = g["dist"].to_numpy()
+        order = np.lexsort((ids, dist))  # centroid-nearest first, id ties
+        ids = ids[order]
+        mat = np.stack(g[emb_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        keep = np.ones(len(ids), dtype=bool)
+        for s in range(0, len(ids), max_cluster):
+            sub = slice(s, min(s + max_cluster, len(ids)))
+            m = mat[sub]
+            sub_ids = ids[sub]
+            sim = m @ m.T
+            np.fill_diagonal(sim, -np.inf)
+            adj = sim >= threshold
+            # vectorized min-label propagation with pointer doubling over
+            # the chunk's near-dup graph (no per-edge Python)
+            n_sub = len(sub_ids)
+            labels = np.arange(n_sub)
+            for _ in range(64):
+                nb = np.where(adj, labels[None, :], n_sub).min(axis=1)
+                nl = np.minimum(labels, nb)
+                nl = np.minimum(nl, nl[nl])
+                if np.array_equal(nl, labels):
+                    break
+                labels = nl
+            while True:  # settle to roots
+                nxt = labels[labels]
+                if np.array_equal(nxt, labels):
+                    break
+                labels = nxt
+            # keep the min-id member of each component: sort by (root,
+            # id); the first row of each root run wins
+            o2 = np.lexsort((sub_ids, labels))
+            r_sorted = labels[o2]
+            first = np.concatenate(([True], r_sorted[1:] != r_sorted[:-1]))
+            k_local = np.zeros(n_sub, dtype=bool)
+            k_local[o2[first]] = True
+            keep[sub] = k_local
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": g["cluster"].to_numpy()[order],
+                "keep": keep,
+            }
+        )
+
+    return joined.groupby("cluster").map_groups(prune, batch_format="pandas")
+
+
 def dedup_against_corpus(
     incoming: "ray.data.Dataset",
     base: "ray.data.Dataset",

@@ -498,9 +498,22 @@ def run_er(
         _salt_box["ref"] = ref
         return salt_stream(keys, ref)
 
-    keys = _timed("block", lambda: run_stage(
-        "block", fingerprint(stage_fp, "block"), make_keys, ck, cfg.resume
-    ))
+    if ck is None and cfg.emb_transport == "ride":
+        # no checkpoint to write and the ride transport re-keys wide
+        # inside scoring: the narrow salted-keys dataset would have no
+        # consumer, so the block stage reduces to the salt payload (one
+        # streaming histogram pass, nothing materialized)
+        def _payload_only():
+            _salt_box["ref"] = oversized_block_payload(
+                _narrow_keys(), cfg.max_block
+            )
+
+        _timed("block", _payload_only)
+        keys = None
+    else:
+        keys = _timed("block", lambda: run_stage(
+            "block", fingerprint(stage_fp, "block"), make_keys, ck, cfg.resume
+        ))
 
     def make_scored(shard: int | None = None, n_shards: int = 1):
         """Scored candidate pairs; with ``shard`` set, only the coarse

@@ -1104,6 +1104,33 @@ def q_embed_dup(sf_dir: str):
     )
 
 
+def q_semdedup(sf_dir: str):
+    """Rows-only by design (k-means is iterative — no SQL form; the
+    planted-near-dup recall and determinism live in
+    tests/test_dedup_textops.py): SemDeDup-style semantic dedup over the
+    embeddings table — shuffle-free k-means, then one cluster-shuffle
+    prune keeping the min-id representative of every within-cluster
+    near-dup component. The synthetic embeddings have no true near-dups
+    (max cross cosine ~0.48 at sf0.001), so the threshold sits at 0.45
+    to exercise the prune path on real data."""
+    from ..dedup import semantic_dedup
+
+    out = semantic_dedup(
+        _emb_ds(sf_dir), id_col="row_id", emb_col="embedding",
+        n_clusters=8, threshold=0.45, iters=5, seed=7,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["row_id"],
+                "cluster": t["cluster"],
+                "keep": t["keep"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 SQL_EMBED_DUP = """
 WITH RECURSIVE
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
@@ -8832,6 +8859,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_dedup": q_minhash_dedup,
     "embed_dup": q_embed_dup,
+    "semdedup": q_semdedup,
     "dedup_canonical": q_dedup_canonical,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,

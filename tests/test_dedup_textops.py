@@ -829,3 +829,85 @@ def test_tfidf_cosine_pairs_invariants():
     want = dot / np.sqrt(float(n2_1) * float(n2_3))
     assert abs(out.loc[(1, 3), "cos_sim"] - want) < 1e-12
     assert (4, 4) not in out.index  # singleton block emits no pairs
+
+
+def test_semantic_dedup_planted_pairs_and_determinism():
+    """SemDeDup: every planted near-identical pair loses exactly one
+    member, clean rows all survive, and the output is identical under a
+    different partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    n, dim, n_dup = 240, 16, 24
+    base = rng.randn(n, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:n_dup] + rng.randn(n_dup, dim) * 1e-4
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "row_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype(np.float32).ravel(), pa.float32()), dim
+            ),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = semantic_dedup(
+            ds, id_col="row_id", emb_col="embedding",
+            n_clusters=6, threshold=0.98, iters=6, seed=11,
+        ).to_pandas().sort_values("row_id").reset_index(drop=True)
+        return out
+
+    out = run(4)
+    keep = out.set_index("row_id")["keep"]
+    for i in range(n_dup):
+        # the pair (i, n+i) is near-identical: exactly the min id stays
+        assert bool(keep[i]) and not bool(keep[n + i]), i
+    # clean rows (cosine of independent 16-dim gaussians never reaches
+    # 0.98) all survive
+    assert keep[np.arange(n_dup, n)].all()
+    out2 = run(9)
+    assert out.equals(out2)
+
+
+def test_semantic_dedup_chunked_oversized_cluster():
+    """max_cluster chunking keeps the stage bounded and deterministic;
+    a duplicate adjacent in centroid-distance order is still caught."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(60, 8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    mat = np.vstack([base, base[:10] + rng.randn(10, 8) * 1e-5])
+    tbl = pa.table(
+        {
+            "row_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype(np.float32).ravel(), pa.float32()), 8
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = semantic_dedup(
+        ds, id_col="row_id", emb_col="embedding", n_clusters=1,
+        threshold=0.98, iters=2, seed=0, max_cluster=16,
+    ).to_pandas().sort_values("row_id").reset_index(drop=True)
+    assert len(out) == len(mat)
+    # near-identical pairs sit adjacent in centroid-distance order, so
+    # chunking still pairs them; exactly one of each survives
+    keep = out.set_index("row_id")["keep"]
+    caught = sum(
+        1 for i in range(10) if bool(keep[i]) != bool(keep[60 + i])
+    )
+    assert caught == 10
