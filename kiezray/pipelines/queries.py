@@ -3454,6 +3454,59 @@ ORDER BY n_docs DESC, ngram LIMIT 100
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact-substring dedup REMOVAL pass (Lee et al.): per document,
+    the token positions covered by a cross-document duplicated run of
+    >= 5 tokens (keeper = min doc_id), as (n_tokens, dup_tokens,
+    n_spans, dup_frac). Oracle-checked: the L-gram/keeper/coverage
+    semantics are pure set algebra over whitespace tokens."""
+    from ..textops import dup_span_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = dup_span_stats(docs, L=5)
+    return out.map_batches(
+        lambda df: df.assign(dup_frac=round_away(df["dup_frac"], 6)),
+        batch_format="pandas",
+    ).sort("doc_id")
+
+
+SQL_DUP_SPANS = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents),
+t AS (SELECT id, len(toks) AS n FROM d),
+g AS (
+  SELECT d.id, u.i AS i,
+         array_to_string(list_slice(d.toks, u.i, u.i + 4), ' ') AS gram
+  FROM d, unnest(generate_series(1, len(d.toks) - 4)) AS u(i)
+  WHERE len(d.toks) >= 5),
+dup AS (
+  SELECT gram, min(id) AS keeper
+  FROM g GROUP BY gram HAVING count(DISTINCT id) >= 2),
+sel AS (
+  SELECT g.id, g.i FROM g JOIN dup USING (gram) WHERE g.id <> dup.keeper),
+cov AS (
+  SELECT DISTINCT sel.id, u.j
+  FROM sel, unnest(generate_series(sel.i, sel.i + 4)) AS u(j)),
+runs AS (
+  SELECT id, j - row_number() OVER (PARTITION BY id ORDER BY j) AS grp
+  FROM cov),
+agg AS (
+  SELECT id, count(*) AS dup_tokens, count(DISTINCT grp) AS n_spans
+  FROM runs GROUP BY id)
+SELECT t.id AS doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / t.n, 6) + 0
+           AS dup_frac
+FROM t LEFT JOIN agg a ON t.id = a.id
+ORDER BY doc_id
+"""
+
+
 def q_grouped_mad(sf_dir: str):
     """Per-event-type median + MAD (robust dispersion), quantile_disc
     semantics; one key-hash shuffle, two lexsorts per partition."""
@@ -8923,6 +8976,7 @@ QUERIES = {
     "rollup_sales": q_rollup_sales,
     "event_gaps": q_event_gaps,
     "dup_ngrams": q_dup_ngrams,
+    "dup_spans": q_dup_spans,
     "grouped_mad": q_grouped_mad,
     "bloom_semi": q_bloom_semi,
     "pmi_bigrams": q_pmi_bigrams,
@@ -9089,6 +9143,7 @@ ORACLE_SQL = {
     "rollup_sales": SQL_ROLLUP_SALES,
     "event_gaps": SQL_EVENT_GAPS,
     "dup_ngrams": SQL_DUP_NGRAMS,
+    "dup_spans": SQL_DUP_SPANS,
     "grouped_mad": SQL_GROUPED_MAD,
     "bloom_semi": SQL_BLOOM_SEMI,
     "train_split": SQL_TRAIN_SPLIT,

@@ -819,6 +819,234 @@ def dup_ngrams(
     )
 
 
+_GRAM_KEY2 = "fedcba9876543210"  # second independent siphash key
+_GRAM_C1 = 0x9E3779B97F4A7C15  # odd multipliers for the positional
+_GRAM_C2 = 0xC2B2AE3D27D4EB4F  # polynomial gram combine (mod 2^64)
+
+
+def _gram_hashes(
+    texts: "pd.Series", L: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """Whitespace-tokenize a batch (trim + \\s+ split, the exact DuckDB
+    ``string_split_regex(trim(text),'\\s+')`` semantics) and return
+    ``(lens, offs, starts, G1, G2)``: per-doc token counts, flat-array
+    doc offsets, the flat start index of every L-gram (never crossing a
+    doc boundary), and two independent 64-bit gram hashes — each a
+    positional polynomial over an independently-keyed siphash of the
+    tokens, so gram equality is effectively 128-bit exact without ever
+    materializing gram strings."""
+    tok_lists = texts.fillna("").map(lambda s: _WS.split(s.strip()))
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ts in tok_lists:
+        flat[pos : pos + len(ts)] = ts
+        pos += len(ts)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    h1 = pd.util.hash_array(flat).astype(np.uint64)
+    h2 = pd.util.hash_array(flat, hash_key=_GRAM_KEY2).astype(np.uint64)
+    big = np.flatnonzero(lens >= L)
+    if len(big) == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return lens, offs, np.empty(0, dtype=np.int64), z, z
+    counts_b = lens[big] - L + 1
+    tot_b = int(counts_b.sum())
+    shift = np.repeat(
+        offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
+        counts_b,
+    )
+    starts = shift + np.arange(tot_b)
+    G1 = np.zeros(tot_b, dtype=np.uint64)
+    G2 = np.zeros(tot_b, dtype=np.uint64)
+    c1 = np.uint64(1)
+    c2 = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            G1 += h1[starts + j] * c1
+            G2 += h2[starts + j] * c2
+            c1 *= np.uint64(_GRAM_C1)
+            c2 *= np.uint64(_GRAM_C2)
+    return lens, offs, starts, G1, G2
+
+
+def dup_span_stats(
+    docs_ds: "ray.data.Dataset",
+    L: int = 8,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Removal pass of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — dup_ngrams() is the
+    matching discovery pass): per document, how many token positions sit
+    inside a cross-document duplicated run of >= ``L`` tokens, keeping
+    the copy in the lowest doc_id.
+
+    Semantics (partition-invariant, SQL-expressible): an L-gram is
+    duplicated iff it occurs in >= 2 distinct docs; its keeper is the
+    minimum doc_id containing it; token position p of doc d is
+    dup-covered iff some duplicated L-gram of d with d != keeper starts
+    at i <= p < i+L. Output per doc: (doc_id, n_tokens, dup_tokens,
+    n_spans, dup_frac) where n_spans counts maximal covered runs —
+    filter/trim on dup_frac downstream.
+
+    Scale shape: pass 1 is the dup_ngrams() combiner shape — per-batch
+    exact (gram, doc)-dedup partials, ONE hash shuffle of pre-aggregated
+    (gram_h, n_docs, min_doc) rows (16-byte gram hashes, never token
+    streams or gram strings). The surviving duplicated-gram table is
+    broadcast (``ray.put`` once, zero-copy searchsorted probe per batch)
+    — the decontaminate() transport; at corpus scales where the dup
+    table itself outgrows a node, swap the probe for a shuffle join on
+    gram_h (same rows, one more exchange). Pass 2 is embarrassingly
+    parallel: interval coverage via a +-1 delta cumsum and span counting
+    via run-start detection, all flat-array vectorized.
+    """
+    import ray
+
+    def discovery(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "g1": pd.Series(dtype=np.uint64),
+                "g2": pd.Series(dtype=np.uint64),
+                "n_docs": pd.Series(dtype=np.int64),
+                "min_doc": pd.Series(dtype=np.int64),
+                "__gpart": pd.Series(dtype=np.int32),
+            }
+        )
+        lens, offs, starts, G1, G2 = _gram_hashes(batch["text"], L)
+        if len(starts) == 0:
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        docs = doc_ids[np.searchsorted(offs, starts, "right") - 1]
+        # exact within-batch (gram, doc) dedupe; docs never repeat across
+        # batches (one row per doc), so distinct-doc counts sum exactly
+        order = np.lexsort((docs, G2, G1))
+        s1, s2, sd = G1[order], G2[order], docs[order]
+        keep = np.concatenate(
+            ([True], (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+             | (sd[1:] != sd[:-1]))
+        )
+        k1, k2, kd = s1[keep], s2[keep], sd[keep]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])))
+        )
+        cnt = np.diff(np.append(firsts, len(k1)))
+        return pd.DataFrame(
+            {
+                "g1": k1[firsts],
+                "g2": k2[firsts],
+                "n_docs": cnt.astype(np.int64),
+                "min_doc": np.minimum.reduceat(kd, firsts),
+                "__gpart": (
+                    k1[firsts] % np.uint64(num_partitions)
+                ).astype(np.int32),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "g1": pd.Series(dtype=np.uint64),
+                "g2": pd.Series(dtype=np.uint64),
+                "keeper": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        a1 = g["g1"].to_numpy()
+        a2 = g["g2"].to_numpy()
+        order = np.lexsort((a2, a1))
+        s1, s2 = a1[order], a2[order]
+        sn = g["n_docs"].to_numpy()[order]
+        sm = g["min_doc"].to_numpy()[order]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])))
+        )
+        n_docs = np.add.reduceat(sn, firsts)
+        dup = n_docs >= 2
+        return pd.DataFrame(
+            {
+                "g1": s1[firsts[dup]],
+                "g2": s2[firsts[dup]],
+                "keeper": np.minimum.reduceat(sm, firsts)[dup],
+            }
+        )
+
+    dup_tbl = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(discovery, batch_format="pandas")
+        .groupby("__gpart")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # duplicated grams only — the small side by nature
+    )
+    d1 = dup_tbl["g1"].to_numpy(dtype=np.uint64)
+    d2 = dup_tbl["g2"].to_numpy(dtype=np.uint64)
+    dk = dup_tbl["keeper"].to_numpy(dtype=np.int64)
+    order = np.lexsort((d2, d1))
+    dup_ref = ray.put((d1[order], d2[order], dk[order]))
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        lens, offs, starts, G1, G2 = _gram_hashes(batch["text"], L)
+        doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        total = int(offs[-1])
+        n_rows = len(batch)
+        dup_tokens = np.zeros(n_rows, dtype=np.int64)
+        n_spans = np.zeros(n_rows, dtype=np.int64)
+        if len(starts):
+            D1, D2, DK = ray.get(dup_ref)  # zero-copy object-store read
+            row = np.searchsorted(offs, starts, "right") - 1
+            docs = doc_ids[row]
+            lo = np.searchsorted(D1, G1, "left")
+            hi = np.searchsorted(D1, G1, "right")
+            hit = np.zeros(len(starts), dtype=bool)
+            keeper = np.zeros(len(starts), dtype=np.int64)
+            one = hi - lo == 1
+            i1 = lo[one]
+            m = D2[i1] == G2[one]
+            hit[one] = m
+            kp = np.zeros(len(i1), dtype=np.int64)
+            kp[m] = DK[i1[m]]
+            keeper[one] = kp
+            for q in np.flatnonzero(hi - lo > 1):  # h1 collisions: rare
+                sl = slice(lo[q], hi[q])
+                eq = np.flatnonzero(D2[sl] == G2[q])
+                if len(eq):
+                    hit[q] = True
+                    keeper[q] = DK[lo[q] + eq[0]]
+            sel = hit & (docs != keeper)
+            if sel.any():
+                delta = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(delta, starts[sel], 1)
+                np.add.at(delta, starts[sel] + L, -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                dup_tokens = np.add.reduceat(
+                    covered.astype(np.int64), offs[:-1]
+                ) * (lens > 0)
+                prev = np.concatenate(([False], covered[:-1]))
+                prev[offs[:-1][offs[:-1] < total]] = False  # doc resets
+                run_start = covered & ~prev
+                pos_row = (
+                    np.searchsorted(
+                        offs, np.flatnonzero(run_start), "right"
+                    ) - 1
+                )
+                n_spans = np.bincount(
+                    pos_row, minlength=n_rows
+                ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": lens,
+                "dup_tokens": dup_tokens,
+                "n_spans": n_spans,
+                "dup_frac": dup_tokens / np.maximum(lens, 1),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        mark, batch_format="pandas"
+    )
+
+
 def pmi_bigrams(
     docs_ds: "ray.data.Dataset",
     min_count: int = 5,

@@ -911,3 +911,55 @@ def test_semantic_dedup_chunked_oversized_cluster():
         1 for i in range(10) if bool(keep[i]) != bool(keep[60 + i])
     )
     assert caught == 10
+
+
+def test_dup_span_stats_planted_and_partition_invariant():
+    """Exact-substring removal pass: a shared 6-token run planted in two
+    docs covers exactly those positions in the HIGHER doc_id (keeper =
+    min doc), spans merge across overlapping grams, clean docs report
+    zero, and output is identical under different partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.textops import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = [
+        (0, f"{shared} one two three"),            # keeper of the run
+        (1, f"x y {shared} tail"),                 # dup: positions 2..7
+        (2, "totally unrelated words here only"),  # clean
+        (3, f"p q r {shared}"),                    # dup: positions 3..8
+        (4, ""),                                   # empty -> 1 ws-token
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return (
+            dup_span_stats(ds, L=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(1)
+    by = out.set_index("doc_id")
+    # doc 0 is the keeper: nothing marked
+    assert by.loc[0, "dup_tokens"] == 0 and by.loc[0, "n_spans"] == 0
+    # doc 1: the 6 shared tokens (two overlapping 5-gram starts) = one
+    # merged span of 6 positions
+    assert by.loc[1, "dup_tokens"] == 6 and by.loc[1, "n_spans"] == 1
+    assert abs(by.loc[1, "dup_frac"] - 6 / 9) < 1e-12
+    # doc 3: same shared run at the end
+    assert by.loc[3, "dup_tokens"] == 6 and by.loc[3, "n_spans"] == 1
+    # clean + short docs untouched
+    assert by.loc[2, "dup_tokens"] == 0
+    assert by.loc[4, "n_tokens"] == 1 and by.loc[4, "dup_tokens"] == 0
+    out2 = run(4)
+    assert out.equals(out2)
