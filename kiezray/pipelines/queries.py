@@ -8902,7 +8902,6 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "ann_graph": q_ann_graph,
     "media_features": q_media_features,
-    "video_dedup": q_video_dedup,
     "heavy_hitters": q_heavy_hitters,
     "approx_distinct": q_approx_distinct,
     "components": q_components,
@@ -8913,6 +8912,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "embed_dup": q_embed_dup,
     "semdedup": q_semdedup,
+    "dup_spans": q_dup_spans,
     "dedup_canonical": q_dedup_canonical,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -8976,7 +8976,7 @@ QUERIES = {
     "rollup_sales": q_rollup_sales,
     "event_gaps": q_event_gaps,
     "dup_ngrams": q_dup_ngrams,
-    "dup_spans": q_dup_spans,
+    "video_dedup": q_video_dedup,
     "grouped_mad": q_grouped_mad,
     "bloom_semi": q_bloom_semi,
     "pmi_bigrams": q_pmi_bigrams,
