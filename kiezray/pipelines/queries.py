@@ -3507,6 +3507,59 @@ ORDER BY doc_id
 """
 
 
+def q_substring_clean(sf_dir: str):
+    """Exact-substring dedup with the spans actually CUT OUT: per doc
+    the surviving tokens re-joined with single spaces (fully-covered
+    docs become ''). Oracle-checked — the keeper/coverage semantics are
+    set algebra and the re-join is string_agg over kept positions."""
+    from ..textops import dup_span_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = dup_span_stats(docs, L=5, return_text=True)
+    return out.map_batches(
+        lambda df: df[["doc_id", "dup_tokens", "clean_text"]],
+        batch_format="pandas",
+    ).sort("doc_id")
+
+
+SQL_SUBSTRING_CLEAN = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT d.id, u.i AS i,
+         array_to_string(list_slice(d.toks, u.i, u.i + 4), ' ') AS gram
+  FROM d, unnest(generate_series(1, len(d.toks) - 4)) AS u(i)
+  WHERE len(d.toks) >= 5),
+dup AS (
+  SELECT gram, min(id) AS keeper
+  FROM g GROUP BY gram HAVING count(DISTINCT id) >= 2),
+sel AS (
+  SELECT g.id, g.i FROM g JOIN dup USING (gram) WHERE g.id <> dup.keeper),
+cov AS (
+  SELECT DISTINCT sel.id, u.j
+  FROM sel, unnest(generate_series(sel.i, sel.i + 4)) AS u(j)),
+pos AS (
+  SELECT d.id, u.p AS p, d.toks[u.p] AS tok
+  FROM d, unnest(generate_series(1, len(d.toks))) AS u(p)),
+kept AS (
+  SELECT pos.id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.id = cov.id AND pos.p = cov.j
+  WHERE cov.id IS NULL)
+SELECT d.id AS doc_id,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS dup_tokens,
+       coalesce(k.t, '') AS clean_text
+FROM d
+LEFT JOIN (SELECT id, count(*) AS n FROM cov GROUP BY id) c ON d.id = c.id
+LEFT JOIN (SELECT id, string_agg(tok, ' ' ORDER BY p) AS t
+           FROM kept GROUP BY id) k ON d.id = k.id
+ORDER BY doc_id
+"""
+
+
 def q_grouped_mad(sf_dir: str):
     """Per-event-type median + MAD (robust dispersion), quantile_disc
     semantics; one key-hash shuffle, two lexsorts per partition."""
@@ -8976,6 +9029,7 @@ QUERIES = {
     "rollup_sales": q_rollup_sales,
     "event_gaps": q_event_gaps,
     "dup_ngrams": q_dup_ngrams,
+    "substring_clean": q_substring_clean,
     "video_dedup": q_video_dedup,
     "grouped_mad": q_grouped_mad,
     "bloom_semi": q_bloom_semi,
@@ -9144,6 +9198,7 @@ ORACLE_SQL = {
     "event_gaps": SQL_EVENT_GAPS,
     "dup_ngrams": SQL_DUP_NGRAMS,
     "dup_spans": SQL_DUP_SPANS,
+    "substring_clean": SQL_SUBSTRING_CLEAN,
     "grouped_mad": SQL_GROUPED_MAD,
     "bloom_semi": SQL_BLOOM_SEMI,
     "train_split": SQL_TRAIN_SPLIT,

@@ -826,15 +826,15 @@ _GRAM_C2 = 0xC2B2AE3D27D4EB4F  # polynomial gram combine (mod 2^64)
 
 def _gram_hashes(
     texts: "pd.Series", L: int
-) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+) -> "tuple[np.ndarray, ...]":
     """Whitespace-tokenize a batch (trim + \\s+ split, the exact DuckDB
     ``string_split_regex(trim(text),'\\s+')`` semantics) and return
-    ``(lens, offs, starts, G1, G2)``: per-doc token counts, flat-array
-    doc offsets, the flat start index of every L-gram (never crossing a
-    doc boundary), and two independent 64-bit gram hashes — each a
-    positional polynomial over an independently-keyed siphash of the
+    ``(lens, offs, starts, G1, G2, flat)``: per-doc token counts,
+    flat-array doc offsets, the flat start index of every L-gram (never
+    crossing a doc boundary), two independent 64-bit gram hashes — each
+    a positional polynomial over an independently-keyed siphash of the
     tokens, so gram equality is effectively 128-bit exact without ever
-    materializing gram strings."""
+    materializing gram strings — and the flat token array itself."""
     tok_lists = texts.fillna("").map(lambda s: _WS.split(s.strip()))
     lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
@@ -849,7 +849,7 @@ def _gram_hashes(
     big = np.flatnonzero(lens >= L)
     if len(big) == 0:
         z = np.empty(0, dtype=np.uint64)
-        return lens, offs, np.empty(0, dtype=np.int64), z, z
+        return lens, offs, np.empty(0, dtype=np.int64), z, z, flat
     counts_b = lens[big] - L + 1
     tot_b = int(counts_b.sum())
     shift = np.repeat(
@@ -867,13 +867,14 @@ def _gram_hashes(
             G2 += h2[starts + j] * c2
             c1 *= np.uint64(_GRAM_C1)
             c2 *= np.uint64(_GRAM_C2)
-    return lens, offs, starts, G1, G2
+    return lens, offs, starts, G1, G2, flat
 
 
 def dup_span_stats(
     docs_ds: "ray.data.Dataset",
     L: int = 8,
     num_partitions: int = 32,
+    return_text: bool = False,
 ) -> "ray.data.Dataset":
     """Removal pass of exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — dup_ngrams() is the
@@ -887,7 +888,9 @@ def dup_span_stats(
     dup-covered iff some duplicated L-gram of d with d != keeper starts
     at i <= p < i+L. Output per doc: (doc_id, n_tokens, dup_tokens,
     n_spans, dup_frac) where n_spans counts maximal covered runs —
-    filter/trim on dup_frac downstream.
+    filter/trim on dup_frac downstream. With ``return_text=True`` a
+    ``clean_text`` column is added: the surviving tokens re-joined with
+    single spaces (covered spans cut out).
 
     Scale shape: pass 1 is the dup_ngrams() combiner shape — per-batch
     exact (gram, doc)-dedup partials, ONE hash shuffle of pre-aggregated
@@ -912,7 +915,7 @@ def dup_span_stats(
                 "__gpart": pd.Series(dtype=np.int32),
             }
         )
-        lens, offs, starts, G1, G2 = _gram_hashes(batch["text"], L)
+        lens, offs, starts, G1, G2, _ = _gram_hashes(batch["text"], L)
         if len(starts) == 0:
             return empty
         doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
@@ -985,12 +988,13 @@ def dup_span_stats(
     dup_ref = ray.put((d1[order], d2[order], dk[order]))
 
     def mark(batch: pd.DataFrame) -> pd.DataFrame:
-        lens, offs, starts, G1, G2 = _gram_hashes(batch["text"], L)
+        lens, offs, starts, G1, G2, flat = _gram_hashes(batch["text"], L)
         doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
         total = int(offs[-1])
         n_rows = len(batch)
         dup_tokens = np.zeros(n_rows, dtype=np.int64)
         n_spans = np.zeros(n_rows, dtype=np.int64)
+        covered = np.zeros(total, dtype=bool)
         if len(starts):
             D1, D2, DK = ray.get(dup_ref)  # zero-copy object-store read
             row = np.searchsorted(offs, starts, "right") - 1
@@ -1032,7 +1036,7 @@ def dup_span_stats(
                 n_spans = np.bincount(
                     pos_row, minlength=n_rows
                 ).astype(np.int64)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": doc_ids,
                 "n_tokens": lens,
@@ -1041,6 +1045,22 @@ def dup_span_stats(
                 "dup_frac": dup_tokens / np.maximum(lens, 1),
             }
         )
+        if return_text:
+            # re-join the surviving tokens with single spaces (original
+            # inter-token whitespace is not preserved — the tokenizer
+            # already collapsed it); a fully-covered doc becomes ""
+            keep_pos = np.flatnonzero(~covered)
+            keep_row = np.searchsorted(offs, keep_pos, "right") - 1
+            clean = np.full(n_rows, "", dtype=object)
+            if len(keep_pos):
+                joined = (
+                    pd.Series(flat[keep_pos])
+                    .groupby(keep_row)
+                    .agg(" ".join)
+                )
+                clean[joined.index.to_numpy()] = joined.to_numpy()
+            out["clean_text"] = clean
+        return out
 
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         mark, batch_format="pandas"

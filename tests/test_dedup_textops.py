@@ -963,3 +963,34 @@ def test_dup_span_stats_planted_and_partition_invariant():
     assert by.loc[4, "n_tokens"] == 1 and by.loc[4, "dup_tokens"] == 0
     out2 = run(4)
     assert out.equals(out2)
+
+
+def test_dup_span_stats_return_text_cuts_spans():
+    """return_text=True: covered spans are cut, survivors re-join with
+    single spaces, a fully-duplicated doc becomes ''."""
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.textops import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon"  # exactly L=5 tokens
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [f"{shared} extra", f"pre {shared} post", shared],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        dup_span_stats(
+            ray.data.from_arrow(tbl).repartition(2), L=5, return_text=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "clean_text"] == f"{shared} extra"  # keeper intact
+    assert out.loc[1, "clean_text"] == "pre post"
+    assert out.loc[2, "clean_text"] == ""  # fully covered
