@@ -875,6 +875,7 @@ def dup_span_stats(
     L: int = 8,
     num_partitions: int = 32,
     return_text: bool = False,
+    transport: str = "broadcast",
 ) -> "ray.data.Dataset":
     """Removal pass of exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — dup_ngrams() is the
@@ -895,15 +896,28 @@ def dup_span_stats(
     Scale shape: pass 1 is the dup_ngrams() combiner shape — per-batch
     exact (gram, doc)-dedup partials, ONE hash shuffle of pre-aggregated
     (gram_h, n_docs, min_doc) rows (16-byte gram hashes, never token
-    streams or gram strings). The surviving duplicated-gram table is
-    broadcast (``ray.put`` once, zero-copy searchsorted probe per batch)
-    — the decontaminate() transport; at corpus scales where the dup
-    table itself outgrows a node, swap the probe for a shuffle join on
-    gram_h (same rows, one more exchange). Pass 2 is embarrassingly
-    parallel: interval coverage via a +-1 delta cumsum and span counting
-    via run-start detection, all flat-array vectorized.
+    streams or gram strings). With ``transport="broadcast"`` (default)
+    the surviving duplicated-gram table goes to the object store once
+    (``ray.put``, zero-copy searchsorted probe per batch — the
+    decontaminate() transport) and pass 2 is embarrassingly parallel:
+    interval coverage via a +-1 delta cumsum and span counting via
+    run-start detection, all flat-array vectorized.
+    ``transport="join"`` is the corpus-scale tier for when the dup
+    table itself outgrows a node: gram occurrences shuffle-join the dup
+    table on the 128-bit gram hash, the surviving (doc, start) hit rows
+    (bounded by actual duplication) groupby doc for an interval-union
+    fold, and one left join attaches them back to per-doc token counts
+    — no worker ever holds the dup table. Identical output
+    (test-pinned); ``return_text`` requires the broadcast tier.
     """
     import ray
+
+    if transport not in ("broadcast", "join"):
+        raise ValueError(
+            f"transport must be 'broadcast' or 'join', got {transport!r}"
+        )
+    if transport == "join" and return_text:
+        raise ValueError("return_text=True requires transport='broadcast'")
 
     def discovery(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -974,13 +988,17 @@ def dup_span_stats(
             }
         )
 
-    dup_tbl = (
+    dup_ds = (
         docs_ds.select_columns(["doc_id", "text"])
         .map_batches(discovery, batch_format="pandas")
         .groupby("__gpart")
         .map_groups(fold, batch_format="pandas")
-        .to_pandas()  # duplicated grams only — the small side by nature
     )
+
+    if transport == "join":
+        return _dup_span_stats_join(docs_ds, dup_ds, L, num_partitions)
+
+    dup_tbl = dup_ds.to_pandas()  # duplicated grams only — small by nature
     d1 = dup_tbl["g1"].to_numpy(dtype=np.uint64)
     d2 = dup_tbl["g2"].to_numpy(dtype=np.uint64)
     dk = dup_tbl["keeper"].to_numpy(dtype=np.int64)
@@ -1064,6 +1082,125 @@ def dup_span_stats(
 
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         mark, batch_format="pandas"
+    )
+
+
+def _dup_span_stats_join(
+    docs_ds: "ray.data.Dataset",
+    dup_ds: "ray.data.Dataset",
+    L: int,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Corpus-scale tier of dup_span_stats: the duplicated-gram table
+    stays distributed. Gram occurrences (g-hash, doc, start) shuffle-join
+    it on the 128-bit gram hash; surviving non-keeper hits (bounded by
+    actual duplication) union with sentinel per-doc token-count rows and
+    fold per doc with an interval union (all L-long, starts sorted ->
+    runs break where the gap exceeds L) — the sentinel rows mean every
+    doc reaches the fold without an outer join. Join keys are the uint64
+    hashes bit-cast to int64 (Arrow hash-join key dtype)."""
+    import ray
+
+    # a hash join spawns num_partitions aggregator actors; oversubscribing
+    # a small CPU budget deadlocks the streaming executor (same sizing as
+    # connected_components / ngram_jaccard_pairs)
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized()
+        else 8
+    )
+    num_partitions = max(2, min(num_partitions, cpus // 2))
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        lens, offs, starts, G1, G2, _ = _gram_hashes(batch["text"], L)
+        doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        row = np.searchsorted(offs, starts, "right") - 1
+        return pd.DataFrame(
+            {
+                "g1": G1.view(np.int64),
+                "g2": G2.view(np.int64),
+                "doc_id": doc_ids[row] if len(starts) else
+                    np.empty(0, dtype=np.int64),
+                "i": (starts - offs[row]).astype(np.int64) if len(starts)
+                    else np.empty(0, dtype=np.int64),
+            }
+        )
+
+    dup_cast = dup_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "g1": df["g1"].to_numpy(dtype=np.uint64).view(np.int64),
+                "g2": df["g2"].to_numpy(dtype=np.uint64).view(np.int64),
+                "keeper": df["keeper"].to_numpy(dtype=np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    hits = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(occurrences, batch_format="pandas")
+        .join(
+            dup_cast,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("g1", "g2"),
+        )
+        .map_batches(
+            lambda df: df.loc[
+                df["doc_id"].to_numpy() != df["keeper"].to_numpy(),
+                ["doc_id", "i"],
+            ].assign(n_tokens=np.int64(0)),
+            batch_format="pandas",
+        )
+    )
+
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        # sentinel i=-1 rows carry the token count; they also guarantee
+        # every doc reaches the doc-keyed fold (no outer join needed)
+        toks = batch["text"].fillna("").map(
+            lambda s: len(_WS.split(s.strip()))
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "i": np.full(len(batch), -1, dtype=np.int64),
+                "n_tokens": toks.to_numpy(dtype=np.int64),
+            }
+        )
+
+    base_ds = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        base, batch_format="pandas"
+    )
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g["i"].to_numpy(dtype=np.int64)
+        n = int(g["n_tokens"].to_numpy().max())
+        s = np.unique(iv[iv >= 0])
+        if len(s):
+            brk = np.flatnonzero(s[1:] > s[:-1] + L)
+            first = np.concatenate(([0], brk + 1))
+            last = np.concatenate((brk, [len(s) - 1]))
+            dup_tokens = int((s[last] + L - s[first]).sum())
+            n_spans = len(first)
+        else:
+            dup_tokens = 0
+            n_spans = 0
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64)[:1],
+                "n_tokens": np.array([n], dtype=np.int64),
+                "dup_tokens": np.array([dup_tokens], dtype=np.int64),
+                "n_spans": np.array([n_spans], dtype=np.int64),
+                "dup_frac": np.array(
+                    [dup_tokens / max(n, 1)], dtype=np.float64
+                ),
+            }
+        )
+
+    return (
+        base_ds.union(hits.select_columns(["doc_id", "i", "n_tokens"]))
+        .groupby("doc_id")
+        .map_groups(fold_doc, batch_format="pandas")
     )
 
 

@@ -994,3 +994,39 @@ def test_dup_span_stats_return_text_cuts_spans():
     assert out.loc[0, "clean_text"] == f"{shared} extra"  # keeper intact
     assert out.loc[1, "clean_text"] == "pre post"
     assert out.loc[2, "clean_text"] == ""  # fully covered
+
+
+def test_dup_span_stats_join_transport_parity():
+    """transport='join' (distributed dup-gram table, no broadcast) is
+    byte-identical to the broadcast tier on planted data."""
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.textops import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{shared} one two three",
+                    f"x y {shared} tail",
+                    "totally unrelated words here only",
+                    f"p q r {shared}",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    a = (
+        dup_span_stats(ds, L=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_span_stats(ds, L=5, transport="join")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns].reset_index(drop=True))
+    assert a.loc[1, "dup_tokens"] == 6  # the planted span is found
