@@ -66,6 +66,8 @@ CHECKED = [
     ("rollup_sales", 0),
     ("event_gaps", 0),
     ("dup_ngrams", 0),
+    ("dup_spans", 0),
+    ("substring_clean", 0),
     ("grouped_mad", 0),
     ("bloom_semi", 0),
     ("train_split", 0),
