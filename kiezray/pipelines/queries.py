@@ -3164,6 +3164,103 @@ FROM documents d ORDER BY doc_id
 """
 
 
+def q_curation(sf_dir: str):
+    """FineWeb/CCNet-style curation verdict per document: language-ID,
+    quality >= 0.5, Gopher repetition caps, exact-dedup keeper and
+    eval-probe decontamination composed into one keep flag. Every rule
+    reuses a tol-0 oracle-checked kernel, so the composition is
+    oracle-checked too."""
+    from .curation import CurationConfig, run_curation
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return run_curation(docs, CurationConfig()).sort("doc_id")
+
+
+SQL_CURATION = """
+WITH ltoks AS (
+    SELECT CAST(doc_id AS BIGINT) doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') t
+    FROM documents),
+lang AS (
+    SELECT doc_id,
+        CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0
+             THEN 'unknown'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS lang_pred
+    FROM (SELECT doc_id,
+        len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is'))) s_en,
+        len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) s_de,
+        len(list_filter(t, x -> x IN ('le', 'la', 'les', 'et', 'est'))) s_fr,
+        len(list_filter(t, x -> x IN ('el', 'los', 'una', 'y', 'es'))) s_es
+      FROM ltoks)),
+qbase AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         coalesce(text, '') AS text,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents),
+qual AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN length(text) BETWEEN 50 AND 20000
+                      THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (1.0 - least(greatest(
+                  CAST(length(text) - length(regexp_replace(text,
+                       '[.,;:!?"''()\\[\\]{}]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1), 0), 1))
+             + 0.3 * (least(greatest(coalesce(list_avg(list_transform(toks,
+                  t -> CAST(length(t) AS DOUBLE))), 0.0), 0), 10) / 10.0),
+             6) + 0 AS quality
+  FROM qbase),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+wc AS (SELECT doc_id, wd, count(*) c FROM w GROUP BY doc_id, wd),
+per AS (SELECT doc_id, sum(c) n, count(*) d FROM wc GROUP BY doc_id),
+lists AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(l)),
+                                    i -> l[i] || chr(1) || l[i+1])) AS b
+       FROM lists WHERE len(l) > 1),
+bper AS (SELECT doc_id, count(*) nb, count(DISTINCT b) db
+         FROM bg GROUP BY doc_id),
+rep AS (
+  SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+         round(1 - d / CAST(n AS DOUBLE), 6) + 0 AS dwf,
+         COALESCE(round(1 - db / CAST(nb AS DOUBLE), 6), 0.0) + 0 AS d2f
+  FROM per p LEFT JOIN bper b ON p.doc_id = b.doc_id),
+dedupk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CAST(doc_id AS BIGINT) =
+              min(CAST(doc_id AS BIGINT)) OVER (PARTITION BY text)
+              AS BIGINT) AS keep_dedup
+  FROM documents),
+contam AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN EXISTS (
+             SELECT 1 FROM documents p
+             WHERE p.doc_id % 37 = 0 AND length(p.text) >= 60
+               AND contains(d.text, substr(p.text, 21, 30))
+         ) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+  FROM documents d)
+SELECT l.doc_id,
+       CAST(l.lang_pred = 'en' AS BIGINT) AS lang_ok,
+       CAST(q.quality >= 0.5 AS BIGINT) AS quality_ok,
+       CAST(r.dwf <= 0.55 AND r.d2f <= 0.3 AS BIGINT) AS repetition_ok,
+       c.contaminated,
+       k.keep_dedup,
+       CAST(l.lang_pred = 'en' AND q.quality >= 0.5
+            AND r.dwf <= 0.55 AND r.d2f <= 0.3
+            AND c.contaminated = 0 AND k.keep_dedup = 1 AS BIGINT) AS keep
+FROM lang l
+JOIN qual q USING (doc_id)
+JOIN rep r USING (doc_id)
+JOIN dedupk k USING (doc_id)
+JOIN contam c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_delta_dedup(sf_dir: str):
     """Incremental dedup of a synthetic "new snapshot" against the base
     corpus: even-id incoming docs repeat base texts verbatim (must be
@@ -8945,7 +9042,6 @@ QUERIES = {
     "knn_csls": q_knn_csls,
     "knn_ls": q_knn_ls,
     "knn_nicdm": q_knn_nicdm,
-    "knn_mp_normal": q_knn_mp_normal,
     "knn_mp_empiric": q_knn_mp_empiric,
     "knn_dsl": q_knn_dsl,
     "mp_stats": q_mp_stats,
@@ -8972,6 +9068,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
+    "curation": q_curation,
     "er_pipeline": q_er_pipeline,
     "er_exact": q_er_exact,
     "golden_record": q_golden_record,
@@ -8993,6 +9090,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "grouped_quantiles": q_grouped_quantiles,
     # --- balance of the registry (builder-sweep coverage) ---
+    "knn_mp_normal": q_knn_mp_normal,
     "winsorized_mean": q_winsorized_mean,
     "ann_pq": q_ann_pq,
     "ann_rpforest": q_ann_rpforest,
@@ -9199,6 +9297,7 @@ ORACLE_SQL = {
     "dup_ngrams": SQL_DUP_NGRAMS,
     "dup_spans": SQL_DUP_SPANS,
     "substring_clean": SQL_SUBSTRING_CLEAN,
+    "curation": SQL_CURATION,
     "grouped_mad": SQL_GROUPED_MAD,
     "bloom_semi": SQL_BLOOM_SEMI,
     "train_split": SQL_TRAIN_SPLIT,

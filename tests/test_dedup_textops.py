@@ -1030,3 +1030,50 @@ def test_dup_span_stats_join_transport_parity():
     )
     assert a.equals(b[a.columns].reset_index(drop=True))
     assert a.loc[1, "dup_tokens"] == 6  # the planted span is found
+
+
+def test_curation_planted_rules():
+    """Each curation rule fires on its planted violator and the keep
+    flag is their conjunction; output is partition-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.pipelines.curation import CurationConfig, run_curation
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs far away "
+        "of the hill is bright today with many different shining words"
+    )
+    docs = [
+        (0, good + " extra unique tail one"),          # keeper, passes all
+        (2, "der hund und die katze und das haus ist gross und schoen da"),  # wrong lang
+        (4, "spam spam spam spam spam spam spam spam spam spam spam"),  # repetition
+        (6, good + " extra unique tail one"),          # exact dup of 0
+        (8, "a b"),                                    # too short -> quality
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        cfg = CurationConfig(probe_min_chars=10**6)  # no probes
+        return (
+            run_curation(ds, cfg)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(2).set_index("doc_id")
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[2, "lang_ok"] == 0 and out.loc[2, "keep"] == 0
+    assert out.loc[4, "repetition_ok"] == 0 and out.loc[4, "keep"] == 0
+    assert out.loc[6, "keep_dedup"] == 0 and out.loc[6, "keep"] == 0
+    assert out.loc[8, "quality_ok"] == 0 and out.loc[8, "keep"] == 0
+    assert (out["contaminated"] == 0).all()
+    out2 = run(4).set_index("doc_id")
+    assert out.equals(out2)

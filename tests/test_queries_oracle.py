@@ -68,6 +68,7 @@ CHECKED = [
     ("dup_ngrams", 0),
     ("dup_spans", 0),
     ("substring_clean", 0),
+    ("curation", 0),
     ("grouped_mad", 0),
     ("bloom_semi", 0),
     ("train_split", 0),
