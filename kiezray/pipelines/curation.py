@@ -7,15 +7,17 @@ decontamination — into one keep/drop decision per document, the
 standard LLM-pretraining curation pass (Penedo et al. 2024, "The
 FineWeb Datasets"; Wenzek et al. 2020, CCNet).
 
-Scale shape: every rule except dedup is embarrassingly parallel
-(per-batch kernels over pruned (doc_id, text) scans; the decontamination
-probe set is a broadcast eval-suite extract). Exact dedup is ONE
-content-hash shuffle of ~28 B/row keys (dedup.dedup_exact with
-keep_cols=[]). The verdict combine is ONE doc-keyed shuffle: each rule
-emits narrow (doc_id, src, v1, v2) rows, a hash-partitioned fold pivots
-them vectorized (lexsort + aligned slices, no per-doc Python), and the
-output is one flags row per document. Nothing is ever materialized on
-the driver except the probe list.
+Scale shape — ONE corpus scan + ONE narrow shuffle: the per-doc rules
+(lang / quality / repetition / decontamination) chain as pass-through
+map_batches stages over a single pruned (doc_id, text) read (Ray fuses
+them into one task per block; the probe set is a broadcast eval-suite
+extract read once per actor). The scan's last stage drops the text,
+leaving ~50 B/row flag+hash rows, and the only exchange is the exact
+-dedup content-hash partition, inside which the keeper (min doc_id per
+identical text) and the final conjunction resolve with one lexsort — no
+joins, no doc-keyed second shuffle, nothing driver-side but the probe
+list. The small extra scan that extracts probes reads only the probe
+rows' columns.
 
 Every rule is defined to be exactly SQL-expressible (the per-rule
 kernels are tol-0 oracle-checked individually), so the composed verdict
@@ -34,8 +36,6 @@ import ray.data
 
 from ..arrowutil import round_away
 
-_SRC_LANG, _SRC_QUALITY, _SRC_REP, _SRC_CONTAM, _SRC_DEDUP = range(5)
-
 
 @dataclass
 class CurationConfig:
@@ -46,20 +46,6 @@ class CurationConfig:
     probe_mod: int = 37  # every probe_mod-th doc is "the eval suite"
     probe_min_chars: int = 60
     num_partitions: int = 32
-
-
-def _flag_rows(doc_id, src, v1, v2=None) -> pa.Table:
-    n = len(doc_id)
-    return pa.table(
-        {
-            "doc_id": pa.array(np.asarray(doc_id, dtype=np.int64)),
-            "src": pa.array(np.full(n, src, dtype=np.int64)),
-            "v1": pa.array(np.asarray(v1, dtype=np.float64)),
-            "v2": pa.array(
-                np.zeros(n) if v2 is None else np.asarray(v2, np.float64)
-            ),
-        }
-    )
 
 
 def run_curation(
@@ -79,7 +65,6 @@ def run_curation(
       cfg.probe_mod-th doc with >= cfg.probe_min_chars chars)
     - keep_dedup: doc_id == min(doc_id) over exact text equality
     """
-    from ..dedup import dedup_exact
     from ..textops import (
         decontaminate,
         language_id,
@@ -93,32 +78,6 @@ def run_curation(
             {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
         ),
         batch_format="pyarrow",
-    )
-
-    lang_src = language_id(docs).map_batches(
-        lambda df: _flag_rows(
-            df["doc_id"].to_numpy(),
-            _SRC_LANG,
-            (df["lang_pred"] == cfg.lang).to_numpy(dtype=np.float64),
-        ),
-        batch_format="pandas",
-    )
-    qual_src = quality_score(docs).map_batches(
-        lambda df: _flag_rows(
-            df["doc_id"].to_numpy(),
-            _SRC_QUALITY,
-            round_away(df["quality"].to_numpy(), 6),
-        ),
-        batch_format="pandas",
-    )
-    rep_src = repetition_stats(docs).map_batches(
-        lambda df: _flag_rows(
-            df["doc_id"].to_numpy(),
-            _SRC_REP,
-            round_away(df["dup_word_frac"].to_numpy(), 6),
-            round_away(df["dup_2gram_frac"].to_numpy(), 6),
-        ),
-        batch_format="pandas",
     )
 
     def extract_probes(t: pa.Table) -> pa.Table:
@@ -143,86 +102,83 @@ def run_curation(
             extract_probes, batch_format="pyarrow"
         ).take_all()
     ]
-    contam_src = decontaminate(docs, probes).map_batches(
-        lambda t: _flag_rows(
-            t["doc_id"].to_numpy(zero_copy_only=False),
-            _SRC_CONTAM,
-            t["contaminated"].to_numpy(zero_copy_only=False).astype(
-                np.float64
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-    dedup_src = dedup_exact(
-        docs, ["text"], keep_cols=[], num_partitions=cfg.num_partitions
-    ).map_batches(
-        lambda t: _flag_rows(
-            t["doc_id"].to_numpy(zero_copy_only=False),
-            _SRC_DEDUP,
-            np.ones(len(t)),
-        ),
-        batch_format="pyarrow",
-    )
 
-    all_rows = lang_src.union(qual_src, rep_src, contam_src, dedup_src)
+    # ONE scan: the pass-through kernels chain per batch, text rides to
+    # the last stage and is dropped before the shuffle
+    stream = language_id(docs, pass_through=True)
+    stream = quality_score(stream, pass_through=True)
+    stream = repetition_stats(stream, pass_through=True)
+    stream = decontaminate(stream, probes)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        part = (
-            t["doc_id"].to_numpy(zero_copy_only=False)
-            % cfg.num_partitions
-        ).astype(np.int32)
-        return t.append_column("__part", pa.array(part))
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["doc_id"].to_numpy(dtype=np.int64)
-        s = g["src"].to_numpy(dtype=np.int64)
-        v1 = g["v1"].to_numpy(dtype=np.float64)
-        v2 = g["v2"].to_numpy(dtype=np.float64)
-        # dense sources (lang/quality/rep/contam) carry one row per doc:
-        # sorting each source's rows by doc_id aligns them all to the
-        # same doc axis — a vectorized pivot, no per-doc groups
-        def aligned(src):
-            sel = np.flatnonzero(s == src)
-            o = np.argsort(d[sel], kind="stable")
-            return sel[o]
-
-        il = aligned(_SRC_LANG)
-        docs_sorted = d[il]
-        lang_ok = v1[il] > 0.0
-        iq = aligned(_SRC_QUALITY)
-        quality_ok = v1[iq] >= cfg.min_quality
-        ir = aligned(_SRC_REP)
-        repetition_ok = (v1[ir] <= cfg.max_dup_word_frac) & (
-            v2[ir] <= cfg.max_dup_2gram_frac
+    def flags_and_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # same 2x-keyed-siphash content identity as dedup.dedup_exact:
+        # grouping is exact text equality (collision odds ~2^-128)
+        txt = df["text"].fillna("").to_numpy(dtype=object)
+        h1 = pd.util.hash_array(txt).astype(np.uint64)
+        h2 = pd.util.hash_array(txt, hash_key="kiezraydedup2key").astype(
+            np.uint64
         )
-        ic = aligned(_SRC_CONTAM)
-        contaminated = v1[ic] > 0.0
-        # dedup survivors are sparse: membership via sorted search
-        surv = np.sort(d[s == _SRC_DEDUP])
-        if len(surv):
-            pos = np.searchsorted(surv, docs_sorted)
-            keep_dedup = (pos < len(surv)) & (
-                surv[np.minimum(pos, len(surv) - 1)] == docs_sorted
-            )
-        else:
-            keep_dedup = np.zeros(len(docs_sorted), dtype=bool)
+        rep_ok = (
+            df["dup_word_frac"].to_numpy() <= cfg.max_dup_word_frac
+        ) & (df["dup_2gram_frac"].to_numpy() <= cfg.max_dup_2gram_frac)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "lang_ok": (df["lang_pred"] == cfg.lang)
+                .to_numpy()
+                .astype(np.int64),
+                "quality_ok": (
+                    round_away(df["quality"].to_numpy(), 6)
+                    >= cfg.min_quality
+                ).astype(np.int64),
+                "repetition_ok": rep_ok.astype(np.int64),
+                "contaminated": df["contaminated"].to_numpy(
+                    dtype=np.int64
+                ),
+                "__ch1": h1.view(np.int64),
+                "__ch2": h2.view(np.int64),
+                "__part": (h1 % np.uint64(cfg.num_partitions)).astype(
+                    np.int32
+                ),
+            }
+        )
+
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        c1 = g["__ch1"].to_numpy()
+        c2 = g["__ch2"].to_numpy()
+        order = np.lexsort((d, c2, c1))
+        oc1, oc2 = c1[order], c2[order]
+        first = np.concatenate(
+            ([True], (oc1[1:] != oc1[:-1]) | (oc2[1:] != oc2[:-1]))
+        )
+        keep_dedup = np.empty(len(d), dtype=bool)
+        keep_dedup[order] = first  # min-id row of each content group
+        lang_ok = g["lang_ok"].to_numpy(dtype=np.int64)
+        quality_ok = g["quality_ok"].to_numpy(dtype=np.int64)
+        repetition_ok = g["repetition_ok"].to_numpy(dtype=np.int64)
+        contaminated = g["contaminated"].to_numpy(dtype=np.int64)
         keep = (
-            lang_ok & quality_ok & repetition_ok & ~contaminated & keep_dedup
+            (lang_ok == 1)
+            & (quality_ok == 1)
+            & (repetition_ok == 1)
+            & (contaminated == 0)
+            & keep_dedup
         )
         return pd.DataFrame(
             {
-                "doc_id": docs_sorted,
-                "lang_ok": lang_ok.astype(np.int64),
-                "quality_ok": quality_ok.astype(np.int64),
-                "repetition_ok": repetition_ok.astype(np.int64),
-                "contaminated": contaminated.astype(np.int64),
+                "doc_id": d,
+                "lang_ok": lang_ok,
+                "quality_ok": quality_ok,
+                "repetition_ok": repetition_ok,
+                "contaminated": contaminated,
                 "keep_dedup": keep_dedup.astype(np.int64),
                 "keep": keep.astype(np.int64),
             }
         )
 
     return (
-        all_rows.map_batches(add_part, batch_format="pyarrow")
+        stream.map_batches(flags_and_keys, batch_format="pandas")
         .groupby("__part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(final_fold, batch_format="pandas")
     )

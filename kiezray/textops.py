@@ -79,11 +79,16 @@ def text_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs_ds.map_batches(stats, batch_format="pandas")
 
 
-def language_id(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def language_id(
+    docs_ds: "ray.data.Dataset", pass_through: bool = False
+) -> "ray.data.Dataset":
     """Marker-word language heuristic -> (doc_id, lang_pred).
 
     argmax over per-language marker counts with fixed priority tie-break;
     'unknown' when no marker fires. Deterministic; mirrored by SQL_LANG_ID.
+    ``pass_through=True`` appends lang_pred to the input batch instead of
+    projecting it away — lets callers fuse several per-doc kernels into
+    ONE corpus scan (pipelines/curation.py).
     """
 
     marker_lists = [sorted(_LANG_MARKERS[lang]) for lang in _LANG_ORDER]
@@ -114,6 +119,10 @@ def language_id(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
                 scores[nonempty, li] = np.add.reduceat(hits, offs)
         best = np.array(_LANG_ORDER, dtype=object)[scores.argmax(axis=1)]
         best[(scores == 0).all(axis=1)] = "unknown"
+        if pass_through:
+            out = batch.copy()
+            out["lang_pred"] = best.astype(str)
+            return out
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
@@ -124,9 +133,13 @@ def language_id(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs_ds.map_batches(predict, batch_format="pandas")
 
 
-def quality_score(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def quality_score(
+    docs_ds: "ray.data.Dataset", pass_through: bool = False
+) -> "ray.data.Dataset":
     """Heuristic document-quality features: length, punctuation ratio,
-    stopword ratio, mean token length, and a combined [0,1] score."""
+    stopword ratio, mean token length, and a combined [0,1] score.
+    ``pass_through=True`` appends the features to the input batch (the
+    one-scan fusion hook, see language_id)."""
     stop = _LANG_MARKERS["en"]
     punct = set(".,;:!?\"'()[]{}")
 
@@ -169,6 +182,10 @@ def quality_score(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
             + 0.3 * (1.0 - punct_ratio.clip(0, 1))
             + 0.3 * (mean_tok_len.clip(0, 10) / 10.0)
         )
+        if pass_through:
+            out = batch.copy()
+            out["quality"] = qual.astype(np.float64)
+            return out
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
@@ -369,7 +386,9 @@ def fingerprint(docs_ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Datas
     return docs_ds.map_batches(fp, batch_format="pandas")
 
 
-def repetition_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def repetition_stats(
+    docs_ds: "ray.data.Dataset", pass_through: bool = False
+) -> "ray.data.Dataset":
     """Gopher-style per-document repetition metrics — the quality filters
     a training-data pipeline cuts boilerplate/spam with (Rae et al. 2021,
     "Scaling Language Models", table A1 repetition filters):
@@ -447,6 +466,11 @@ def repetition_stats(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
             bdistinct = np.diff(np.append(bdstarts, len(bdw)))
             present = bdw[bdstarts]  # docs with >= 1 bigram
             dup2[present] = 1.0 - bdistinct / (lens[present] - 1)
+        if pass_through:
+            out = batch.copy()
+            out["dup_word_frac"] = round_away(dup_word, 6)
+            out["dup_2gram_frac"] = round_away(dup2, 6)
+            return out
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
