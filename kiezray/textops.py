@@ -1023,6 +1023,15 @@ def dup_span_stats(
         return _dup_span_stats_join(docs_ds, dup_ds, L, num_partitions)
 
     dup_tbl = dup_ds.to_pandas()  # duplicated grams only — small by nature
+    if "g1" not in dup_tbl.columns:  # clean corpus: zero dup grams and
+        # the grouped fold emitted no blocks, so the schema is unknown
+        dup_tbl = pd.DataFrame(
+            {
+                "g1": pd.Series(dtype=np.uint64),
+                "g2": pd.Series(dtype=np.uint64),
+                "keeper": pd.Series(dtype=np.int64),
+            }
+        )
     d1 = dup_tbl["g1"].to_numpy(dtype=np.uint64)
     d2 = dup_tbl["g2"].to_numpy(dtype=np.uint64)
     dk = dup_tbl["keeper"].to_numpy(dtype=np.int64)
@@ -1150,16 +1159,50 @@ def _dup_span_stats_join(
             }
         )
 
-    dup_cast = dup_ds.map_batches(
-        lambda df: pd.DataFrame(
+    def cast_dup(df: pd.DataFrame) -> pd.DataFrame:
+        if "g1" not in df.columns:  # clean corpus: schema-less empty block
+            df = pd.DataFrame(
+                {
+                    "g1": pd.Series(dtype=np.uint64),
+                    "g2": pd.Series(dtype=np.uint64),
+                    "keeper": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
             {
                 "g1": df["g1"].to_numpy(dtype=np.uint64).view(np.int64),
                 "g2": df["g2"].to_numpy(dtype=np.uint64).view(np.int64),
                 "keeper": df["keeper"].to_numpy(dtype=np.int64),
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    # materialize the dup table (it is the bounded small side — the
+    # broadcast tier pulls the very same rows to the driver); a clean
+    # corpus yields ZERO rows, in which case the join's right side would
+    # have no schema at all — short-circuit to all-zero stats instead
+    dup_mat = dup_ds.materialize()
+    if dup_mat.count() == 0:
+        def zeros(batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].fillna("").map(
+                lambda s: len(_WS.split(s.strip()))
+            )
+            n = toks.to_numpy(dtype=np.int64)
+            z = np.zeros(len(batch), dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                    "n_tokens": n,
+                    "dup_tokens": z,
+                    "n_spans": z,
+                    "dup_frac": np.zeros(len(batch), dtype=np.float64),
+                }
+            )
+
+        return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+            zeros, batch_format="pandas"
+        )
+
+    dup_cast = dup_mat.map_batches(cast_dup, batch_format="pandas")
     hits = (
         docs_ds.select_columns(["doc_id", "text"])
         .map_batches(occurrences, batch_format="pandas")

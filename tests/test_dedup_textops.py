@@ -1077,3 +1077,37 @@ def test_curation_planted_rules():
     assert (out["contaminated"] == 0).all()
     out2 = run(4).set_index("doc_id")
     assert out.equals(out2)
+
+
+def test_dup_span_stats_clean_corpus_both_transports():
+    """A corpus with zero duplicated grams returns all-zero stats in
+    both transports (regression: the empty dup table used to lose its
+    schema and crash both the driver pull and the gram join)."""
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.textops import dup_span_stats
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "all docs totally different words one",
+                    "second document with other completely fresh tokens",
+                    "third text nothing shared anywhere at all",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    for tr in ("broadcast", "join"):
+        out = (
+            dup_span_stats(ds, L=5, transport=tr)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert len(out) == 3
+        assert (out["dup_tokens"] == 0).all() and (out["n_spans"] == 0).all()
+        assert out["n_tokens"].tolist() == [6, 7, 7]
