@@ -112,8 +112,10 @@ def run_curation(
 
     def flags_and_keys(df: pd.DataFrame) -> pd.DataFrame:
         # same 2x-keyed-siphash content identity as dedup.dedup_exact:
-        # grouping is exact text equality (collision odds ~2^-128)
-        txt = df["text"].fillna("").to_numpy(dtype=object)
+        # grouping is exact text equality (collision odds ~2^-128).
+        # No fillna — None hashes to its own constant, so NULL text is
+        # its own dedup group exactly like SQL's PARTITION BY text
+        txt = df["text"].to_numpy(dtype=object)
         h1 = pd.util.hash_array(txt).astype(np.uint64)
         h2 = pd.util.hash_array(txt, hash_key="kiezraydedup2key").astype(
             np.uint64
