@@ -516,18 +516,29 @@ def redact(
 
 class _ProbeMatcher:
     """Actor-pool stage for ``decontaminate``: the probe list is fetched
-    from the object store ONCE per actor (``ray.get`` in ``__init__``,
-    never per batch) and each batch is flagged with one vectorized
-    ``pc.match_substring`` scan per probe."""
+    from the object store ONCE per actor (``ray.get`` in ``__init__``),
+    compiled into escaped RE2 alternations (chunked to keep each program
+    small), and each batch is flagged with one vectorized
+    ``pc.match_substring_regex`` scan per chunk — O(chunks), not
+    O(probes), passes over the text."""
+
+    _CHUNK = 512  # probes per alternation; bounds the RE2 program size
 
     def __init__(self, probes_ref, text_col: str):
+        import re
+
         import ray
 
-        self.probes = (
+        probes = (
             ray.get(probes_ref)
             if isinstance(probes_ref, ray.ObjectRef)
             else list(probes_ref)
         )
+        probes = [p for p in probes if p]
+        self.patterns = [
+            "|".join(re.escape(p) for p in probes[i : i + self._CHUNK])
+            for i in range(0, len(probes), self._CHUNK)
+        ]
         self.text_col = text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -535,12 +546,10 @@ class _ProbeMatcher:
 
         txt = t[self.text_col]
         hit = np.zeros(len(t), dtype=bool)
-        for p in self.probes:
-            if not p:
-                continue
-            m = pc.match_substring(txt, pattern=p).to_numpy(
-                zero_copy_only=False
-            )
+        for pat in self.patterns:
+            m = pc.fill_null(
+                pc.match_substring_regex(txt, pattern=pat), False
+            ).to_numpy(zero_copy_only=False)
             hit |= np.asarray(m, dtype=bool)
         return t.append_column(
             "contaminated", pa.array(hit.astype(np.int64), pa.int64())
