@@ -1111,3 +1111,46 @@ def test_dup_span_stats_clean_corpus_both_transports():
         assert len(out) == 3
         assert (out["dup_tokens"] == 0).all() and (out["n_spans"] == 0).all()
         assert out["n_tokens"].tolist() == [6, 7, 7]
+
+
+def test_semantic_dedup_degenerate_inputs():
+    """All-identical vectors collapse to one survivor (min id); a
+    single-row corpus survives; k larger than distinct points is fine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import semantic_dedup
+
+    mat = np.tile(np.array([[1.0, 0, 0, 0]], dtype=np.float32), (5, 1))
+    tbl = pa.table(
+        {
+            "row_id": pa.array(np.arange(5), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float32()), 4
+            ),
+        }
+    )
+    out = (
+        semantic_dedup(
+            ray.data.from_arrow(tbl), id_col="row_id", emb_col="embedding",
+            n_clusters=8, threshold=0.9, iters=2, seed=0,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+    )
+    assert out["keep"].tolist() == [True, False, False, False, False]
+
+    one = pa.table(
+        {
+            "row_id": pa.array([7], pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array([1.0, 0, 0, 0], pa.float32()), 4
+            ),
+        }
+    )
+    out1 = semantic_dedup(
+        ray.data.from_arrow(one), id_col="row_id", emb_col="embedding",
+        n_clusters=4, threshold=0.9, iters=2, seed=0,
+    ).to_pandas()
+    assert out1["keep"].tolist() == [True]
