@@ -178,9 +178,18 @@ def batch_minhash(
             np.uint64
         )
         with np.errstate(over="ignore"):
-            packed = (win.astype(np.uint64) * weights[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
+            # pack in window-axis chunks: a one-shot astype would
+            # materialize (total_bytes, k) uint64 — 8k bytes per input
+            # byte — whereas chunking caps the temporary at ~CH*k*8
+            # bytes regardless of batch size (results are identical;
+            # the loop body is pure elementwise)
+            CH = 1 << 22
+            packed = np.empty(len(win), dtype=np.uint64)
+            for s in range(0, len(win), CH):
+                e = min(s + CH, len(win))
+                packed[s:e] = (
+                    win[s:e].astype(np.uint64) * weights[None, :]
+                ).sum(axis=1, dtype=np.uint64)
             hashes = _splitmix64(packed)
             # gather each doc's valid window starts (drop windows that
             # straddle a doc boundary); every doc has >= 1 by padding
@@ -1148,13 +1157,15 @@ def semantic_dedup(
     final centroid matrix is tiny (k×d floats), so the assignment pass
     is ONE map_batches that keeps the embedding column riding along —
     no join, no second scan of the id space. The prune is then ONE
-    groupby(cluster) shuffle whose group work is bounded — clusters
-    larger than ``max_cluster`` are processed in
-    centroid-distance-ordered chunks (nearest-to-centroid first), so
-    per-group memory is O(max_cluster^2) regardless of skew. Cross-chunk
-    duplicates inside one oversized cluster are missed — the same
-    documented recall trade as block salting; raise n_clusters so
-    clusters stay small rather than raising max_cluster.
+    groupby(cluster) shuffle; ``max_cluster`` chunking bounds the
+    O(chunk^2) similarity matrix, but the group itself (ids + vectors,
+    O(cluster_size x dim)) still materializes in the fold worker — the
+    skew bound is n_clusters, not max_cluster, so size k to keep the
+    LARGEST expected cluster within one worker's heap (salt hot
+    clusters upstream if the embedding distribution is degenerate).
+    Cross-chunk duplicates inside one oversized cluster are missed —
+    the same documented recall trade as block salting; raise n_clusters
+    rather than max_cluster.
 
     Returns (id_col, cluster int64, keep bool) — filter on ``keep`` for
     the surviving rows. Deterministic under any partitioning: k-means

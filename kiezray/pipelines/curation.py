@@ -9,9 +9,12 @@ FineWeb Datasets"; Wenzek et al. 2020, CCNet).
 
 Scale shape — ONE corpus scan + ONE narrow shuffle: the per-doc rules
 (lang / quality / repetition / decontamination) chain as pass-through
-map_batches stages over a single pruned (doc_id, text) read (Ray fuses
-them into one task per block; the probe set is a broadcast eval-suite
-extract read once per actor). The scan's last stage drops the text,
+map_batches stages over a single pruned (doc_id, text) read. The task
+stages fuse into one task per block; the decontamination stage is an
+actor pool (probes + compiled alternations live once per actor), so the
+text crosses one task->actor boundary — its pool is sized to the
+cluster's CPUs so it never caps the scan. The scan's last stage drops
+the text,
 leaving ~50 B/row flag+hash rows, and the only exchange is the exact
 -dedup content-hash partition, inside which the keeper (min doc_id per
 identical text) and the final conjunction resolve with one lexsort — no
@@ -105,10 +108,17 @@ def run_curation(
 
     # ONE scan: the pass-through kernels chain per batch, text rides to
     # the last stage and is dropped before the shuffle
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized()
+        else 8
+    )
     stream = language_id(docs, pass_through=True)
     stream = quality_score(stream, pass_through=True)
     stream = repetition_stats(stream, pass_through=True)
-    stream = decontaminate(stream, probes)
+    stream = decontaminate(stream, probes, concurrency=(1, max(4, cpus)))
 
     def flags_and_keys(df: pd.DataFrame) -> pd.DataFrame:
         # same 2x-keyed-siphash content identity as dedup.dedup_exact:

@@ -101,6 +101,14 @@ class ERConfig:
         # JSON configs can only express lists; Ray requires tuple concurrency
         if isinstance(self.concurrency, list):
             self.concurrency = tuple(self.concurrency)
+        # a typo'd transport must not silently fall through to the
+        # broadcast tier (the whole-corpus-per-node path the caller may
+        # have explicitly opted out of)
+        if self.emb_transport not in ("ride", "join", "broadcast"):
+            raise ValueError(
+                "emb_transport must be 'ride', 'join' or 'broadcast',"
+                f" got {self.emb_transport!r}"
+            )
 
 
 class BlockPairScorer:
@@ -577,27 +585,41 @@ def run_er(
         if cfg.emb_transport == "ride":
             # no join at all: raw float32 embeddings ride the band
             # explode, the salt rewrite and the ONE scoring shuffle;
-            # the scorer normalizes per partition. The wide stream is
-            # never materialized — it flows straight into the groupby.
+            # the scorer normalizes per partition. Unsharded, the wide
+            # stream is never materialized — it flows straight into the
+            # groupby.
             if "ref" not in _salt_box:  # checkpoint resume skipped make_keys
                 _salt_box["ref"] = oversized_block_payload(
                     _narrow_keys(), cfg.max_block
                 )
-            wide = blocking_keys(
-                embedded,
-                bands=cfg.bands,
-                rows_per_band=cfg.rows_per_band,
-                shingle_k=cfg.shingle_k,
-                seed=cfg.seed,
-                carry_cols=("embedding",),
-                concurrency=cfg.concurrency,
-                emit_string_keys=False,
-            )
-            parted = salt_stream(wide, _salt_box["ref"]).map_batches(
-                add_part, batch_format="pyarrow"
-            )
-            if shard is not None:
-                parted = parted.map_batches(
+
+            def make_parted():
+                wide = blocking_keys(
+                    embedded,
+                    bands=cfg.bands,
+                    rows_per_band=cfg.rows_per_band,
+                    shingle_k=cfg.shingle_k,
+                    seed=cfg.seed,
+                    carry_cols=("embedding",),
+                    concurrency=cfg.concurrency,
+                    emit_string_keys=False,
+                )
+                return salt_stream(wide, _salt_box["ref"]).map_batches(
+                    add_part, batch_format="pyarrow"
+                )
+
+            if shard is None:
+                parted = make_parted()
+            else:
+                # sharded-checkpoint path: rebuilding the band explode
+                # per shard would re-shingle the corpus n_shards times —
+                # materialize the parted wide stream ONCE per run (the
+                # checkpointing caller already opted into IO-heavy
+                # durability; resume-skipped shards never reach here, so
+                # a mostly-done resume still blocks at most once)
+                if "parted" not in _salt_box:
+                    _salt_box["parted"] = make_parted().materialize()
+                parted = _salt_box["parted"].map_batches(
                     shard_filter, batch_format="pyarrow", zero_copy_batch=True
                 )
             return parted.groupby("part").map_groups(
@@ -616,25 +638,15 @@ def run_er(
             # holds the whole corpus embedding table. Rows are packed as
             # binary (Arrow's hash join rejects list payload columns).
             def to_bin(t: pa.Table) -> pa.Table:
-                mat = np.ascontiguousarray(emb_to_matrix(t["embedding"]))
-                n, d = mat.shape
-                # int32 BinaryArray offsets silently wrap at 2 GiB — guard
-                # hard (batches are far smaller; a violation means the
-                # batch_size upstream is misconfigured for the dim)
-                assert (n + 1) * d * 8 < 2**31, (
-                    f"embedding batch payload {(n + 1) * d * 8} B overflows "
-                    "int32 binary offsets; lower batch_size or use "
-                    "large_binary"
-                )
-                offsets = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int32)
-                bin_arr = pa.BinaryArray.from_buffers(
-                    pa.binary(),
-                    n,
-                    [None, pa.py_buffer(offsets.tobytes()),
-                     pa.py_buffer(mat.tobytes())],
-                )
+                from ..arrowutil import matrix_to_binary
+
                 return pa.table(
-                    {"doc_id": t["doc_id"], "embedding_bin": bin_arr}
+                    {
+                        "doc_id": t["doc_id"],
+                        "embedding_bin": matrix_to_binary(
+                            emb_to_matrix(t["embedding"])
+                        ),
+                    }
                 )
 
             emb_bin = make_emb_norm().map_batches(

@@ -961,7 +961,7 @@ def q_lang_id(sf_dir: str):
 SQL_LANG_ID = """
 WITH toks AS (
     SELECT CAST(doc_id AS BIGINT) doc_id,
-           string_split_regex(trim(lower(text)), '\\s+') t
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') t
     FROM documents),
 scores AS (
     SELECT doc_id,
@@ -2371,12 +2371,13 @@ def q_repetition(sf_dir: str):
 
 
 SQL_REPETITION = """
-WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS wd
            FROM documents),
 wc AS (SELECT doc_id, wd, count(*) c FROM w GROUP BY doc_id, wd),
 per AS (SELECT doc_id, sum(c) n, count(*) d, max(c) mx
         FROM wc GROUP BY doc_id),
-lists AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+lists AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') l
+          FROM documents),
 bg AS (SELECT doc_id,
               unnest(list_transform(range(1, len(l)),
                                     i -> l[i] || chr(1) || l[i+1])) AS b
@@ -3181,7 +3182,7 @@ def q_curation(sf_dir: str):
 SQL_CURATION = """
 WITH ltoks AS (
     SELECT CAST(doc_id AS BIGINT) doc_id,
-           string_split_regex(trim(lower(text)), '\\s+') t
+           string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') t
     FROM documents),
 lang AS (
     SELECT doc_id,
@@ -3214,10 +3215,12 @@ qual AS (
                   t -> CAST(length(t) AS DOUBLE))), 0.0), 0), 10) / 10.0),
              6) + 0 AS quality
   FROM qbase),
-w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS wd
+      FROM documents),
 wc AS (SELECT doc_id, wd, count(*) c FROM w GROUP BY doc_id, wd),
 per AS (SELECT doc_id, sum(c) n, count(*) d FROM wc GROUP BY doc_id),
-lists AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+lists AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') l
+          FROM documents),
 bg AS (SELECT doc_id,
               unnest(list_transform(range(1, len(l)),
                                     i -> l[i] || chr(1) || l[i+1])) AS b
@@ -9052,7 +9055,6 @@ QUERIES = {
     "ann_graph": q_ann_graph,
     "media_features": q_media_features,
     "heavy_hitters": q_heavy_hitters,
-    "approx_distinct": q_approx_distinct,
     "components": q_components,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
@@ -9091,6 +9093,7 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     # --- balance of the registry (builder-sweep coverage) ---
     "knn_mp_normal": q_knn_mp_normal,
+    "approx_distinct": q_approx_distinct,
     "winsorized_mean": q_winsorized_mean,
     "ann_pq": q_ann_pq,
     "ann_rpforest": q_ann_rpforest,

@@ -256,13 +256,36 @@ _STAGE_CACHE_CAP = 4
 
 
 class _CachedSearchStage:
+    @staticmethod
+    def _kwarg_token(v) -> str:
+        # repr() is not injective (large numpy arrays elide with '...',
+        # default-object reprs are id-based and reusable after gc) — a
+        # collision would silently serve an index built for different
+        # parameters. Digest array-likes by dtype+shape+bytes instead.
+        if isinstance(v, np.ndarray):
+            import hashlib
+
+            a = np.ascontiguousarray(v)
+            return (
+                f"nd:{a.dtype}:{a.shape}:"
+                f"{hashlib.sha1(a.tobytes()).hexdigest()}"
+            )
+        if isinstance(v, (list, tuple)):
+            inner = ",".join(_CachedSearchStage._kwarg_token(x) for x in v)
+            return f"{type(v).__name__}:[{inner}]"
+        if v is None or isinstance(v, (bool, int, float, str, bytes)):
+            return repr(v)
+        return f"{type(v).__module__}.{type(v).__qualname__}:{v!r}"
+
     def __init__(self, ctor_kwargs: dict):
         self.ctor_kwargs = ctor_kwargs
         ak = ctor_kwargs.get("algorithm_kwargs") or {}
         self.key = (
             tuple(r.hex() for r in ctor_kwargs["shard_refs"]),
             ctor_kwargs.get("algorithm", "exact"),
-            tuple(sorted((k, repr(v)) for k, v in ak.items())),
+            tuple(
+                sorted((k, self._kwarg_token(v)) for k, v in ak.items())
+            ),
             ctor_kwargs["k"],
             ctor_kwargs.get("exclude_self", False),
             ctor_kwargs.get("keep_query_embedding", False),
