@@ -686,8 +686,6 @@ def dedup_simhash(
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count
-
     P = 64
 
     def add_part(t: pa.Table) -> pa.Table:

@@ -337,7 +337,6 @@ def _docs_fingerprint(docs_ds: "ray.data.Dataset") -> str:
     combiner partials only — makes every whole-stage checkpoint
     input-addressed, so a changed corpus (including a same-length text
     edit) can never silently reuse a stale checkpoint."""
-    import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
         from ..dedup import _splitmix64

@@ -24,8 +24,6 @@ per node. When the indexed side outgrows broadcast, the blocking stage
 
 from __future__ import annotations
 
-from typing import Callable
-
 import numpy as np
 import pyarrow as pa
 import ray

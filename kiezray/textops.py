@@ -10,7 +10,6 @@ so the oracle comparison is meaningful.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
