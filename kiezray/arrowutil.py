@@ -25,6 +25,21 @@ def round_away(x, digits: int):
     return out + 0.0
 
 
+def int_bincount(codes: np.ndarray, vals, minlength: int) -> np.ndarray:
+    """Exact int64 grouped sum: scatter-add ``vals`` into ``minlength``
+    buckets keyed by ``codes``.
+
+    ``np.bincount(codes, weights=vals)`` accumulates through float64 and
+    is exact only while every per-bucket sum stays below 2^53 — a silent
+    precision cliff for int64-cents sums on large batches. ``np.add.at``
+    on an int64 accumulator is exact over the full int64 range; use this
+    for every integer sum that is hash-compared against a DuckDB oracle.
+    """
+    out = np.zeros(minlength, dtype=np.int64)
+    np.add.at(out, codes, np.asarray(vals, dtype=np.int64))
+    return out
+
+
 def emb_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, d) float array from a list/fixed_size_list column. Zero-copy for
     fixed_size_list without nulls; raises on ragged rows."""

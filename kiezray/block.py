@@ -232,10 +232,14 @@ def oversized_block_payload(
     return ray.put(payload)
 
 
-# per-worker-process cache of the resolved salt payload: _Salt ships as a
+# per-worker-process LRU of resolved salt payloads: _Salt ships as a
 # pickled instance (task pool, no actor spin-up) holding only the ref;
-# each process ray.get's the small map once
+# each process ray.get's the small map once. Capped (not clear-then-
+# insert) so two salted streams interleaving batches in one worker
+# process don't thrash re-gets — keyed by ref hex, so results stay
+# correct either way.
 _SALT_CACHE: dict = {}
+_SALT_CACHE_CAP = 4
 
 
 class _Salt:
@@ -246,15 +250,16 @@ class _Salt:
         import ray
 
         key = self.ref.hex()
-        p = _SALT_CACHE.get(key)
+        p = _SALT_CACHE.pop(key, None)
         if p is None:
             raw = ray.get(self.ref)
             if len(raw) == 2:
                 p = (raw[0], raw[1], None)  # sorted int64 + aligned fanout
             else:
                 p = (None, None, raw[0])
-            _SALT_CACHE.clear()
-            _SALT_CACHE[key] = p
+            while len(_SALT_CACHE) >= _SALT_CACHE_CAP:
+                _SALT_CACHE.pop(next(iter(_SALT_CACHE)))
+        _SALT_CACHE[key] = p  # re-insert = LRU touch
         return p
 
     def __call__(self, t: pa.Table) -> pa.Table:

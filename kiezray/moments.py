@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from .arrowutil import int_bincount
+
 
 def _grouped_moment_partials(
     ds: "ray.data.Dataset", key_col: str, val_col: str
@@ -909,12 +911,10 @@ def grouped_weighted_avg(
             np.int64
         )
         uk, inv = np.unique(keys, return_inverse=True)
-        swv = np.bincount(inv, weights=cents * w, minlength=len(uk)).astype(
-            np.int64
-        )
-        sw = np.bincount(inv, weights=w, minlength=len(uk)).astype(
-            np.int64
-        )
+        # int64 scatter-add: float-weighted bincount is exact only below
+        # 2^53 per per-batch per-key sum
+        swv = int_bincount(inv, cents * w, len(uk))
+        sw = int_bincount(inv, w, len(uk))
         return pd.DataFrame({key_col: uk, "swv": swv, "sw": sw})
 
     folded = (

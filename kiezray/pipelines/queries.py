@@ -21,7 +21,7 @@ import ray
 import ray.data
 
 from ..analysis import _measures_from_occurrence, k_occurrence_ds
-from ..arrowutil import emb_to_matrix, round_away
+from ..arrowutil import emb_to_matrix, int_bincount, round_away
 from ..cluster import connected_components
 from ..evaluate import hits_ds
 from ..kiez import Kiez
@@ -3611,13 +3611,18 @@ def q_substring_clean(sf_dir: str):
     """Exact-substring dedup with the spans actually CUT OUT: per doc
     the surviving tokens re-joined with single spaces (fully-covered
     docs become ''). Oracle-checked — the keeper/coverage semantics are
-    set algebra and the re-join is string_agg over kept positions."""
+    set algebra and the re-join is string_agg over kept positions.
+    Runs the JOIN transport (the 100-TB tier: the dup-gram table and
+    the per-doc span table stay distributed; no broadcast) so the
+    driver's oracle pins the distributed removal pass byte-exactly —
+    the broadcast tier is pinned identical by
+    test_dup_span_stats_join_return_text_parity."""
     from ..textops import dup_span_stats
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = dup_span_stats(docs, L=5, return_text=True)
+    out = dup_span_stats(docs, L=5, return_text=True, transport="join")
     return out.map_batches(
         lambda df: df[["doc_id", "dup_tokens", "clean_text"]],
         batch_format="pandas",
@@ -4423,17 +4428,14 @@ def q_market_share(sf_dir: str):
         v = t["rev"].to_numpy(zero_copy_only=False)[keep]
         vt = t["rev_t"].to_numpy(zero_copy_only=False)[keep]
         u, inv = np.unique(yr, return_inverse=True)
-        # bincount weights are float64, but the weights are integers and
-        # every partial stays < 2^53 — each addition is exact, so the
-        # partial is the exact integer sum regardless of order
+        # int64 scatter-add (float-weighted bincount is exact only below
+        # 2^53 per per-batch per-key sum — a silent cliff for cents sums)
         return pa.table(
             {
                 "yr": pa.array(u, pa.int64()),
-                "rev": pa.array(
-                    np.bincount(inv, weights=v).astype(np.int64), pa.int64()
-                ),
+                "rev": pa.array(int_bincount(inv, v, len(u)), pa.int64()),
                 "rev_t": pa.array(
-                    np.bincount(inv, weights=vt).astype(np.int64), pa.int64()
+                    int_bincount(inv, vt, len(u)), pa.int64()
                 ),
             }
         )

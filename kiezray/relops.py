@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .arrowutil import int_bincount
+
 
 def grouped_topk(
     ds: "ray.data.Dataset",
@@ -1803,11 +1805,12 @@ def having_above_global_avg(
             df[val_col].to_numpy(dtype=np.float64) * 100.0
         ).astype(np.int64)
         uk, inv = np.unique(keys, return_inverse=True)
+        # int64 scatter-add: float-weighted bincount is exact only below
+        # 2^53 per per-batch per-key cents sum
         return pd.DataFrame(
             {
                 key_col: uk,
-                "cents": np.bincount(inv, weights=cents, minlength=len(uk))
-                .astype(np.int64),
+                "cents": int_bincount(inv, cents, len(uk)),
             }
         )
 
@@ -2059,9 +2062,7 @@ def rfm_segments(
         mx = np.full(len(uk), np.iinfo(np.int64).min)
         np.maximum.at(mx, inv, us)
         n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
-        s = np.bincount(inv, weights=cents, minlength=len(uk)).astype(
-            np.int64
-        )
+        s = int_bincount(inv, cents, len(uk))  # exact over full int64
         return pd.DataFrame(
             {key_col: uk, "rec_us": mx, "frequency": n, "__cents": s}
         )

@@ -273,7 +273,17 @@ class _CachedSearchStage:
             return f"{type(v).__name__}:[{inner}]"
         if v is None or isinstance(v, (bool, int, float, str, bytes)):
             return repr(v)
-        return f"{type(v).__module__}.{type(v).__qualname__}:{v!r}"
+        # refuse to key by repr(): default object reprs are id-based and
+        # addresses are reused after gc, so two distinct kwarg objects
+        # could collide and serve a stale cached SearchStage. knn_search
+        # catches this in auto mode and falls back to stage_mode="actor"
+        # (no cross-call cache to poison).
+        raise TypeError(
+            "algorithm_kwargs value of type "
+            f"{type(v).__module__}.{type(v).__qualname__} cannot be "
+            "digested content-wise for the task-pool stage cache; use "
+            "stage_mode='actor' or pass scalars/ndarrays/lists"
+        )
 
     def __init__(self, ctor_kwargs: dict):
         self.ctor_kwargs = ctor_kwargs
@@ -369,7 +379,8 @@ def knn_search(
     # per query. Heavy-build indexes (graph / pq / rp-forest) keep the
     # actor pool so the build is paid once per actor, not once per worker
     # process.
-    if stage_mode == "auto":
+    auto_mode = stage_mode == "auto"
+    if auto_mode:
         stage_mode = "task" if algorithm in ("exact", "sklearn") else "actor"
     out = query_ds.select_columns([id_col, emb_col])
     for gi, group in enumerate(groups):
@@ -381,13 +392,22 @@ def knn_search(
             chain_output=not last,
         )
         if stage_mode == "task":
+            try:
+                stage = _CachedSearchStage(ctor)
+            except TypeError:
+                if not auto_mode:
+                    raise  # explicit stage_mode="task": fail loud
+                # un-digestable algorithm_kwargs value: bypass the
+                # cross-call cache rather than risk a repr() collision
+                stage_mode = "actor"
+        if stage_mode == "task":
             cap = (
                 max(concurrency)
                 if isinstance(concurrency, tuple)
                 else concurrency
             )
             out = out.map_batches(
-                _CachedSearchStage(ctor),
+                stage,
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 concurrency=cap,

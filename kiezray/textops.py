@@ -567,12 +567,14 @@ def decontaminate(
 
     Scale shape: the probe list is an eval-suite extract — bounded and
     small by construction — so it is broadcast once (``ray.put``) and
-    read once per actor; the corpus streams through in Arrow batches
-    with one RE2-free substring scan per probe (O(probes) vectorized
-    kernels per batch, no per-row Python). For probe sets beyond a few
-    thousand strings, swap the scan for an Aho-Corasick automaton built
-    in ``__init__`` — the stage shape (broadcast + actor pool) stays
-    identical."""
+    read once per actor; each actor compiles the escaped probes into
+    RE2 alternation patterns chunked at 512 probes per pattern in
+    ``__init__``, and the corpus streams through in Arrow batches with
+    one ``match_substring_regex`` scan per chunk (O(probes/512)
+    vectorized kernels per batch, no per-row Python). For probe sets
+    beyond a few hundred thousand strings, swap the scan for an
+    Aho-Corasick automaton built in ``__init__`` — the stage shape
+    (broadcast + actor pool) stays identical."""
     import ray
 
     ref = ray.put(list(probes))
@@ -856,17 +858,13 @@ _GRAM_C1 = 0x9E3779B97F4A7C15  # odd multipliers for the positional
 _GRAM_C2 = 0xC2B2AE3D27D4EB4F  # polynomial gram combine (mod 2^64)
 
 
-def _gram_hashes(
-    texts: "pd.Series", L: int
-) -> "tuple[np.ndarray, ...]":
+def _tok_flat(texts: "pd.Series") -> "tuple[np.ndarray, ...]":
     """Whitespace-tokenize a batch (trim + \\s+ split, the exact DuckDB
     ``string_split_regex(trim(text),'\\s+')`` semantics) and return
-    ``(lens, offs, starts, G1, G2, flat)``: per-doc token counts,
-    flat-array doc offsets, the flat start index of every L-gram (never
-    crossing a doc boundary), two independent 64-bit gram hashes — each
-    a positional polynomial over an independently-keyed siphash of the
-    tokens, so gram equality is effectively 128-bit exact without ever
-    materializing gram strings — and the flat token array itself."""
+    ``(lens, offs, flat)``: per-doc token counts, flat-array doc offsets
+    and the flat token array — the shared tokenizer of the substring-
+    dedup discovery, marking and removal passes (they must agree
+    byte-for-byte on token boundaries)."""
     tok_lists = texts.fillna("").map(lambda s: _WS.split(s.strip()))
     lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
@@ -876,6 +874,20 @@ def _gram_hashes(
         flat[pos : pos + len(ts)] = ts
         pos += len(ts)
     offs = np.concatenate(([0], np.cumsum(lens)))
+    return lens, offs, flat
+
+
+def _gram_hashes(
+    texts: "pd.Series", L: int
+) -> "tuple[np.ndarray, ...]":
+    """Tokenize via ``_tok_flat`` and return
+    ``(lens, offs, starts, G1, G2, flat)``: per-doc token counts,
+    flat-array doc offsets, the flat start index of every L-gram (never
+    crossing a doc boundary), two independent 64-bit gram hashes — each
+    a positional polynomial over an independently-keyed siphash of the
+    tokens, so gram equality is effectively 128-bit exact without ever
+    materializing gram strings — and the flat token array itself."""
+    lens, offs, flat = _tok_flat(texts)
     h1 = pd.util.hash_array(flat).astype(np.uint64)
     h2 = pd.util.hash_array(flat, hash_key=_GRAM_KEY2).astype(np.uint64)
     big = np.flatnonzero(lens >= L)
@@ -940,7 +952,12 @@ def dup_span_stats(
     (bounded by actual duplication) groupby doc for an interval-union
     fold, and one left join attaches them back to per-doc token counts
     — no worker ever holds the dup table. Identical output
-    (test-pinned); ``return_text`` requires the broadcast tier.
+    (test-pinned). With ``return_text=True`` the join tier folds the
+    hit rows into per-doc merged span lists (tiny, bounded by actual
+    duplication) and LEFT-joins them onto the docs table so each
+    partition cuts its own documents' spans — the corpus text pays ONE
+    hash shuffle, which is inherent to a removal pass that must rewrite
+    every document when no node can hold the dup-gram table.
     """
     import ray
 
@@ -948,8 +965,6 @@ def dup_span_stats(
         raise ValueError(
             f"transport must be 'broadcast' or 'join', got {transport!r}"
         )
-    if transport == "join" and return_text:
-        raise ValueError("return_text=True requires transport='broadcast'")
 
     def discovery(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1028,7 +1043,9 @@ def dup_span_stats(
     )
 
     if transport == "join":
-        return _dup_span_stats_join(docs_ds, dup_ds, L, num_partitions)
+        return _dup_span_stats_join(
+            docs_ds, dup_ds, L, num_partitions, return_text=return_text
+        )
 
     dup_tbl = dup_ds.to_pandas()  # duplicated grams only — small by nature
     if "g1" not in dup_tbl.columns:  # clean corpus: zero dup grams and
@@ -1131,6 +1148,7 @@ def _dup_span_stats_join(
     dup_ds: "ray.data.Dataset",
     L: int,
     num_partitions: int,
+    return_text: bool = False,
 ) -> "ray.data.Dataset":
     """Corpus-scale tier of dup_span_stats: the duplicated-gram table
     stays distributed. Gram occurrences (g-hash, doc, start) shuffle-join
@@ -1139,7 +1157,15 @@ def _dup_span_stats_join(
     fold per doc with an interval union (all L-long, starts sorted ->
     runs break where the gap exceeds L) — the sentinel rows mean every
     doc reaches the fold without an outer join. Join keys are the uint64
-    hashes bit-cast to int64 (Arrow hash-join key dtype)."""
+    hashes bit-cast to int64 (Arrow hash-join key dtype).
+
+    ``return_text=True`` (the Lee-et-al removal pass) folds the hit rows
+    into per-doc merged spans packed as int64 (start, end) pairs in one
+    binary blob, LEFT-joins the span table onto (doc_id, text) — the
+    span side is bounded by actual duplication; the text side pays the
+    ONE corpus hash shuffle a distributed rewrite inherently needs —
+    and each partition re-tokenizes its own docs and cuts the covered
+    spans, byte-identical to the broadcast tier's ``clean_text``."""
     import ray
 
     # a hash join spawns num_partitions aggregator actors; oversubscribing
@@ -1192,11 +1218,11 @@ def _dup_span_stats_join(
     if dup_mat.count() == 0:
         def zeros(batch: pd.DataFrame) -> pd.DataFrame:
             toks = batch["text"].fillna("").map(
-                lambda s: len(_WS.split(s.strip()))
+                lambda s: _WS.split(s.strip())
             )
-            n = toks.to_numpy(dtype=np.int64)
+            n = toks.map(len).to_numpy(dtype=np.int64)
             z = np.zeros(len(batch), dtype=np.int64)
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
                     "n_tokens": n,
@@ -1205,6 +1231,13 @@ def _dup_span_stats_join(
                     "dup_frac": np.zeros(len(batch), dtype=np.float64),
                 }
             )
+            if return_text:
+                # nothing covered: clean_text = tokens re-joined with
+                # single spaces (the broadcast tier's normalization)
+                out["clean_text"] = toks.map(" ".join).to_numpy(
+                    dtype=object
+                )
+            return out
 
         return docs_ds.select_columns(["doc_id", "text"]).map_batches(
             zeros, batch_format="pandas"
@@ -1228,6 +1261,9 @@ def _dup_span_stats_join(
             batch_format="pandas",
         )
     )
+
+    if return_text:
+        return _dup_span_removal_join(docs_ds, hits, L, num_partitions)
 
     def base(batch: pd.DataFrame) -> pd.DataFrame:
         # sentinel i=-1 rows carry the token count; they also guarantee
@@ -1277,6 +1313,136 @@ def _dup_span_stats_join(
         .groupby("doc_id")
         .map_groups(fold_doc, batch_format="pandas")
     )
+
+
+def _dup_span_removal_join(
+    docs_ds: "ray.data.Dataset",
+    hits: "ray.data.Dataset",
+    L: int,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Join-tier removal pass: fold the (doc_id, i) hit rows into per-doc
+    merged covered spans (int64 (start, end-exclusive) pairs packed in
+    one binary blob — bounded by actual duplication), LEFT-join them
+    onto the docs table, and cut the spans partition-locally. The dup
+    table and the span table never reside on one node; the corpus text
+    moves through exactly ONE hash shuffle (inherent: the rewrite must
+    co-locate each doc with its spans). Output is byte-identical to the
+    broadcast tier (same tokenizer, same coverage algebra)."""
+
+    def fold_spans(g: pd.DataFrame) -> pd.DataFrame:
+        # merge all-L-long intervals: unique sorted starts; runs break
+        # where the start gap exceeds L (same algebra as fold_doc)
+        iv = np.unique(g["i"].to_numpy(dtype=np.int64))
+        brk = np.flatnonzero(iv[1:] > iv[:-1] + L)
+        first = np.concatenate(([0], brk + 1))
+        last = np.concatenate((brk, [len(iv) - 1]))
+        pairs = np.stack([iv[first], iv[last] + L], axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64)[:1],
+                "spans": [pairs.astype(np.int64).tobytes()],
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    def cast_spans(t: pa.Table) -> pa.Table:
+        # pin an explicit Arrow schema: the hash join rejects right-side
+        # blocks whose schema is unknown/empty (same hazard as cast_dup)
+        if "doc_id" not in t.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "spans": pa.array([], pa.binary()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "spans": pc.cast(t["spans"], pa.binary()),
+            }
+        )
+
+    spans_tbl = (
+        hits.select_columns(["doc_id", "i"])
+        .groupby("doc_id")
+        .map_groups(fold_spans, batch_format="pandas")
+        .map_batches(cast_spans, batch_format="pyarrow")
+        # materialize (blocks stay in the spillable object store, never
+        # the driver) so the row count is known for the repartition below
+        .materialize()
+    )
+    # Ray 2.49 hash-join hazard: the shuffle broadcasts an input's schema
+    # via the FIRST block's empty shards, but an empty first block
+    # short-circuits before dissemination (hash_shuffle.py:223,548) — an
+    # aggregator partition that then receives no span rows builds a
+    # schema-less table and pa.Table.join raises "No match ... on right
+    # side". The span table is grouped per doc, so blocks CAN be empty;
+    # an even repartition to <= row-count blocks guarantees every block
+    # is non-empty. (test_dup_span_stats_join_return_text_parity pins
+    # the sparse case.)
+    n_span_docs = spans_tbl.count()
+    spans_tbl = spans_tbl.repartition(max(1, min(num_partitions, n_span_docs)))
+    joined = docs_ds.select_columns(["doc_id", "text"]).join(
+        spans_tbl,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        lens, offs, flat = _tok_flat(batch["text"])
+        doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        n_rows = len(batch)
+        total = int(offs[-1])
+        dup_tokens = np.zeros(n_rows, dtype=np.int64)
+        n_spans = np.zeros(n_rows, dtype=np.int64)
+        covered = np.zeros(total, dtype=bool)
+        sp = batch["spans"].to_numpy()
+        # left-join nulls surface as None (or NaN, pandas-version-
+        # dependent) — accept only real byte payloads
+        have = np.flatnonzero(
+            [isinstance(s, (bytes, bytearray)) and len(s) > 0 for s in sp]
+        )
+        if len(have):
+            pair_list = [
+                np.frombuffer(sp[r], dtype=np.int64).reshape(-1, 2)
+                for r in have
+            ]
+            counts = np.array([len(p) for p in pair_list], dtype=np.int64)
+            allp = np.concatenate(pair_list)
+            rows = np.repeat(have, counts)
+            delta = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(delta, allp[:, 0] + offs[rows], 1)
+            np.add.at(delta, allp[:, 1] + offs[rows], -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            dup_tokens = np.add.reduceat(
+                covered.astype(np.int64), offs[:-1]
+            ) * (lens > 0)
+            n_spans[have] = counts
+        out = pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": lens,
+                "dup_tokens": dup_tokens,
+                "n_spans": n_spans,
+                "dup_frac": dup_tokens / np.maximum(lens, 1),
+            }
+        )
+        # identical clean_text construction to the broadcast tier's mark()
+        keep_pos = np.flatnonzero(~covered)
+        keep_row = np.searchsorted(offs, keep_pos, "right") - 1
+        clean = np.full(n_rows, "", dtype=object)
+        if len(keep_pos):
+            joined_txt = (
+                pd.Series(flat[keep_pos]).groupby(keep_row).agg(" ".join)
+            )
+            clean[joined_txt.index.to_numpy()] = joined_txt.to_numpy()
+        out["clean_text"] = clean
+        return out
+
+    return joined.map_batches(finalize, batch_format="pandas")
 
 
 def pmi_bigrams(

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .arrowutil import int_bincount
 from .dedup import _splitmix64
 
 
@@ -1488,9 +1489,7 @@ def activity_heatmap(
             * 100.0
         ).astype(np.int64)
         n = np.bincount(cell, minlength=168).astype(np.int64)
-        s = np.bincount(cell, weights=cents, minlength=168).astype(
-            np.int64
-        )
+        s = int_bincount(cell, cents, 168)  # exact over full int64
         keep = n > 0
         return pd.DataFrame(
             {

@@ -1032,6 +1032,74 @@ def test_dup_span_stats_join_transport_parity():
     assert a.loc[1, "dup_tokens"] == 6  # the planted span is found
 
 
+def test_dup_span_stats_join_return_text_parity():
+    """transport='join' with return_text=True (the distributed Lee-et-al
+    removal pass) is byte-identical to the broadcast tier: same stats,
+    same clean_text — including multi-span docs, a fully-covered doc
+    and a clean corpus."""
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.textops import dup_span_stats
+
+    run_a = "alpha beta gamma delta epsilon"          # 5 tokens (L=5)
+    run_b = "one two three four five six"             # 6 tokens
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{run_a} mid {run_b}",            # keeper of both
+                    f"pre {run_a} gap gap {run_b} post",  # two spans
+                    run_a,                              # fully covered
+                    "entirely novel words appearing nowhere else here",
+                    "",                                 # empty doc
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    a = (
+        dup_span_stats(ds, L=5, return_text=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_span_stats(ds, L=5, return_text=True, transport="join")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns].reset_index(drop=True))
+    by = a.set_index("doc_id")
+    assert by.loc[1, "n_spans"] == 2
+    assert by.loc[1, "clean_text"] == "pre gap gap post"
+    assert by.loc[2, "clean_text"] == ""  # fully covered
+
+    # clean corpus: join tier short-circuit also carries clean_text
+    clean_tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                ["totally unique words here", "other  spaced \t tokens"],
+                pa.string(),
+            ),
+        }
+    )
+    cds = ray.data.from_arrow(clean_tbl).repartition(2)
+    ca = (
+        dup_span_stats(cds, L=5, return_text=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    cb = (
+        dup_span_stats(cds, L=5, return_text=True, transport="join")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert ca.equals(cb[ca.columns].reset_index(drop=True))
+    # whitespace normalization survives the no-dup path
+    assert ca.set_index("doc_id").loc[1, "clean_text"] == (
+        "other spaced tokens"
+    )
+
+
 def test_curation_planted_rules():
     """Each curation rule fires on its planted violator and the keep
     flag is their conjunction; output is partition-invariant."""

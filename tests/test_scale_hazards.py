@@ -352,3 +352,42 @@ def test_new_keyed_ops_big_keys_match_pandas(ray_session):
         dev = np.sort(np.abs(df[df["user_id"] == row["user_id"]]["value"].to_numpy() - med))
         assert row["med"] == med
         assert row["mad"] == dev[(len(dev) + 1) // 2 - 1]
+
+
+def test_substring_removal_join_tier_sparse_spans(ray_session):
+    """VERDICT r4 item 1: the Lee-et-al removal pass must work under
+    transport='join' (no node holds the dup-gram table). Regression
+    shape: only ONE doc in a 60-doc corpus carries a duplicated span,
+    so most hash-join partitions receive ZERO span rows — Ray 2.49's
+    hash shuffle only broadcasts the right-side schema via the first
+    block's empty shards, and an empty first block used to leave those
+    partitions schema-less (pa.Table.join raised). Output must be
+    byte-identical to the broadcast tier."""
+    from kiezray.textops import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [f"filler{i} unique{i} tokens{i} here{i} only{i} pad{i}"
+             for i in range(58)]
+    texts.append(f"{shared} and a keeper tail")      # doc 58: keeper
+    texts.append(f"x y {shared} dup tail")           # doc 59: the one dup
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    a = (
+        dup_span_stats(ds, L=5, return_text=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_span_stats(ds, L=5, return_text=True, transport="join",
+                       num_partitions=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns].reset_index(drop=True))
+    by = a.set_index("doc_id")
+    assert by.loc[59, "dup_tokens"] == 6
+    assert by.loc[59, "clean_text"] == "x y dup tail"
+    assert by.loc[58, "dup_tokens"] == 0  # keeper intact
