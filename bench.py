@@ -33,6 +33,34 @@ def _gflops_probe() -> float:
     return round(2 * 1500**3 / (time.time() - t0) / 1e9, 1)
 
 
+def _mt_gflops_probe(threads: int | None = None) -> float:
+    """Parallel GEMM across a pool of Python threads (BLAS releases the
+    GIL): aggregate GFLOPS under multi-core load. The single-thread
+    probe is blind to co-tenant contention that only shows up when all
+    cores are busy — this probe sees it, so a scaling run can flag (or
+    retry) a window where the probe degrades mid-measurement."""
+    import threading as th
+
+    import numpy as np
+
+    if threads is None:
+        threads = min(8, os.cpu_count() or 8)
+    mats = [
+        np.random.RandomState(i).rand(1200, 1200) for i in range(threads)
+    ]
+
+    def work(m):
+        m @ m
+
+    ts = [th.Thread(target=work, args=(m,)) for m in mats]
+    t0 = time.time()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return round(threads * 2 * 1200**3 / (time.time() - t0) / 1e9, 1)
+
+
 def run_scaling():
     """N->4N scaling evidence (sandbox substitute for two cluster sizes):
     the HEADLINE ER pipeline on the same deterministic corpus, sized so
@@ -59,9 +87,21 @@ def run_scaling():
     lo, hi = 4, 16
     # one run per level under hard OS cpu-affinity caps (set inside
     # bench main); affinity makes the level real, so single runs are
-    # comparable despite co-tenant noise
-    r_hi = run(hi)
-    r_lo = run(lo)
+    # comparable despite co-tenant noise. The multi-core probe brackets
+    # each leg: if it degrades >20% across the window (contention the
+    # single-thread probe cannot see), the whole measurement re-runs
+    # once and, failing that, ships flagged — self-validating either way.
+    max_attempts = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2"))
+    for attempt in range(1, max_attempts + 1):
+        probes = [_mt_gflops_probe()]
+        r_hi = run(hi)
+        probes.append(_mt_gflops_probe())
+        r_lo = run(lo)
+        probes.append(_mt_gflops_probe())
+        drift = round((max(probes) - min(probes)) / max(probes), 3)
+        window_stable = drift <= 0.2
+        if window_stable:
+            break
     eff = (r_hi["er_docs_per_s"] / r_lo["er_docs_per_s"]) / (hi / lo)
     print(
         json.dumps(
@@ -76,6 +116,10 @@ def run_scaling():
                 "er_docs": r_hi["er_docs"],
                 "num_cpus": [lo, hi],
                 "host_gflops": _gflops_probe(),
+                "host_gflops_mt": probes,
+                "mt_probe_drift": drift,
+                "window_stable": window_stable,
+                "attempts": attempt,
             }
         )
     )
@@ -175,6 +219,7 @@ def main():
     er_entities = int(os.environ.get("GRAFT_ER_ENTITIES", "4000"))
 
     host_gflops = _gflops_probe()
+    host_gflops_mt = _mt_gflops_probe()
 
     import ray
 
@@ -229,6 +274,11 @@ def main():
     timed("ann_cosine", lambda: Q.q_ann_cosine(sf_dir))
     timed("text_stats", lambda: Q.q_text_stats(sf_dir))
     timed("dedup_exact", lambda: Q.q_dedup_exact(sf_dir))
+    # substring-dedup family (r4 verdict: regressions here were invisible
+    # to the bench): the discovery+marking pass and the composed
+    # curation funnel
+    timed("dup_spans", lambda: Q.q_dup_spans(sf_dir))
+    timed("curation", lambda: Q.q_curation(sf_dir))
 
     # headline: synthetic interleaved-doc ER at bench scale (deterministic,
     # per input_hint: synthesize at small scale for benchmarks); median of
@@ -267,6 +317,7 @@ def main():
                 "sf": sf_dir,
                 "num_cpus": num_cpus,
                 "host_gflops": host_gflops,
+                "host_gflops_mt": host_gflops_mt,
                 "er_docs": n_docs,
                 "er_clusters": n_clusters,
                 "er_docs_per_s": round(n_docs / er_s, 1),

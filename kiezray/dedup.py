@@ -1143,6 +1143,8 @@ def semantic_dedup(
     iters: int = 8,
     seed: int = 0,
     max_cluster: int = 4096,
+    split_depth: int = 2,
+    split_width: int = 256,
 ) -> "ray.data.Dataset":
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding column, then inside each
@@ -1154,20 +1156,26 @@ def semantic_dedup(
     centroids + per-batch partial sums, kiezray.cluster.kmeans); the
     final centroid matrix is tiny (k×d floats), so the assignment pass
     is ONE map_batches that keeps the embedding column riding along —
-    no join, no second scan of the id space. The prune is then ONE
-    groupby(cluster) shuffle; ``max_cluster`` chunking bounds the
-    O(chunk^2) similarity matrix, but the group itself (ids + vectors,
-    O(cluster_size x dim)) still materializes in the fold worker — the
-    skew bound is n_clusters, not max_cluster, so size k to keep the
-    LARGEST expected cluster within one worker's heap (salt hot
-    clusters upstream if the embedding distribution is degenerate).
-    Cross-chunk duplicates inside one oversized cluster are missed —
-    the same documented recall trade as block salting; raise n_clusters
-    rather than max_cluster.
+    no join, no second scan of the id space. Clusters larger than
+    ``max_cluster`` are then recursively re-k-means'd (up to
+    ``split_depth`` rounds, ``<= split_width`` sub-centroids each; the
+    cluster-size census is a per-batch bincount fold, O(clusters)
+    driver rows) so the prune worker's group is bounded by
+    ``max_cluster`` whenever the cluster is separable — near-identical
+    rows always land in the same sub-cluster because the assignment
+    argmin is deterministic. The prune is ONE groupby(cluster) shuffle.
+    A cluster the splitter cannot break (e.g. one giant clump of
+    near-identical vectors) falls back to a carry-forward greedy prune:
+    each ``max_cluster`` chunk first drops rows near an earlier
+    SURVIVOR, then resolves its own near-dup components — cross-chunk
+    duplicates are caught (the survivor matrix, O(survivors x dim), is
+    the only cross-chunk state; for a degenerate clump that is ~1 row).
 
     Returns (id_col, cluster int64, keep bool) — filter on ``keep`` for
-    the surviving rows. Deterministic under any partitioning: k-means
-    init is hash-priority sampling and the prune sorts each group by
+    the surviving rows; split clusters report their final sub-cluster
+    id (>= n_clusters). Deterministic under any partitioning: k-means
+    init is hash-priority sampling, sub-k-means seeds derive from
+    (seed, depth, cluster id), and the prune sorts each group by
     (dist-to-centroid, id).
     """
     import ray
@@ -1205,6 +1213,120 @@ def semantic_dedup(
 
     joined = ds.map_batches(assign_with_vec, batch_format="pyarrow")
 
+    def cluster_sizes(d: "ray.data.Dataset") -> "pd.Series":
+        # O(live clusters) driver fold of per-batch bincount partials —
+        # the vectors never move for the census
+        def partial(t: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                t["cluster"].to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "cluster": pa.array(u, pa.int64()),
+                    "n": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        parts = (
+            d.select_columns(["cluster"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return parts.groupby("cluster")["n"].sum()
+
+    # hot-cluster recursion: re-k-means any cluster over max_cluster so
+    # no prune group outgrows one worker's heap (unless inseparable)
+    next_id = n_clusters
+    for depth in range(split_depth):
+        joined = joined.materialize()
+        sizes = cluster_sizes(joined)
+        hot = sorted(int(c) for c, n in sizes.items() if n > max_cluster)
+        if not hot:
+            break
+        sub_cents: dict[int, tuple[int, np.ndarray]] = {}
+        for c in hot:
+            n_c = int(sizes[c])
+            k_sub = min(split_width, max(2, -(-n_c // max_cluster) * 2))
+            sub_ds = joined.map_batches(
+                lambda t, c=c: t.filter(pc.equal(t["cluster"], c)),
+                batch_format="pyarrow",
+            )
+            _, cents_c = kmeans(
+                sub_ds,
+                id_col=id_col,
+                vec_col=emb_col,
+                k=k_sub,
+                iters=max(2, iters // 2),
+                seed=seed + 1_000_003 * (depth + 1) + 7_919 * c,
+            )
+            sub_cents[c] = (next_id, cents_c)
+            next_id += len(cents_c)
+        sref = ray.put(sub_cents)
+
+        def reassign(t: pa.Table) -> pa.Table:
+            sub = ray.get(sref)
+            cl = t["cluster"].to_numpy(zero_copy_only=False).copy()
+            dist = t["dist"].to_numpy(zero_copy_only=False).copy()
+            x = None
+            for c, (base, cents) in sub.items():
+                rows = np.flatnonzero(cl == c)
+                if len(rows) == 0:
+                    continue
+                if x is None:
+                    x = emb_to_matrix(t[emb_col]).astype(np.float64)
+                xc = x[rows]
+                d2 = (
+                    (xc * xc).sum(axis=1, keepdims=True)
+                    - 2.0 * (xc @ cents.T)
+                    + (cents * cents).sum(axis=1)
+                )
+                a = np.argmin(d2, axis=1)
+                cl[rows] = base + a
+                dist[rows] = np.sqrt(
+                    np.maximum(d2[np.arange(len(rows)), a], 0.0)
+                )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "cluster": pa.array(cl, pa.int64()),
+                    "dist": pa.array(dist, pa.float64()),
+                    emb_col: t[emb_col],
+                }
+            )
+
+        joined = joined.map_batches(reassign, batch_format="pyarrow")
+
+    def components_keep(m: np.ndarray, sub_ids: np.ndarray) -> np.ndarray:
+        # min-id-per-component over the near-dup graph of one chunk:
+        # vectorized min-label propagation with pointer doubling (no
+        # per-edge Python)
+        sim = m @ m.T
+        np.fill_diagonal(sim, -np.inf)
+        adj = sim >= threshold
+        n_sub = len(sub_ids)
+        labels = np.arange(n_sub)
+        for _ in range(64):
+            nb = np.where(adj, labels[None, :], n_sub).min(axis=1)
+            nl = np.minimum(labels, nb)
+            nl = np.minimum(nl, nl[nl])
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        while True:  # settle to roots
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        # keep the min-id member of each component: sort by (root, id);
+        # the first row of each root run wins
+        o2 = np.lexsort((sub_ids, labels))
+        r_sorted = labels[o2]
+        first = np.concatenate(([True], r_sorted[1:] != r_sorted[:-1]))
+        k_local = np.zeros(n_sub, dtype=bool)
+        k_local[o2[first]] = True
+        return k_local
+
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         dist = g["dist"].to_numpy()
@@ -1214,38 +1336,32 @@ def semantic_dedup(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat /= norms
-        keep = np.ones(len(ids), dtype=bool)
-        for s in range(0, len(ids), max_cluster):
-            sub = slice(s, min(s + max_cluster, len(ids)))
-            m = mat[sub]
-            sub_ids = ids[sub]
-            sim = m @ m.T
-            np.fill_diagonal(sim, -np.inf)
-            adj = sim >= threshold
-            # vectorized min-label propagation with pointer doubling over
-            # the chunk's near-dup graph (no per-edge Python)
-            n_sub = len(sub_ids)
-            labels = np.arange(n_sub)
-            for _ in range(64):
-                nb = np.where(adj, labels[None, :], n_sub).min(axis=1)
-                nl = np.minimum(labels, nb)
-                nl = np.minimum(nl, nl[nl])
-                if np.array_equal(nl, labels):
-                    break
-                labels = nl
-            while True:  # settle to roots
-                nxt = labels[labels]
-                if np.array_equal(nxt, labels):
-                    break
-                labels = nxt
-            # keep the min-id member of each component: sort by (root,
-            # id); the first row of each root run wins
-            o2 = np.lexsort((sub_ids, labels))
-            r_sorted = labels[o2]
-            first = np.concatenate(([True], r_sorted[1:] != r_sorted[:-1]))
-            k_local = np.zeros(n_sub, dtype=bool)
-            k_local[o2[first]] = True
-            keep[sub] = k_local
+        n = len(ids)
+        if n <= max_cluster:
+            keep = components_keep(mat, ids)
+        else:
+            # the splitter could not break this cluster (inseparable
+            # clump): carry-forward greedy — a chunk row near ANY
+            # earlier survivor is dropped first, so cross-chunk
+            # duplicates are never missed; then the remainder resolves
+            # its own components. Memory: O(max_cluster^2 + survivors x
+            # dim) — survivors of a degenerate clump are ~1 row.
+            keep = np.zeros(n, dtype=bool)
+            kept_mat = np.empty((0, mat.shape[1]))
+            for s in range(0, n, max_cluster):
+                e = min(s + max_cluster, n)
+                m = mat[s:e]
+                if len(kept_mat):
+                    dup_prev = (m @ kept_mat.T >= threshold).any(axis=1)
+                else:
+                    dup_prev = np.zeros(e - s, dtype=bool)
+                rem = np.flatnonzero(~dup_prev)
+                k_chunk = np.zeros(e - s, dtype=bool)
+                if len(rem):
+                    k_chunk[rem] = components_keep(m[rem], ids[s:e][rem])
+                keep[s:e] = k_chunk
+                if k_chunk.any():
+                    kept_mat = np.concatenate([kept_mat, m[k_chunk]])
         return pd.DataFrame(
             {
                 id_col: ids,

@@ -49,6 +49,13 @@ class CurationConfig:
     probe_mod: int = 37  # every probe_mod-th doc is "the eval suite"
     probe_min_chars: int = 60
     num_partitions: int = 32
+    # lineage: with a checkpoint_dir every stage is written as
+    # partitioned parquet + manifest (kiezray.lineage.run_stage) and a
+    # re-run resumes from the last completed stage; fingerprints are
+    # INPUT-ADDRESSED (corpus content hash mixed in), so an edited
+    # corpus can never reuse a stale checkpoint
+    checkpoint_dir: str | None = None
+    resume: bool = True
 
 
 def run_curation(
@@ -97,28 +104,31 @@ def run_curation(
             {"p": pc.utf8_slice_codeunits(sel["text"], start=20, stop=50)}
         )
 
-    # the probe list is an eval-suite extract — tiny by construction;
-    # collecting it is the broadcast, not a driver-side corpus pass
-    probes = [
-        r["p"]
-        for r in docs.map_batches(
-            extract_probes, batch_format="pyarrow"
-        ).take_all()
-    ]
+    def build_stream() -> "ray.data.Dataset":
+        # the probe list is an eval-suite extract — tiny by construction;
+        # collecting it is the broadcast, not a driver-side corpus pass.
+        # (Deferred into this builder so a lineage-resumed run that skips
+        # the flags stage never pays the probe scan.)
+        import ray
 
-    # ONE scan: the pass-through kernels chain per batch, text rides to
-    # the last stage and is dropped before the shuffle
-    import ray
+        probes = [
+            r["p"]
+            for r in docs.map_batches(
+                extract_probes, batch_format="pyarrow"
+            ).take_all()
+        ]
 
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 8))
-        if ray.is_initialized()
-        else 8
-    )
-    stream = language_id(docs, pass_through=True)
-    stream = quality_score(stream, pass_through=True)
-    stream = repetition_stats(stream, pass_through=True)
-    stream = decontaminate(stream, probes, concurrency=(1, max(4, cpus)))
+        # ONE scan: the pass-through kernels chain per batch, text rides
+        # to the last stage and is dropped before the shuffle
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        stream = language_id(docs, pass_through=True)
+        stream = quality_score(stream, pass_through=True)
+        stream = repetition_stats(stream, pass_through=True)
+        return decontaminate(stream, probes, concurrency=(1, max(4, cpus)))
 
     def flags_and_keys(df: pd.DataFrame) -> pd.DataFrame:
         # same 2x-keyed-siphash content identity as dedup.dedup_exact:
@@ -189,8 +199,46 @@ def run_curation(
             }
         )
 
-    return (
-        stream.map_batches(flags_and_keys, batch_format="pandas")
-        .groupby("__part")
-        .map_groups(final_fold, batch_format="pandas")
+    if cfg.checkpoint_dir is None:
+        # no lineage requested: keep the pipeline fully lazy/streaming
+        return (
+            build_stream()
+            .map_batches(flags_and_keys, batch_format="pandas")
+            .groupby("__part")
+            .map_groups(final_fold, batch_format="pandas")
+        )
+
+    # lineage tier: the expensive fused scan ("flags" — lang + quality +
+    # repetition + decontamination + content hashes, text already
+    # dropped) and the verdict fold each checkpoint as partitioned
+    # parquet with an input-addressed fingerprint; a crashed run resumes
+    # at the last completed stage (mirrors pipelines/er.py)
+    from dataclasses import asdict
+
+    from ..lineage import fingerprint, run_stage
+    from .er import _docs_fingerprint
+
+    cfg_sem = {
+        k: v
+        for k, v in asdict(cfg).items()
+        if k not in ("checkpoint_dir", "resume")
+    }
+    stage_fp = fingerprint(cfg_sem, _docs_fingerprint(docs))
+    flags_ds = run_stage(
+        "curation_flags",
+        fingerprint(stage_fp, "flags"),
+        lambda: build_stream().map_batches(
+            flags_and_keys, batch_format="pandas"
+        ),
+        cfg.checkpoint_dir,
+        cfg.resume,
+    )
+    return run_stage(
+        "curation_verdict",
+        fingerprint(stage_fp, "verdict"),
+        lambda: flags_ds.groupby("__part").map_groups(
+            final_fold, batch_format="pandas"
+        ),
+        cfg.checkpoint_dir,
+        cfg.resume,
     )

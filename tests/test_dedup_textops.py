@@ -913,6 +913,98 @@ def test_semantic_dedup_chunked_oversized_cluster():
     assert caught == 10
 
 
+def test_semantic_dedup_degenerate_cluster_cross_chunk():
+    """VERDICT r4 item 2: duplicates that straddle max_cluster chunks of
+    ONE inseparable (all-identical) cluster must still be caught — the
+    old chunked prune kept one representative PER CHUNK. 200 identical
+    vectors with max_cluster=32 must yield exactly ONE keeper (the min
+    id), deterministically under different partitionings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import semantic_dedup
+
+    rng = np.random.RandomState(17)
+    v = rng.randn(8)
+    v /= np.linalg.norm(v)
+    clump = np.tile(v, (200, 1))            # one inseparable clump
+    tail = rng.randn(20, 8)
+    tail /= np.linalg.norm(tail, axis=1, keepdims=True)
+    mat = np.vstack([clump, tail])
+    tbl = pa.table(
+        {
+            "row_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype(np.float32).ravel(), pa.float32()), 8
+            ),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return semantic_dedup(
+            ds, id_col="row_id", emb_col="embedding", n_clusters=2,
+            threshold=0.98, iters=3, seed=0, max_cluster=32,
+        ).to_pandas().sort_values("row_id").reset_index(drop=True)
+
+    out = run(3)
+    keep = out.set_index("row_id")["keep"]
+    # exactly one survivor of the 200-clump, and it is the minimum id
+    assert bool(keep[0])
+    assert keep[np.arange(1, 200)].sum() == 0
+    # independent gaussians never reach 0.98 cosine: tail all survives
+    assert keep[np.arange(200, 220)].all()
+    out2 = run(7)
+    assert out.equals(out2)
+
+
+def test_semantic_dedup_hot_cluster_splits_to_bounded_groups():
+    """A SEPARABLE hot cluster (two far-apart blobs forced into one
+    k-means cluster by n_clusters=1) is recursively re-k-means'd: the
+    final cluster ids show the split (ids >= n_clusters), every planted
+    near-identical pair still loses exactly its higher id, and clean
+    rows survive."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import semantic_dedup
+
+    rng = np.random.RandomState(23)
+    blob_a = rng.randn(30, 8) * 1.0 + np.array([10.0] + [0.0] * 7)
+    blob_b = rng.randn(30, 8) * 1.0 - np.array([10.0] + [0.0] * 7)
+    base = np.vstack([blob_a, blob_b])
+    dups = base[:10] * (1.0 + 1e-6)  # scaled copies: cosine == 1
+    mat = np.vstack([base, dups])
+    # distinct blob members stay far below the threshold
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = norm[:60] @ norm[:60].T
+    np.fill_diagonal(sim, 0.0)
+    assert sim.max() < 0.9999
+    tbl = pa.table(
+        {
+            "row_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype(np.float64).ravel(), pa.float64()), 8
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = semantic_dedup(
+        ds, id_col="row_id", emb_col="embedding", n_clusters=1,
+        threshold=0.9999, iters=3, seed=1, max_cluster=48,
+    ).to_pandas().sort_values("row_id").reset_index(drop=True)
+    keep = out.set_index("row_id")["keep"]
+    for i in range(10):
+        assert bool(keep[i]) and not bool(keep[60 + i]), i
+    assert keep[np.arange(10, 60)].all()
+    # the hot cluster actually split: sub-cluster ids >= n_clusters and
+    # every final group is within max_cluster
+    assert (out["cluster"] >= 1).all()
+    assert out.groupby("cluster").size().max() <= 48
+
+
 def test_dup_span_stats_planted_and_partition_invariant():
     """Exact-substring removal pass: a shared 6-token run planted in two
     docs covers exactly those positions in the HIGHER doc_id (keeper =
@@ -1145,6 +1237,70 @@ def test_curation_planted_rules():
     assert (out["contaminated"] == 0).all()
     out2 = run(4).set_index("doc_id")
     assert out.equals(out2)
+
+
+def test_curation_checkpoint_resume(tmp_path):
+    """VERDICT r4 item 4: run_curation stages write through
+    lineage.run_stage — the second run reuses the completed fused-scan
+    checkpoint byte-for-byte, a deleted verdict stage recomputes from
+    the flags checkpoint, and a changed corpus invalidates everything
+    (input-addressed fingerprints)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.lineage import read_manifests
+    from kiezray.pipelines.curation import CurationConfig, run_curation
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs far away "
+        "of the hill is bright today with many different shining words"
+    )
+    docs = [
+        (0, good + " unique tail one"),
+        (2, "der hund und die katze und das haus ist gross und schoen da"),
+        (4, good + " unique tail one"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    ck = str(tmp_path / "ckpt")
+    cfg = CurationConfig(probe_min_chars=10**6, checkpoint_dir=ck)
+    out1 = (
+        run_curation(ds, cfg)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    flags_manifest = os.path.join(ck, "stage=curation_flags", "_lineage.json")
+    mtime1 = os.path.getmtime(flags_manifest)
+
+    # crash after the scan: blow away the verdict, rerun — the fused
+    # scan checkpoint is reused untouched
+    shutil.rmtree(os.path.join(ck, "stage=curation_verdict"))
+    out2 = (
+        run_curation(ds, cfg)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert os.path.getmtime(flags_manifest) == mtime1  # stage skipped
+    assert out1.equals(out2)
+    mans = read_manifests(ck)
+    assert set(mans) == {"curation_flags", "curation_verdict"}
+    assert all(
+        sum(p["rows"] for p in m["partitions"]) == m["row_count"]
+        for m in mans.values()
+    )
+
+    # corpus edit ⇒ input-addressed fingerprint changes ⇒ full recompute
+    tbl2 = tbl.set_column(
+        1, "text", pa.array([t + " edited" for _, t in docs], pa.string())
+    )
+    run_curation(ray.data.from_arrow(tbl2).repartition(2), cfg)
+    assert os.path.getmtime(flags_manifest) != mtime1
 
 
 def test_dup_span_stats_clean_corpus_both_transports():
