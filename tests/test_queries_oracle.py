@@ -195,6 +195,26 @@ def test_contract_shape():
     assert len(os_) >= 38
 
 
+def test_driver_window_composition():
+    """The driver oracle-checks the FIRST 50 queries() entries. Pin the
+    window's composition so a registry edit can't silently shrink the
+    oracle-checked count (r4 found an off-by-one here): >= 46 of the 50
+    carry oracle SQL, and the rows-only residue is exactly the
+    documented by-design set."""
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    window = list(qs)[:50]
+    assert len(window) == 50
+    no_oracle = [n for n in window if n not in os_]
+    assert set(no_oracle) == {
+        "ann_graph",       # approximate by construction (recall-tested)
+        "media_features",  # hash-defined media codecs, no SQL form
+        "semdedup",        # iterative k-means, no SQL form
+        "er_pipeline",     # LSH blocking + hubness scoring, no SQL form
+    }, no_oracle
+    assert len(window) - len(no_oracle) >= 46
+
+
 def test_mp_normal_internal_consistency():
     """Rows-only query sanity: MP-normal distances live in [0, 1] and each
     source keeps exactly TOPK rows with ascending rank distances."""
