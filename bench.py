@@ -91,7 +91,7 @@ def run_scaling():
     # each leg: if it degrades >20% across the window (contention the
     # single-thread probe cannot see), the whole measurement re-runs
     # once and, failing that, ships flagged — self-validating either way.
-    max_attempts = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2"))
+    max_attempts = max(1, int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2")))
     for attempt in range(1, max_attempts + 1):
         probes = [_mt_gflops_probe()]
         r_hi = run(hi)

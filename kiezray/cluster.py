@@ -207,6 +207,24 @@ def connected_components_local(edges: list[tuple], nodes=None) -> dict:
     return {x: find(x) for x in parent}
 
 
+def sq_assign(x: np.ndarray, c: np.ndarray):
+    """Squared-distance argmin assignment — THE one copy of the
+    numerically-sensitive kernel shared by the kmeans trainer, its final
+    assignment pass, and semantic_dedup's assign/sub-split reassign
+    (dedup.py), so tie-breaking and clamping can never desynchronize
+    sub-cluster membership from training.
+
+    ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties -> lowest index;
+    distances clamped at zero against float cancellation."""
+    d2 = (
+        (x * x).sum(axis=1, keepdims=True)
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(axis=1)
+    )
+    a = np.argmin(d2, axis=1)
+    return a, np.maximum(d2[np.arange(len(x)), a], 0.0)
+
+
 def kmeans(
     ds: "ray.data.Dataset",
     id_col: str,
@@ -244,16 +262,6 @@ def kmeans(
     order = np.argsort(init[id_col].to_numpy(), kind="stable")
     cent = np.stack(init[vec_col].to_numpy()[order]).astype(np.float64)
     k_eff, d = cent.shape
-
-    def sq_assign(x: np.ndarray, c: np.ndarray):
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties -> lowest index
-        d2 = (
-            (x * x).sum(axis=1, keepdims=True)
-            - 2.0 * (x @ c.T)
-            + (c * c).sum(axis=1)
-        )
-        a = np.argmin(d2, axis=1)
-        return a, np.maximum(d2[np.arange(len(x)), a], 0.0)
 
     for _ in range(iters):
         cref = ray.put(cent)

@@ -1165,23 +1165,29 @@ def semantic_dedup(
     rows always land in the same sub-cluster because the assignment
     argmin is deterministic. The prune is ONE groupby(cluster) shuffle.
     A cluster the splitter cannot break (e.g. one giant clump of
-    near-identical vectors) falls back to a carry-forward greedy prune:
-    each ``max_cluster`` chunk first drops rows near an earlier
-    SURVIVOR, then resolves its own near-dup components — cross-chunk
-    duplicates are caught (the survivor matrix, O(survivors x dim), is
-    the only cross-chunk state; for a degenerate clump that is ~1 row).
+    near-identical vectors) falls back to a carry-forward greedy prune
+    over id-ascending ``max_cluster`` chunks: each chunk first drops
+    rows near an earlier SURVIVOR, then resolves its own near-dup
+    components — cross-chunk duplicates are never missed, and for a
+    clump (all rows mutually similar) the survivor is exactly the
+    min id, matching the in-cluster rule. The one approximation: a
+    chain component spanning chunks (A~C, B~C, A!~B, C dropped) can
+    keep more than one representative — conservative, never zero.
+    Cross-chunk state is bounded: similarity products run one
+    kept-chunk slice (<= max_cluster x max_cluster floats) at a time,
+    plus O(survivors x dim) kept rows.
 
     Returns (id_col, cluster int64, keep bool) — filter on ``keep`` for
     the surviving rows; split clusters report their final sub-cluster
     id (>= n_clusters). Deterministic under any partitioning: k-means
     init is hash-priority sampling, sub-k-means seeds derive from
-    (seed, depth, cluster id), and the prune sorts each group by
-    (dist-to-centroid, id).
+    (seed, depth, cluster id), and the prune orders each group by
+    (dist-to-centroid, id) — plain id for oversized fallback groups.
     """
     import ray
 
     from .arrowutil import emb_to_matrix
-    from .cluster import kmeans
+    from .cluster import kmeans, sq_assign
 
     _, cent = kmeans(
         ds, id_col=id_col, vec_col=emb_col, k=n_clusters, iters=iters,
@@ -1190,18 +1196,12 @@ def semantic_dedup(
     cref = ray.put(cent)
 
     def assign_with_vec(t: pa.Table) -> pa.Table:
-        # same ||x-c||² assignment (argmin ties -> lowest index) as the
-        # kmeans trainer, but the vectors stay in the row so they ride
-        # the single cluster shuffle instead of needing a join
+        # cluster.sq_assign — the SAME kernel as the kmeans trainer, so
+        # assignment can never desynchronize from training — but the
+        # vectors stay in the row so they ride the single cluster
+        # shuffle instead of needing a join
         x = emb_to_matrix(t[emb_col]).astype(np.float64)
-        c = ray.get(cref)
-        d2 = (
-            (x * x).sum(axis=1, keepdims=True)
-            - 2.0 * (x @ c.T)
-            + (c * c).sum(axis=1)
-        )
-        a = np.argmin(d2, axis=1)
-        best = np.maximum(d2[np.arange(len(x)), a], 0.0)
+        a, best = sq_assign(x, ray.get(cref))
         return pa.table(
             {
                 id_col: pc.cast(t[id_col], pa.int64()),
@@ -1239,19 +1239,27 @@ def semantic_dedup(
     # no prune group outgrows one worker's heap (unless inseparable)
     next_id = n_clusters
     for depth in range(split_depth):
-        joined = joined.materialize()
+        # census FIRST, on the lazy stream: it selects only the cluster
+        # column, so the common no-hot-cluster case never writes the
+        # corpus (+ embeddings) into the object store — the stream flows
+        # straight into the ONE groupby shuffle below. Splitting pays
+        # one extra assignment pass for that.
         sizes = cluster_sizes(joined)
         hot = sorted(int(c) for c, n in sizes.items() if n > max_cluster)
         if not hot:
             break
+        joined = joined.materialize()
         sub_cents: dict[int, tuple[int, np.ndarray]] = {}
         for c in hot:
             n_c = int(sizes[c])
             k_sub = min(split_width, max(2, -(-n_c // max_cluster) * 2))
+            # materialize the filtered slice ONCE: the sub-kmeans then
+            # iterates over only this cluster's rows (n_c of them)
+            # instead of filter-scanning the full corpus per iteration
             sub_ds = joined.map_batches(
                 lambda t, c=c: t.filter(pc.equal(t["cluster"], c)),
                 batch_format="pyarrow",
-            )
+            ).materialize()
             _, cents_c = kmeans(
                 sub_ds,
                 id_col=id_col,
@@ -1276,16 +1284,9 @@ def semantic_dedup(
                 if x is None:
                     x = emb_to_matrix(t[emb_col]).astype(np.float64)
                 xc = x[rows]
-                d2 = (
-                    (xc * xc).sum(axis=1, keepdims=True)
-                    - 2.0 * (xc @ cents.T)
-                    + (cents * cents).sum(axis=1)
-                )
-                a = np.argmin(d2, axis=1)
+                a, best = sq_assign(xc, cents)
                 cl[rows] = base + a
-                dist[rows] = np.sqrt(
-                    np.maximum(d2[np.arange(len(rows)), a], 0.0)
-                )
+                dist[rows] = np.sqrt(best)
             return pa.table(
                 {
                     id_col: t[id_col],
@@ -1330,13 +1331,22 @@ def semantic_dedup(
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         dist = g["dist"].to_numpy()
-        order = np.lexsort((ids, dist))  # centroid-nearest first, id ties
+        n = len(ids)
+        if n <= max_cluster:
+            # row order is cosmetic here (the keeper is the min id of
+            # each component regardless); centroid-nearest first, id ties
+            order = np.lexsort((ids, dist))
+        else:
+            # greedy fallback: id-ascending so the first chunk holds the
+            # globally smallest ids — for a clump (all mutually similar)
+            # the survivor is then exactly the min id, matching the
+            # <=max_cluster contract
+            order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(g[emb_col].to_numpy()[order]).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat /= norms
-        n = len(ids)
         if n <= max_cluster:
             keep = components_keep(mat, ids)
         else:
@@ -1344,24 +1354,31 @@ def semantic_dedup(
             # clump): carry-forward greedy — a chunk row near ANY
             # earlier survivor is dropped first, so cross-chunk
             # duplicates are never missed; then the remainder resolves
-            # its own components. Memory: O(max_cluster^2 + survivors x
-            # dim) — survivors of a degenerate clump are ~1 row.
+            # its own components. Chain components spanning chunks can
+            # keep >1 representative (conservative; documented in the
+            # docstring). Peak memory: one max_cluster x max_cluster
+            # product slice at a time plus O(survivors x dim) kept
+            # chunks — survivors of a degenerate clump are ~1 row.
             keep = np.zeros(n, dtype=bool)
-            kept_mat = np.empty((0, mat.shape[1]))
+            kept_chunks: list[np.ndarray] = []
             for s in range(0, n, max_cluster):
                 e = min(s + max_cluster, n)
                 m = mat[s:e]
-                if len(kept_mat):
-                    dup_prev = (m @ kept_mat.T >= threshold).any(axis=1)
-                else:
-                    dup_prev = np.zeros(e - s, dtype=bool)
+                dup_prev = np.zeros(e - s, dtype=bool)
+                for kc in kept_chunks:
+                    alive = np.flatnonzero(~dup_prev)
+                    if not len(alive):
+                        break
+                    dup_prev[alive] = (m[alive] @ kc.T >= threshold).any(
+                        axis=1
+                    )
                 rem = np.flatnonzero(~dup_prev)
                 k_chunk = np.zeros(e - s, dtype=bool)
                 if len(rem):
                     k_chunk[rem] = components_keep(m[rem], ids[s:e][rem])
                 keep[s:e] = k_chunk
                 if k_chunk.any():
-                    kept_mat = np.concatenate([kept_mat, m[k_chunk]])
+                    kept_chunks.append(m[k_chunk])
         return pd.DataFrame(
             {
                 id_col: ids,

@@ -271,6 +271,11 @@ class _CachedSearchStage:
         if isinstance(v, (list, tuple)):
             inner = ",".join(_CachedSearchStage._kwarg_token(x) for x in v)
             return f"{type(v).__name__}:[{inner}]"
+        if isinstance(v, np.generic):
+            # numpy scalars (np.int64 / np.uint64 / np.bool_) are not
+            # subclasses of the Python builtins but are content-stable;
+            # digest by dtype + value so they never hit the refusal below
+            return f"np:{v.dtype}:{v.item()!r}"
         if v is None or isinstance(v, (bool, int, float, str, bytes)):
             return repr(v)
         # refuse to key by repr(): default object reprs are id-based and

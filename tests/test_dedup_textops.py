@@ -959,6 +959,57 @@ def test_semantic_dedup_degenerate_cluster_cross_chunk():
     assert out.equals(out2)
 
 
+def test_semantic_dedup_fallback_keeps_min_id_not_centroid_nearest():
+    """Code-review r5: the oversized-cluster greedy fallback must keep
+    the MINIMUM id of an inseparable clump — not the min id of the
+    centroid-nearest chunk. 200 NEAR-identical (not byte-identical)
+    vectors where id 0 carries the largest perturbation (farthest from
+    the centroid): under (dist, id) chunk ordering id 0 landed in a late
+    chunk and was dropped as near an earlier survivor; id-ascending
+    ordering keeps exactly id 0. split_depth=0 forces the fallback."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kiezray.dedup import semantic_dedup
+
+    rng = np.random.RandomState(29)
+    v = rng.randn(8)
+    v /= np.linalg.norm(v)
+    noise = rng.randn(200, 8) * 1e-5
+    noise[0] = rng.randn(8) * 1e-3  # id 0: farthest from the centroid
+    clump = v + noise
+    norm = clump / np.linalg.norm(clump, axis=1, keepdims=True)
+    sim = norm @ norm.T
+    assert sim.min() > 0.98  # one mutually-similar component
+    tail = rng.randn(20, 8)
+    tail /= np.linalg.norm(tail, axis=1, keepdims=True)
+    mat = np.vstack([clump, tail])
+    tbl = pa.table(
+        {
+            "row_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype(np.float64).ravel(), pa.float64()), 8
+            ),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return semantic_dedup(
+            ds, id_col="row_id", emb_col="embedding", n_clusters=2,
+            threshold=0.98, iters=3, seed=0, max_cluster=32,
+            split_depth=0,
+        ).to_pandas().sort_values("row_id").reset_index(drop=True)
+
+    out = run(3)
+    keep = out.set_index("row_id")["keep"]
+    assert bool(keep[0])                       # min id survives
+    assert keep[np.arange(1, 200)].sum() == 0  # everyone else dropped
+    assert keep[np.arange(200, 220)].all()     # clean tail untouched
+    assert out.equals(run(7))
+
+
 def test_semantic_dedup_hot_cluster_splits_to_bounded_groups():
     """A SEPARABLE hot cluster (two far-apart blobs forced into one
     k-means cluster by n_clusters=1) is recursively re-k-means'd: the

@@ -99,3 +99,31 @@ def test_kiez_routed_matches_broadcast(ray_session, source_target):
     db, ib = b.kneighbors(5)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(da, db, rtol=0, atol=0)
+
+
+def test_kwarg_token_numpy_scalars_and_refusal():
+    """Code-review r5: numpy scalar kwargs (np.int64 etc. — common when a
+    kwarg comes from a numpy computation or a parquet read) must digest
+    content-wise for the task-pool stage cache, not raise; arbitrary
+    objects still refuse (repr() collisions could serve a stale stage)."""
+    import pytest
+
+    from kiezray.search import _CachedSearchStage
+
+    tok = _CachedSearchStage._kwarg_token
+    # content-stable and distinct across values / dtypes
+    assert tok(np.int64(32)) == tok(np.int64(32))
+    assert tok(np.int64(32)) != tok(np.int64(33))
+    assert tok(np.int64(1)) != tok(np.uint64(1))
+    assert tok(np.bool_(True)) == tok(np.bool_(True))
+    assert tok(np.float32(0.5)) != tok(np.float64(0.5))
+    # nested inside containers too
+    assert tok([np.int64(1), np.int64(2)]) == tok([np.int64(1), np.int64(2)])
+    # plain builtins keep working
+    assert tok(5) == tok(5) and tok("a") != tok("b")
+    # opaque objects are refused loudly, never keyed by repr()
+    class Opaque:
+        pass
+
+    with pytest.raises(TypeError):
+        tok(Opaque())
