@@ -99,10 +99,15 @@ def run_scaling():
         r_lo = run(lo)
         probes.append(_mt_gflops_probe())
         drift = round((max(probes) - min(probes)) / max(probes), 3)
-        window_stable = drift <= 0.2
+        eff = (r_hi["er_docs_per_s"] / r_lo["er_docs_per_s"]) / (hi / lo)
+        # super-linear efficiency is physically impossible for this fixed
+        # workload on fixed hardware: it means co-tenant load crushed the
+        # low-parallelism leg in a gap the probes didn't bracket. Such a
+        # run is INVALID (not merely unfavorable) — retry it the same as
+        # a drifting window. The 1.05 margin covers measurement noise.
+        window_stable = drift <= 0.2 and eff <= 1.05
         if window_stable:
             break
-    eff = (r_hi["er_docs_per_s"] / r_lo["er_docs_per_s"]) / (hi / lo)
     print(
         json.dumps(
             {
