@@ -9,12 +9,11 @@ FineWeb Datasets"; Wenzek et al. 2020, CCNet).
 
 Scale shape — ONE corpus scan + ONE narrow shuffle: the per-doc rules
 (lang / quality / repetition / decontamination) chain as pass-through
-map_batches stages over a single pruned (doc_id, text) read. The task
-stages fuse into one task per block; the decontamination stage is an
-actor pool (probes + compiled alternations live once per actor), so the
-text crosses one task->actor boundary — its pool is sized to the
-cluster's CPUs so it never caps the scan. The scan's last stage drops
-the text,
+map_batches stages over a single pruned (doc_id, text) read. All four
+are task stages (decontamination broadcasts the probe list and keeps
+the compiled alternations in a per-worker LRU — textops._PROBE_CACHE),
+so they fuse into ONE task per block with no actor boundary and no
+pool spin-up per execution. The scan's last stage drops the text,
 leaving ~50 B/row flag+hash rows, and the only exchange is the exact
 -dedup content-hash partition, inside which the keeper (min doc_id per
 identical text) and the final conjunction resolve with one lexsort — no
@@ -109,8 +108,6 @@ def run_curation(
         # collecting it is the broadcast, not a driver-side corpus pass.
         # (Deferred into this builder so a lineage-resumed run that skips
         # the flags stage never pays the probe scan.)
-        import ray
-
         probes = [
             r["p"]
             for r in docs.map_batches(
@@ -119,16 +116,15 @@ def run_curation(
         ]
 
         # ONE scan: the pass-through kernels chain per batch, text rides
-        # to the last stage and is dropped before the shuffle
-        cpus = (
-            int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized()
-            else 8
-        )
+        # to the last stage and is dropped before the shuffle; the
+        # decontamination stage runs in the shared task pool (compiled
+        # probe patterns live in a per-worker LRU), so all four kernels
+        # fuse into ONE task per block — no actor boundary, no pool
+        # spin-up per execution
         stream = language_id(docs, pass_through=True)
         stream = quality_score(stream, pass_through=True)
         stream = repetition_stats(stream, pass_through=True)
-        return decontaminate(stream, probes, concurrency=(1, max(4, cpus)))
+        return decontaminate(stream, probes)
 
     def flags_and_keys(df: pd.DataFrame) -> pd.DataFrame:
         # same 2x-keyed-siphash content identity as dedup.dedup_exact:

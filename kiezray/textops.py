@@ -555,11 +555,39 @@ class _ProbeMatcher:
         )
 
 
+# per-worker-process LRU of compiled _ProbeMatchers, keyed by the probe
+# list's object ref: the shared TASK pool amortizes pattern compilation
+# exactly like an actor's __init__ (once per worker process) without
+# paying an actor-pool spin-up per Dataset execution — and a task stage
+# fuses with adjacent task stages, so the curation scan stays ONE task
+# chain per block. Capped like search._STAGE_CACHE so long sessions
+# scanning many different probe sets release their references.
+_PROBE_CACHE: dict = {}
+_PROBE_CACHE_CAP = 4
+
+
+class _CachedProbeMatcher:
+    def __init__(self, probes_ref, text_col: str):
+        self.probes_ref = probes_ref
+        self.text_col = text_col
+        self.key = (probes_ref.hex(), text_col)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _PROBE_CACHE.pop(self.key, None)
+        if m is None:
+            m = _ProbeMatcher(self.probes_ref, self.text_col)
+            while len(_PROBE_CACHE) >= _PROBE_CACHE_CAP:
+                _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        _PROBE_CACHE[self.key] = m  # re-insert = LRU touch
+        return m(t)
+
+
 def decontaminate(
     docs_ds: "ray.data.Dataset",
     probes: "list[str]",
     text_col: str = "text",
     concurrency=(1, 4),
+    stage_mode: str = "task",
 ) -> "ray.data.Dataset":
     """Benchmark decontamination: flag every document whose text contains
     any probe string (the classic "drop training docs that quote the
@@ -567,17 +595,28 @@ def decontaminate(
 
     Scale shape: the probe list is an eval-suite extract — bounded and
     small by construction — so it is broadcast once (``ray.put``) and
-    read once per actor; each actor compiles the escaped probes into
-    RE2 alternation patterns chunked at 512 probes per pattern in
-    ``__init__``, and the corpus streams through in Arrow batches with
-    one ``match_substring_regex`` scan per chunk (O(probes/512)
-    vectorized kernels per batch, no per-row Python). For probe sets
-    beyond a few hundred thousand strings, swap the scan for an
-    Aho-Corasick automaton built in ``__init__`` — the stage shape
-    (broadcast + actor pool) stays identical."""
+    fetched once per worker; each worker compiles the escaped probes
+    into RE2 alternation patterns chunked at 512 probes per pattern
+    ONCE (task mode: per-process LRU keyed by the probe ref; actor
+    mode: ``__init__``), and the corpus streams through in Arrow
+    batches with one ``match_substring_regex`` scan per chunk
+    (O(probes/512) vectorized kernels per batch, no per-row Python).
+
+    ``stage_mode="task"`` (default) runs in the shared task pool — no
+    actor spin-up per execution, and the stage fuses with adjacent task
+    stages (pipelines/curation.py chains four per-doc kernels into one
+    task per block). ``stage_mode="actor"`` keeps the actor-pool tier
+    (``concurrency`` applies) for callers that want pinned workers. For
+    probe sets beyond a few hundred thousand strings, swap the scan for
+    an Aho-Corasick automaton built at the same setup point — the stage
+    shape (broadcast + cached setup) stays identical."""
     import ray
 
     ref = ray.put(list(probes))
+    if stage_mode == "task":
+        return docs_ds.map_batches(
+            _CachedProbeMatcher(ref, text_col), batch_format="pyarrow"
+        )
     return docs_ds.map_batches(
         _ProbeMatcher,
         fn_constructor_kwargs={"probes_ref": ref, "text_col": text_col},

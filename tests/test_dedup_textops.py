@@ -257,6 +257,33 @@ def test_decontaminate_flags_probe_hits(ray_session):
     assert out["contaminated"].dtype == np.int64
 
 
+def test_decontaminate_stage_modes_agree(ray_session):
+    # task tier (shared pool + per-process compiled-pattern LRU) and the
+    # actor tier must flag identically; the LRU must key on the probe
+    # ref so a second probe set never reuses stale patterns
+    from kiezray.textops import decontaminate
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["needle one", "clean", "second needle"]),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(2)
+    for probes, want in [
+        (["needle one"], [1, 0, 0]),
+        (["second needle"], [0, 0, 1]),  # new ref -> new patterns
+    ]:
+        got = {
+            mode: decontaminate(ds, probes, stage_mode=mode)
+            .to_pandas()
+            .sort_values("doc_id")["contaminated"]
+            .tolist()
+            for mode in ("task", "actor")
+        }
+        assert got["task"] == got["actor"] == want
+
+
 def test_dedup_against_corpus_anti_join(ray_session):
     from kiezray.dedup import dedup_against_corpus
 
