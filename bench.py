@@ -5,9 +5,10 @@ Prints ONE JSON line:
    "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
    "er_docs": D, "er_docs_per_s": R}
 
---scaling: runs the bench twice in fresh processes (RAY_GRAFT_CPUS=8 and
-=32) on the same input and prints both throughputs + scaling efficiency
-(T8/T32)/4 — the sandbox substitute for the N->4N-node cluster rule.
+--scaling: runs the headline workload twice in fresh processes
+(RAY_GRAFT_CPUS=4 and =16, OS-affinity-capped) on the same input and
+prints both throughputs + scaling efficiency (rate_16/rate_4)/4 — the
+sandbox substitute for the N->4N-node cluster rule.
 """
 
 from __future__ import annotations
