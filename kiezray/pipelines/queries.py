@@ -9036,6 +9036,53 @@ FROM o GROUP BY nk ORDER BY nk
 """
 
 
+def q_ngram_decontam(sf_dir: str):
+    """Word-5-gram overlap decontamination (GPT-3 appendix-C / Llama
+    style): training docs (source <> 'src0') sharing at least one
+    5-gram with the probe suite (source = 'src0'), with the count of
+    DISTINCT shared 5-grams per doc. Probe grams fold driver-side
+    (eval-suite-sized) and broadcast once; the corpus streams through
+    the task pool with zero shuffles."""
+    from ..textops import ngram_decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    probe = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src0")),
+        batch_format="pyarrow",
+    )
+    train = docs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["source"], "src0")),
+        batch_format="pyarrow",
+    )
+    return ngram_decontaminate(train, probe, n=5).sort("doc_id")
+
+
+SQL_NGRAM_DECONTAM = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents),
+pg AS (
+  SELECT DISTINCT array_to_string(list_slice(w, i, i+4), ' ') AS g
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 0)))
+                AS i) s
+  WHERE source = 'src0'),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+4), ' ') AS g
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 0)))
+                AS i) s
+  WHERE source <> 'src0')
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM dg d JOIN pg USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     # --- driver correctness window: the driver oracle-checks the FIRST
     # 50 entries, so this prefix samples every operator family's
@@ -9242,6 +9289,7 @@ QUERIES = {
     "tfidf_pairs": q_tfidf_pairs,
     "hhi_concentration": q_hhi_concentration,
     "gini_concentration": q_gini_concentration,
+    "ngram_decontam": q_ngram_decontam,
 }
 
 ORACLE_SQL = {
@@ -9415,6 +9463,7 @@ ORACLE_SQL = {
     "hhi_concentration": SQL_HHI,
     "gini_concentration": SQL_GINI,
     "winsorized_mean": SQL_WINSORIZED_MEAN,
+    "ngram_decontam": SQL_NGRAM_DECONTAM,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

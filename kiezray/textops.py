@@ -625,6 +625,166 @@ def decontaminate(
     )
 
 
+def _doc_gram_rows(
+    texts: "pd.Series", n: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(doc_idx, gram) rows for every word ``n``-gram in a batch of
+    texts: lowercase, whitespace-tokenize (``_tok_flat`` — the DuckDB
+    ``string_split_regex(trim(lower(text)),'\\s+')`` semantics shared by
+    the whole substring-dedup family), then positional string joins over
+    the flat token array (the ``dup_ngrams`` window-start trick — no
+    per-row Python, no document ever crosses a batch boundary)."""
+    lens, offs, flat = _tok_flat(texts.str.lower())
+    big = np.flatnonzero(lens >= n)
+    if len(big) == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    counts_b = lens[big] - n + 1
+    tot_b = int(counts_b.sum())
+    shift = np.repeat(
+        offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
+        counts_b,
+    )
+    starts = shift + np.arange(tot_b)
+    grams = flat[starts]
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[starts + j]
+    return np.repeat(big, counts_b), grams
+
+
+# per-worker-process LRU of deserialized probe-gram arrays (object-dtype
+# numpy arrays pickle on every ray.get, so the fetch is cached per
+# worker exactly like the compiled patterns in _PROBE_CACHE)
+_GRAMSET_CACHE: dict = {}
+_GRAMSET_CACHE_CAP = 4
+
+
+class _GramSetFlagger:
+    """Task-pool stage: per-doc count of DISTINCT word n-grams shared
+    with the broadcast probe-gram set; emits hit rows only."""
+
+    def __init__(self, grams_ref, n: int, text_col: str, doc_col: str):
+        self.grams_ref = grams_ref
+        self.n = n
+        self.text_col = text_col
+        self.doc_col = doc_col
+
+    def _probe(self) -> np.ndarray:
+        import ray
+
+        key = self.grams_ref.hex()
+        g = _GRAMSET_CACHE.pop(key, None)
+        if g is None:
+            g = ray.get(self.grams_ref)
+            while len(_GRAMSET_CACHE) >= _GRAMSET_CACHE_CAP:
+                _GRAMSET_CACHE.pop(next(iter(_GRAMSET_CACHE)))
+        _GRAMSET_CACHE[key] = g  # re-insert = LRU touch
+        return g
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        probe = self._probe()
+        empty = pd.DataFrame(
+            {
+                self.doc_col: pd.Series(dtype=np.int64),
+                "n_hits": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(batch) == 0 or len(probe) == 0:
+            return empty
+        doc_idx, grams = _doc_gram_rows(
+            batch[self.text_col].fillna(""), self.n
+        )
+        if len(grams) == 0:
+            return empty
+        # factorize once; membership tested on UNIQUE grams (searchsorted
+        # against the sorted probe array: O(log P) per unique gram)
+        codes, uniq = pd.factorize(grams)
+        uniq = np.asarray(uniq, dtype=object)
+        pos = np.searchsorted(probe, uniq)
+        pos[pos == len(probe)] = 0
+        is_hit = probe[pos] == uniq
+        hit_rows = is_hit[codes]
+        if not hit_rows.any():
+            return empty
+        d, c = doc_idx[hit_rows], codes[hit_rows]
+        # distinct (doc, gram) pairs: a doc is one row, so within-batch
+        # dedup IS per-doc dedup
+        order = np.lexsort((c, d))
+        sd, sc = d[order], c[order]
+        keep = np.concatenate(
+            ([True], (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1]))
+        )
+        kd = sd[keep]
+        firsts = np.flatnonzero(
+            np.concatenate(([True], kd[1:] != kd[:-1]))
+        )
+        n_hits = np.diff(np.append(firsts, len(kd)))
+        ids = (
+            batch[self.doc_col]
+            .to_numpy()
+            .astype(np.int64)[kd[firsts]]
+        )
+        return pd.DataFrame(
+            {
+                self.doc_col: ids,
+                "n_hits": n_hits.astype(np.int64),
+            }
+        )
+
+
+def ngram_decontaminate(
+    train_ds: "ray.data.Dataset",
+    probe_ds: "ray.data.Dataset",
+    n: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Word-n-gram overlap decontamination (the GPT-3 appendix-C /
+    Llama eval-leakage standard): flag every training document sharing
+    at least one word ``n``-gram with any probe (eval-suite) document,
+    reporting the count of DISTINCT shared n-grams per document.
+
+    Distinct from the two sibling operators: ``decontaminate`` matches
+    probe strings as verbatim substrings (RE2 alternation scan), and
+    ``dedup.source_overlap`` compares whole token SETS — this one is
+    the fixed-length n-gram overlap used to catch paraphrased/partial
+    quotations of eval items.
+
+    Scale shape: the probe side is an eval suite — bounded and small by
+    construction — so its distinct grams are folded driver-side (same
+    collection pattern as ``decontaminate``'s probe list) and broadcast
+    ONCE via ``ray.put`` as a sorted array; each worker fetches it once
+    (per-process LRU) and the training corpus streams through in the
+    shared task pool with zero shuffles: gram assembly is the
+    flat-token-array positional join (``dup_ngrams``), membership is a
+    vectorized ``searchsorted`` on unique grams (O(log P) each), and the
+    per-doc distinct-hit count folds inside the batch because a document
+    never crosses a row boundary. Output is hit rows only.
+    """
+    import ray
+
+    def probe_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, grams = _doc_gram_rows(batch[text_col].fillna(""), n)
+        return pd.DataFrame({"g": pd.unique(grams)})
+
+    parts = probe_ds.select_columns([text_col]).map_batches(
+        probe_partial, batch_format="pandas"
+    )
+    # eval-suite-sized by construction: collecting the DISTINCT probe
+    # grams is the broadcast, not a corpus materialization
+    pdf = parts.to_pandas()
+    probe = (
+        np.unique(pdf["g"].to_numpy())
+        if "g" in pdf.columns
+        else np.empty(0, object)
+    )
+    ref = ray.put(probe)
+    return train_ds.select_columns([doc_col, text_col]).map_batches(
+        _GramSetFlagger(ref, n, text_col, doc_col),
+        batch_format="pandas",
+    )
+
+
 def tfidf_topk(
     docs_ds: "ray.data.Dataset",
     k: int = 3,

@@ -284,6 +284,52 @@ def test_decontaminate_stage_modes_agree(ray_session):
         assert got["task"] == got["actor"] == want
 
 
+def test_ngram_decontaminate_planted_overlap(ray_session):
+    # a train doc sharing exactly one distinct probe 3-gram is flagged
+    # with n_hits=1; a doc repeating that gram twice still counts it
+    # ONCE (distinct grams); docs shorter than n and disjoint docs are
+    # absent; an empty probe set flags nothing
+    from kiezray.textops import ngram_decontaminate
+
+    train = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array(
+                [
+                    "aa bb cc dd ee",  # shares "aa bb cc" -> 1 hit
+                    "aa bb cc xx aa bb cc",  # same gram twice -> still 1
+                    "zz yy xx ww",  # disjoint -> absent
+                    "aa bb",  # shorter than n -> absent
+                    "AA Bb cc qq",  # lowercased -> shares "aa bb cc"
+                ]
+            ),
+        }
+    )
+    probe = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["aa bb cc dd qq rr"]),
+        }
+    )
+    tds = ray.data.from_arrow(train).repartition(2)
+    pds = ray.data.from_arrow(probe)
+    got = (
+        ngram_decontaminate(tds, pds, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 10 shares "aa bb cc" + "bb cc dd" = 2 distinct grams
+    assert got["doc_id"].tolist() == [10, 11, 14]
+    assert got["n_hits"].tolist() == [2, 1, 1]
+    assert got["n_hits"].dtype == np.int64
+
+    empty_probe = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert ngram_decontaminate(tds, empty_probe, n=3).count() == 0
+
+
 def test_dedup_against_corpus_anti_join(ray_session):
     from kiezray.dedup import dedup_against_corpus
 

@@ -177,6 +177,7 @@ CHECKED = [
     ("tfidf_pairs", 0),
     ("hhi_concentration", 0),
     ("gini_concentration", 0),
+    ("ngram_decontam", 0),
     ("winsorized_mean", 0),
 ]
 
