@@ -9083,6 +9083,37 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_chunk_manifest(sf_dir: str):
+    """Sliding-window context chunk manifest over the documents table
+    (window 64, stride 48): boundaries only, never materialized text —
+    pure per-batch integer arithmetic, zero shuffles."""
+    from ..textops import chunk_manifest
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_manifest(docs, window=64, stride=48).sort("doc_id")
+
+
+SQL_CHUNK_MANIFEST = r"""
+WITH tok AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, i AS start_tok, least(i + 63, n) AS end_tok
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, greatest(n - 64 + 48, 1),
+                                              48)) AS i) s)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1
+            AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok,
+       CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     # --- driver correctness window: the driver oracle-checks the FIRST
     # 50 entries, so this prefix samples every operator family's
@@ -9290,6 +9321,7 @@ QUERIES = {
     "hhi_concentration": q_hhi_concentration,
     "gini_concentration": q_gini_concentration,
     "ngram_decontam": q_ngram_decontam,
+    "chunk_manifest": q_chunk_manifest,
 }
 
 ORACLE_SQL = {
@@ -9464,6 +9496,7 @@ ORACLE_SQL = {
     "gini_concentration": SQL_GINI,
     "winsorized_mean": SQL_WINSORIZED_MEAN,
     "ngram_decontam": SQL_NGRAM_DECONTAM,
+    "chunk_manifest": SQL_CHUNK_MANIFEST,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

@@ -785,6 +785,59 @@ def ngram_decontaminate(
     )
 
 
+def chunk_manifest(
+    docs_ds: "ray.data.Dataset",
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Sliding-window training-sequence chunk MANIFEST: for every doc,
+    the (chunk_id, start_tok, end_tok, n_tokens) windows of ``window``
+    tokens advancing by ``stride`` (overlap = window - stride), starting
+    1-based at 1, 1+stride, ... up to ``greatest(n - window + stride,
+    1)`` — so every token is covered, consecutive chunks overlap, and
+    only the trailing chunk can be short. The long-document
+    context-window prep pass (BERT/HF ``return_overflowing_tokens``
+    shape), complementing ``pack_chunks`` (which concatenates docs
+    instead of splitting them).
+
+    Scale shape: emits boundary manifests, never materialized text
+    copies — at 100 TB the chunk TEXT is cut lazily by whatever stage
+    consumes the manifest (the ``substring_clean`` span-cut pattern),
+    so this pass is pure per-batch integer arithmetic on token counts:
+    zero shuffles, zero string building, output ~32 B/chunk.
+    """
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        # len(string_split_regex(trim(text), '\s+')) semantics: empty
+        # doc -> one empty token (the text_stats / _tok_flat contract)
+        lens = texts.str.strip().str.split().map(len).to_numpy(np.int64)
+        n = np.maximum(lens, 1)
+        last_start = np.maximum(n - window + stride, 1)
+        n_chunks = (last_start - 1) // stride + 1
+        doc_idx = np.repeat(np.arange(len(batch)), n_chunks)
+        chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks
+        )
+        start = 1 + chunk_id * stride
+        end = np.minimum(start + window - 1, n[doc_idx])
+        return pd.DataFrame(
+            {
+                doc_col: batch[doc_col].to_numpy().astype(np.int64)[doc_idx],
+                "chunk_id": chunk_id,
+                "start_tok": start.astype(np.int64),
+                "end_tok": end.astype(np.int64),
+                "n_tokens": (end - start + 1).astype(np.int64),
+            }
+        )
+
+    return docs_ds.select_columns([doc_col, text_col]).map_batches(
+        chunks, batch_format="pandas"
+    )
+
+
 def tfidf_topk(
     docs_ds: "ray.data.Dataset",
     k: int = 3,

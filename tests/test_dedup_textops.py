@@ -330,6 +330,44 @@ def test_ngram_decontaminate_planted_overlap(ray_session):
     assert ngram_decontaminate(tds, empty_probe, n=3).count() == 0
 
 
+def test_chunk_manifest_overlap_and_edges(ray_session):
+    # 10 tokens, window 4, stride 2: starts 1,3,5,7 (ends 4,6,8,10 —
+    # last start = n-window+stride = 8); short doc -> one partial
+    # chunk; empty doc -> one 1-token chunk (the [''] token contract)
+    from kiezray.textops import chunk_manifest
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "a b c", ""]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(2)
+    got = (
+        chunk_manifest(ds, window=4, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [1, 3, 5, 7]
+    assert d1["end_tok"].tolist() == [4, 6, 8, 10]
+    assert d1["n_tokens"].tolist() == [4, 4, 4, 4]
+    d2 = got[got["doc_id"] == 2]
+    assert d2[["start_tok", "end_tok", "n_tokens"]].values.tolist() == [
+        [1, 3, 3]
+    ]
+    d3 = got[got["doc_id"] == 3]
+    assert d3[["start_tok", "end_tok", "n_tokens"]].values.tolist() == [
+        [1, 1, 1]
+    ]
+    # every token of doc 1 is covered and consecutive chunks overlap
+    # by window - stride = 2
+    assert d1["chunk_id"].tolist() == [0, 1, 2, 3]
+
+
 def test_dedup_against_corpus_anti_join(ray_session):
     from kiezray.dedup import dedup_against_corpus
 

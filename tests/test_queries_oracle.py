@@ -178,6 +178,7 @@ CHECKED = [
     ("hhi_concentration", 0),
     ("gini_concentration", 0),
     ("ngram_decontam", 0),
+    ("chunk_manifest", 0),
     ("winsorized_mean", 0),
 ]
 
