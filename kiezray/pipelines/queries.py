@@ -9114,6 +9114,71 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style LM-quality bucketing: label every document head /
+    middle / tail by corpus percentiles of its unigram-LM score
+    (Wenzek et al. 2020 use perplexity thirds; this uses the
+    interquartile split — 0.25/0.75 are exactly representable doubles,
+    so the engine and the oracle compute bit-identical cut ranks).
+
+    Composition, all streaming: the oracle-exact ``lm_score`` fold (two
+    combiner-sized shuffles, vocabulary never broadcast) -> exact
+    distributed quantiles of the score (histogram refinement; only two
+    scalar cuts reach the driver) -> a stateless vectorized label
+    pass. The canonical "keep the head, resample the middle, drop the
+    tail" corpus-mixing precursor."""
+    from ..quantile import exact_quantiles
+    from ..textops import lm_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    s = lm_score(docs).select_columns(["doc_id", "lm_score"])
+    cuts = exact_quantiles(
+        s, "lm_score", qs=(0.25, 0.75), num_bins=256,
+        collect_threshold=1024,
+    )
+    c1, c2 = (float(v.as_py()) for v in cuts["value"])
+
+    def label(t: pa.Table) -> pa.Table:
+        x = t["lm_score"].to_numpy(zero_copy_only=False)
+        b = np.where(x > c2, "head", np.where(x > c1, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lm_score": t["lm_score"],
+                "bucket": pa.array(b.astype(object), pa.string()),
+            }
+        )
+
+    return s.map_batches(label, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(coalesce(text, '')), '\\s+'),
+             t -> t <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tt AS (SELECT CAST(count(*) AS DOUBLE) v FROM toks),
+lm AS (
+  SELECT t.doc_id,
+         round(sum(ln(c.n / (SELECT v FROM tt))) / count(*), 6) + 0
+           AS lm_score
+  FROM toks t JOIN cnt c USING (tok)
+  GROUP BY t.doc_id),
+q AS (SELECT quantile_disc(lm_score, 0.25) AS c1,
+             quantile_disc(lm_score, 0.75) AS c2
+      FROM lm)
+SELECT doc_id, lm_score,
+       CASE WHEN lm_score > c2 THEN 'head'
+            WHEN lm_score > c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lm, q ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # --- driver correctness window: the driver oracle-checks the FIRST
     # 50 entries, so this prefix samples every operator family's
@@ -9322,6 +9387,7 @@ QUERIES = {
     "gini_concentration": q_gini_concentration,
     "ngram_decontam": q_ngram_decontam,
     "chunk_manifest": q_chunk_manifest,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLE_SQL = {
@@ -9497,6 +9563,7 @@ ORACLE_SQL = {
     "winsorized_mean": SQL_WINSORIZED_MEAN,
     "ngram_decontam": SQL_NGRAM_DECONTAM,
     "chunk_manifest": SQL_CHUNK_MANIFEST,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

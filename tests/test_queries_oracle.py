@@ -179,6 +179,7 @@ CHECKED = [
     ("gini_concentration", 0),
     ("ngram_decontam", 0),
     ("chunk_manifest", 0),
+    ("ccnet_buckets", 0),
     ("winsorized_mean", 0),
 ]
 
