@@ -9179,6 +9179,38 @@ FROM lm, q ORDER BY doc_id
 """
 
 
+def q_mix_sources(sf_dir: str):
+    """Deterministic domain mixing (DoReMi / Pile-style weights): keep
+    src0 at 50%, src1 at 25%, every other source at 10% — a stateless
+    zero-shuffle per-batch filter on Knuth id priorities, stable under
+    any re-partitioning."""
+    from ..sample import keyed_hash_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return keyed_hash_sample(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.25},
+        default_fraction=0.1,
+    ).sort("doc_id")
+
+
+SQL_MIX_SOURCES = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 11400714819323198485)
+      % 18446744073709551616
+      < CAST(CASE source WHEN 'src0' THEN 0.5
+                         WHEN 'src1' THEN 0.25
+                         ELSE 0.1 END
+             * 18446744073709551616.0 AS HUGEINT)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # --- driver correctness window: the driver oracle-checks the FIRST
     # 50 entries, so this prefix samples every operator family's
@@ -9388,6 +9420,7 @@ QUERIES = {
     "ngram_decontam": q_ngram_decontam,
     "chunk_manifest": q_chunk_manifest,
     "ccnet_buckets": q_ccnet_buckets,
+    "mix_sources": q_mix_sources,
 }
 
 ORACLE_SQL = {
@@ -9564,6 +9597,7 @@ ORACLE_SQL = {
     "ngram_decontam": SQL_NGRAM_DECONTAM,
     "chunk_manifest": SQL_CHUNK_MANIFEST,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "mix_sources": SQL_MIX_SOURCES,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

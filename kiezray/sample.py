@@ -242,3 +242,53 @@ def stratified_quota(
         tie_col=key_col,
     )
     return out.drop_columns(["__pri", "rank"])
+
+
+def keyed_hash_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    fractions: "dict[str, float]",
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic per-key data MIXING: keep each row with the
+    probability assigned to its key — "sample source A at 50%, source
+    B at 25%, everything else at 10%", the corpus-reweighting pass that
+    turns raw domain counts into a target training mixture (the
+    DoReMi / Pile-style domain-weights step).
+
+    Scale shape: a stateless per-batch filter, zero shuffles — the
+    (key -> fraction) dict is task-captured (domain lists are tiny by
+    nature) and every worker makes the same keep decision for the same
+    id, so the mixture is stable under any re-partitioning and across
+    incremental runs. Thresholds are ``int(frac * 2^64)`` compared
+    against the Knuth priority of ``id_col``: the double products are
+    integral-valued (>= 2^57 for any frac >= 2^-6), so Python
+    truncation and DuckDB's HUGEINT cast agree bit-for-bit and the op
+    is oracle-checkable. Ids must be non-negative int64; fractions
+    must lie in [0, 1).
+    """
+    for f in list(fractions.values()) + [default_fraction]:
+        if not (0.0 <= f < 1.0):
+            raise ValueError(
+                "fractions must be in [0, 1) (frac=1.0 overflows the "
+                "uint64 threshold; keep-everything needs no sampler)"
+            )
+    thr = {k: np.uint64(int(f * _MOD64)) for k, f in fractions.items()}
+    default_thr = np.uint64(int(default_fraction * _MOD64))
+
+    def keep(t: "pa.Table") -> "pa.Table":
+        import pandas as pd
+
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = pd.Series(t[key_col].to_pandas())
+        thrs = (
+            keys.map(thr)
+            .fillna(default_thr)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        return t.filter(pa.array(_priority(ids, seed) < thrs))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

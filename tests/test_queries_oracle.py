@@ -180,6 +180,7 @@ CHECKED = [
     ("ngram_decontam", 0),
     ("chunk_manifest", 0),
     ("ccnet_buckets", 0),
+    ("mix_sources", 0),
     ("winsorized_mean", 0),
 ]
 

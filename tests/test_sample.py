@@ -136,3 +136,32 @@ def test_weighted_sample_bias_and_guards(ray_session):
     bad = ray.data.from_pandas(pd.DataFrame({"doc_id": ids[:5], "w": [1.0, 0.0, 2.0, 3.0, 4.0]}))
     with pytest.raises(Exception, match="weights > 0"):
         weighted_sample(bad, "doc_id", "w", n=2).to_pandas()
+
+
+def test_keyed_hash_sample_mixture_and_guards(ray_session):
+    import pandas as pd
+    import pytest
+
+    from kiezray.sample import keyed_hash_sample
+
+    ids = np.arange(4000, dtype=np.int64)
+    keys = np.where(ids % 2 == 0, "a", "b").astype(object)
+    keys[ids % 10 == 9] = "other"
+    df = pd.DataFrame({"doc_id": ids, "src": keys})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = keyed_hash_sample(
+        ds, "src", "doc_id", {"a": 0.5, "b": 0.1}, default_fraction=0.0
+    ).to_pandas()
+    # per-key rates approach the targets; default drops unknown keys
+    rate = out.groupby(out["src"]).size() / df.groupby("src").size()
+    assert abs(rate.get("a") - 0.5) < 0.05
+    assert abs(rate.get("b") - 0.1) < 0.05
+    assert "other" not in set(out["src"])
+    # partition-invariance: identical keep set at any partitioning
+    out2 = keyed_hash_sample(
+        ray.data.from_pandas(df).repartition(13),
+        "src", "doc_id", {"a": 0.5, "b": 0.1}, default_fraction=0.0,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    with pytest.raises(ValueError, match=r"\[0, 1\)"):
+        keyed_hash_sample(ds, "src", "doc_id", {"a": 1.0})
