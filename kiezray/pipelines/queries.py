@@ -9097,7 +9097,8 @@ def q_chunk_manifest(sf_dir: str):
 
 SQL_CHUNK_MANIFEST = r"""
 WITH tok AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+  SELECT doc_id,
+         len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n
   FROM documents),
 c AS (
   SELECT doc_id, i AS start_tok, least(i + 63, n) AS end_tok
@@ -9133,7 +9134,11 @@ def q_ccnet_buckets(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    s = lm_score(docs).select_columns(["doc_id", "lm_score"])
+    # the (doc_id, lm_score) table is narrow (~16 B/row) — materialize
+    # it ONCE so the quantile refinement rounds and the label pass read
+    # cached blocks instead of re-running the two-shuffle lm fold per
+    # pass (the queries.py:q_kcore "round loop must not re-run" rule)
+    s = lm_score(docs).select_columns(["doc_id", "lm_score"]).materialize()
     cuts = exact_quantiles(
         s, "lm_score", qs=(0.25, 0.75), num_bins=256,
         collect_threshold=1024,

@@ -267,16 +267,26 @@ def keyed_hash_sample(
     integral-valued (>= 2^57 for any frac >= 2^-6), so Python
     truncation and DuckDB's HUGEINT cast agree bit-for-bit and the op
     is oracle-checkable. Ids must be non-negative int64; fractions
-    must lie in [0, 1).
+    must lie in [0, 1] — 1.0 keeps a key fully ("keep wiki whole,
+    downsample the rest", the standard mixing shape; its SQL threshold
+    2^64 exceeds every uint64 priority, mirrored here as an
+    unconditional keep since 2^64 itself overflows uint64).
     """
     for f in list(fractions.values()) + [default_fraction]:
-        if not (0.0 <= f < 1.0):
-            raise ValueError(
-                "fractions must be in [0, 1) (frac=1.0 overflows the "
-                "uint64 threshold; keep-everything needs no sampler)"
-            )
-    thr = {k: np.uint64(int(f * _MOD64)) for k, f in fractions.items()}
-    default_thr = np.uint64(int(default_fraction * _MOD64))
+        if not (0.0 <= f <= 1.0):
+            raise ValueError("fractions must be in [0, 1]")
+    thr = {
+        k: np.uint64(int(f * _MOD64))
+        for k, f in fractions.items()
+        if f < 1.0
+    }
+    full_keys = {k for k, f in fractions.items() if f >= 1.0}
+    default_full = default_fraction >= 1.0
+    default_thr = (
+        np.uint64(0)
+        if default_full
+        else np.uint64(int(default_fraction * _MOD64))
+    )
 
     def keep(t: "pa.Table") -> "pa.Table":
         import pandas as pd
@@ -289,6 +299,12 @@ def keyed_hash_sample(
             .to_numpy()
             .astype(np.uint64)
         )
-        return t.filter(pa.array(_priority(ids, seed) < thrs))
+        mask = _priority(ids, seed) < thrs
+        known = keys.isin(thr.keys()) | keys.isin(full_keys)
+        if full_keys:
+            mask |= keys.isin(full_keys).to_numpy()
+        if default_full:
+            mask |= ~known.to_numpy()
+        return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -345,14 +345,11 @@ def fingerprint(docs_ds: "ray.data.Dataset", window: int = 8) -> "ray.data.Datas
                     h, window
                 ).min(axis=1)
                 counts_b = lens[big] - window + 1
-                tot_b = int(counts_b.sum())
-                shift = np.repeat(
-                    offs[big]
-                    - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
-                    counts_b,
-                )
                 mins = np.concatenate(
-                    [wmin[shift + np.arange(tot_b)], doc_min[lens[ne] <= window]]
+                    [
+                        wmin[_window_starts(offs[big], counts_b)],
+                        doc_min[lens[ne] <= window],
+                    ]
                 )
                 docs = np.concatenate(
                     [np.repeat(big, counts_b), ne[lens[ne] <= window]]
@@ -625,6 +622,22 @@ def decontaminate(
     )
 
 
+def _window_starts(
+    offs_big: "np.ndarray", counts_b: "np.ndarray"
+) -> "np.ndarray":
+    """Flat-array start index of every per-doc sliding window: for docs
+    whose flat token ranges begin at ``offs_big`` and contribute
+    ``counts_b`` windows each, returns the ``counts_b.sum()`` window
+    starts, never crossing a document boundary — the shift trick shared
+    by fingerprinting, n-gram discovery/decontamination, gram hashing
+    and PMI bigram assembly."""
+    shift = np.repeat(
+        offs_big - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
+        counts_b,
+    )
+    return shift + np.arange(int(counts_b.sum()))
+
+
 def _doc_gram_rows(
     texts: "pd.Series", n: int
 ) -> "tuple[np.ndarray, np.ndarray]":
@@ -639,12 +652,7 @@ def _doc_gram_rows(
     if len(big) == 0:
         return np.empty(0, np.int64), np.empty(0, object)
     counts_b = lens[big] - n + 1
-    tot_b = int(counts_b.sum())
-    shift = np.repeat(
-        offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
-        counts_b,
-    )
-    starts = shift + np.arange(tot_b)
+    starts = _window_starts(offs[big], counts_b)
     grams = flat[starts]
     for j in range(1, n):
         grams = grams + " "
@@ -808,8 +816,26 @@ def chunk_manifest(
     so this pass is pure per-batch integer arithmetic on token counts:
     zero shuffles, zero string building, output ~32 B/chunk.
     """
+    if not (1 <= stride <= window):
+        raise ValueError(
+            "need 1 <= stride <= window: stride 0 would emit one chunk "
+            "per doc (silent truncation) and stride > window leaves "
+            "token-coverage gaps, breaking the every-token-covered "
+            "contract"
+        )
+    _empty = {
+        doc_col: np.int64,
+        "chunk_id": np.int64,
+        "start_tok": np.int64,
+        "end_tok": np.int64,
+        "n_tokens": np.int64,
+    }
 
     def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _empty.items()}
+            )
         texts = batch[text_col].fillna("")
         # len(string_split_regex(trim(text), '\s+')) semantics: empty
         # doc -> one empty token (the text_stats / _tok_flat contract)
@@ -1025,14 +1051,9 @@ def dup_ngrams(
         if len(big) == 0:
             return empty
         counts_b = lens[big] - n + 1
-        tot_b = int(counts_b.sum())
         # window-start indices into the flat token array, never crossing
         # a document boundary (same shift trick as fingerprint())
-        shift = np.repeat(
-            offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
-            counts_b,
-        )
-        starts = shift + np.arange(tot_b)
+        starts = _window_starts(offs[big], counts_b)
         grams = flat[starts]
         for j in range(1, n):
             grams = grams + " "
@@ -1148,11 +1169,7 @@ def _gram_hashes(
         return lens, offs, np.empty(0, dtype=np.int64), z, z, flat
     counts_b = lens[big] - L + 1
     tot_b = int(counts_b.sum())
-    shift = np.repeat(
-        offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
-        counts_b,
-    )
-    starts = shift + np.arange(tot_b)
+    starts = _window_starts(offs[big], counts_b)
     G1 = np.zeros(tot_b, dtype=np.uint64)
     G2 = np.zeros(tot_b, dtype=np.uint64)
     c1 = np.uint64(1)
@@ -1759,11 +1776,7 @@ def pmi_bigrams(
         if len(big) == 0:
             return empty
         counts_b = lens[big] - 1
-        shift = np.repeat(
-            offs[big] - np.concatenate(([0], np.cumsum(counts_b)[:-1])),
-            counts_b,
-        )
-        starts = shift + np.arange(int(counts_b.sum()))
+        starts = _window_starts(offs[big], counts_b)
         a, b = flat[starts], flat[starts + 1]
         pair = a + "\x1f"
         pair = pair + b

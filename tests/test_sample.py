@@ -163,5 +163,12 @@ def test_keyed_hash_sample_mixture_and_guards(ray_session):
         "src", "doc_id", {"a": 0.5, "b": 0.1}, default_fraction=0.0,
     ).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
-    with pytest.raises(ValueError, match=r"\[0, 1\)"):
-        keyed_hash_sample(ds, "src", "doc_id", {"a": 1.0})
+    # fraction 1.0 keeps a key WHOLE (the "keep wiki fully, downsample
+    # the rest" mixing shape); out-of-range fractions fail loud
+    full = keyed_hash_sample(
+        ds, "src", "doc_id", {"a": 1.0, "b": 0.1}, default_fraction=0.0
+    ).to_pandas()
+    assert (full["src"] == "a").sum() == (df["src"] == "a").sum()
+    assert "other" not in set(full["src"])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        keyed_hash_sample(ds, "src", "doc_id", {"a": 1.5})
