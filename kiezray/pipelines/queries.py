@@ -9184,6 +9184,87 @@ FROM lm, q ORDER BY doc_id
 """
 
 
+def q_ann_filtered(sf_dir: str):
+    """Metadata-FILTERED vector search (the classic hard case for
+    vector stores): exact cosine top-k over only the targets whose
+    label passes a predicate. The filter is pushed AHEAD of shard
+    construction — index shards are built from survivors only, so
+    selective predicates shrink the index instead of post-filtering
+    candidate lists (which under-fills k when the predicate is
+    selective). Runs the routed search tier like ann_cosine."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def side(t: pa.Table, parity: int) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(t["vec_id"], 1), parity)
+        f = t.filter(m)
+        return pa.table(
+            {
+                "row_id": pc.cast(f["vec_id"], pa.int64()),
+                "embedding": f["embedding"],
+                "label": f["label"],
+            }
+        )
+
+    def tgt_fn(t: pa.Table) -> pa.Table:
+        f = side(t, 1)
+        keep = pc.is_in(
+            f["label"], value_set=pa.array([2, 5, 7], pa.int32())
+        )
+        return f.filter(keep).select(["row_id", "embedding"])
+
+    def qry_fn(t: pa.Table) -> pa.Table:
+        f = side(t, 0)
+        return f.filter(pc.less(f["row_id"], 10)).select(
+            ["row_id", "embedding"]
+        )
+
+    target = ds.map_batches(
+        tgt_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    queries = ds.map_batches(
+        qry_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    shards, _, _ = shard_refs_from_dataset(
+        target, rows_per_shard=ROUTED["rows_per_shard"]
+    )
+    nds = knn_search(
+        queries, shards, k=N_CAND, algorithm="exact",
+        algorithm_kwargs={"metric": "cosine"},
+        route_groups=ROUTED["route_groups"],
+    )
+    out = _explode_neighbors(
+        nds, dist_name="cos_sim", digits=6, to_similarity=True
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["query_id", "rank", "target_id", "cos_sim"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_FILTERED = """
+WITH
+q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+      FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 10),
+tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        FROM embeddings
+        WHERE vec_id % 2 = 1 AND label IN (2, 5, 7)),
+d AS (SELECT q.vec_id qid, t.vec_id tid,
+             list_cosine_similarity(q.e, t.e) sim
+      FROM q CROSS JOIN tgt t),
+ranked AS (SELECT qid, tid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, tid) rk
+           FROM d)
+SELECT qid AS query_id, rk AS rank, tid AS target_id,
+       round(sim, 6) + 0 AS cos_sim
+FROM ranked WHERE rk <= 10 ORDER BY query_id, rank
+"""
+
+
 def q_mix_sources(sf_dir: str):
     """Deterministic domain mixing (DoReMi / Pile-style weights): keep
     src0 at 50%, src1 at 25%, every other source at 10% — a stateless
@@ -9426,6 +9507,7 @@ QUERIES = {
     "chunk_manifest": q_chunk_manifest,
     "ccnet_buckets": q_ccnet_buckets,
     "mix_sources": q_mix_sources,
+    "ann_filtered": q_ann_filtered,
 }
 
 ORACLE_SQL = {
@@ -9603,6 +9685,7 @@ ORACLE_SQL = {
     "chunk_manifest": SQL_CHUNK_MANIFEST,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "mix_sources": SQL_MIX_SOURCES,
+    "ann_filtered": SQL_ANN_FILTERED,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

@@ -181,6 +181,7 @@ CHECKED = [
     ("chunk_manifest", 0),
     ("ccnet_buckets", 0),
     ("mix_sources", 0),
+    ("ann_filtered", 0),
     ("winsorized_mean", 0),
 ]
 
