@@ -9265,6 +9265,78 @@ FROM ranked WHERE rk <= 10 ORDER BY query_id, rank
 """
 
 
+def q_corpus_report(sf_dir: str):
+    """Per-source corpus HEALTH REPORT: how many documents each source
+    loses to every curation rule (language, quality, repetition,
+    contamination, exact-dup) and what fraction survives — the
+    dashboard a data team reads before committing a training mixture.
+
+    Scale shape: the oracle-exact curation verdict is a narrow
+    (doc_id, 6 flags) table; it co-partition hash-joins the
+    (doc_id, source) map (both corpus-sized — neither is broadcast),
+    per-batch combiners pre-aggregate per-source sums, and only the
+    tiny (sources x partials) table reaches the driver fold."""
+    import pandas as pd
+
+    from ..relops import hash_join
+    from .curation import CurationConfig, run_curation
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    flags = run_curation(docs, CurationConfig())
+    src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src_doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(flags, src, "doc_id", "src_doc_id")
+
+    flag_cols = [
+        "lang_ok", "quality_ok", "repetition_ok",
+        "contaminated", "keep_dedup", "keep",
+    ]
+
+    def part(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("source", as_index=False)[flag_cols].sum()
+        g["n_docs"] = (
+            df.groupby("source", as_index=False).size()["size"].to_numpy()
+        )
+        return g
+
+    folded = (
+        joined.map_batches(part, batch_format="pandas")
+        .to_pandas()  # <= sources x partials combiner rows
+        .groupby("source", as_index=False)
+        .sum()
+    )
+    n = folded["n_docs"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "source": folded["source"],
+            "n_docs": n,
+            "n_lang_drop": n - folded["lang_ok"].to_numpy(np.int64),
+            "n_quality_drop": n - folded["quality_ok"].to_numpy(np.int64),
+            "n_repetition_drop": n
+            - folded["repetition_ok"].to_numpy(np.int64),
+            "n_contaminated": folded["contaminated"].to_numpy(np.int64),
+            "n_dup_dropped": n - folded["keep_dedup"].to_numpy(np.int64),
+            "n_kept": folded["keep"].to_numpy(np.int64),
+            "kept_frac": round_away(
+                folded["keep"].to_numpy(np.float64) / n.astype(np.float64),
+                6,
+            ),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_mix_sources(sf_dir: str):
     """Deterministic domain mixing (DoReMi / Pile-style weights): keep
     src0 at 50%, src1 at 25%, every other source at 10% — a stateless
@@ -9294,6 +9366,26 @@ WHERE (CAST(doc_id AS HUGEINT) * 11400714819323198485)
                          ELSE 0.1 END
              * 18446744073709551616.0 AS HUGEINT)
 ORDER BY doc_id
+"""
+
+
+# the health report aggregates the SAME curation verdict the byte-exact
+# `curation` oracle checks — compose its SQL verbatim so the two can
+# never drift apart
+SQL_CORPUS_REPORT = f"""
+WITH cur AS ({SQL_CURATION}),
+src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1 - lang_ok) AS BIGINT) AS n_lang_drop,
+       CAST(sum(1 - quality_ok) AS BIGINT) AS n_quality_drop,
+       CAST(sum(1 - repetition_ok) AS BIGINT) AS n_repetition_drop,
+       CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+       CAST(sum(1 - keep_dedup) AS BIGINT) AS n_dup_dropped,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(sum(keep) / CAST(count(*) AS DOUBLE), 6) + 0 AS kept_frac
+FROM cur JOIN src s USING (doc_id)
+GROUP BY s.source ORDER BY s.source
 """
 
 
@@ -9508,6 +9600,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "mix_sources": q_mix_sources,
     "ann_filtered": q_ann_filtered,
+    "corpus_report": q_corpus_report,
 }
 
 ORACLE_SQL = {
@@ -9686,6 +9779,7 @@ ORACLE_SQL = {
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "mix_sources": SQL_MIX_SOURCES,
     "ann_filtered": SQL_ANN_FILTERED,
+    "corpus_report": SQL_CORPUS_REPORT,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

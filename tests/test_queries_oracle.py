@@ -182,6 +182,7 @@ CHECKED = [
     ("ccnet_buckets", 0),
     ("mix_sources", 0),
     ("ann_filtered", 0),
+    ("corpus_report", 0),
     ("winsorized_mean", 0),
 ]
 
