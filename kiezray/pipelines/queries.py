@@ -9369,6 +9369,135 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_diff(sf_dir: str):
+    """Corpus VERSION DIFF (dataset-versioning audit): classify every
+    doc_id across two snapshots as added / removed / changed /
+    unchanged. The v2 snapshot is derived deterministically from the
+    base (docs with id%7==3 deleted, id%5==2 get a ' rev2' suffix,
+    id%11==0 spawn a new doc at id+200000 with ' new').
+
+    Scale shape: text NEVER crosses the exchange — each side reduces
+    per batch to (doc_id, 128-bit content fingerprint) rows (~24 B/row,
+    the curation/dedup_exact identity), the two narrow tables meet in
+    ONE co-partitioned full outer hash join, and the classifier is a
+    stateless vectorized pass over hash equality (collision odds
+    ~2^-128 stand in for text equality, the engine-wide convention)."""
+    import pandas as pd
+
+    from ..relops import hash_join
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mk_v2(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        kept = t.filter(pa.array(ids % 7 != 3))
+        kids = pc.cast(kept["doc_id"], pa.int64())
+        rev = pc.binary_join_element_wise(
+            kept["text"], pa.scalar("rev2"), pa.scalar(" ")
+        )
+        changed = pc.if_else(
+            pa.array(kids.to_numpy(zero_copy_only=False) % 5 == 2),
+            rev,
+            kept["text"],
+        )
+        new_side = t.filter(pa.array(ids % 11 == 0))
+        new_txt = pc.binary_join_element_wise(
+            new_side["text"], pa.scalar("new"), pa.scalar(" ")
+        )
+        return pa.concat_tables(
+            [
+                pa.table({"doc_id": kids, "text": changed}),
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            pc.cast(new_side["doc_id"], pa.int64())
+                            .to_numpy(zero_copy_only=False)
+                            + 200000,
+                            pa.int64(),
+                        ),
+                        "text": new_txt,
+                    }
+                ),
+            ]
+        )
+
+    def fp(prefix: str):
+        def f(df: "pd.DataFrame") -> "pd.DataFrame":
+            txt = df["text"].to_numpy(dtype=object)
+            return pd.DataFrame(
+                {
+                    f"{prefix}id": df["doc_id"].to_numpy(np.int64),
+                    f"{prefix}h1": pd.util.hash_array(txt).astype(
+                        np.uint64
+                    ).astype(np.int64),
+                    f"{prefix}h2": pd.util.hash_array(
+                        txt, hash_key="kiezraydedup2key"
+                    ).astype(np.uint64).astype(np.int64),
+                }
+            )
+
+        return f
+
+    a = base.map_batches(fp("a_"), batch_format="pandas")
+    b = base.map_batches(mk_v2, batch_format="pyarrow").map_batches(
+        fp("b_"), batch_format="pandas"
+    )
+    joined = hash_join(a, b, "a_id", "b_id", how="full")
+
+    def classify(t: pa.Table) -> pa.Table:
+        # fill nulls on the ARROW side so the int64 hash columns never
+        # pass through float64 (which would compare 64-bit hashes at
+        # 53-bit precision); null rows are classified added/removed
+        # before hash equality is ever consulted, so the fill values
+        # cannot misclassify anything
+        def col(name: str) -> np.ndarray:
+            return pc.fill_null(t[name], 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+
+        a_null = pc.is_null(t["a_id"]).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(t["b_id"]).to_numpy(zero_copy_only=False)
+        same = (col("a_h1") == col("b_h1")) & (col("a_h2") == col("b_h2"))
+        status = np.where(
+            b_null,
+            "removed",
+            np.where(a_null, "added", np.where(same, "unchanged", "changed")),
+        )
+        ids = np.where(a_null, col("b_id"), col("a_id"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "status": pa.array(status.astype(object), pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow").sort(
+        "doc_id"
+    )
+
+
+SQL_CORPUS_DIFF = """
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 2 THEN text || ' rev2' ELSE text END AS text
+  FROM base WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 200000, text || ' new' FROM base WHERE doc_id % 11 = 0)
+SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+       CASE WHEN v.doc_id IS NULL THEN 'removed'
+            WHEN b.doc_id IS NULL THEN 'added'
+            WHEN b.text IS NOT DISTINCT FROM v.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM base b FULL JOIN v2 v ON b.doc_id = v.doc_id
+ORDER BY doc_id
+"""
+
+
 # the health report aggregates the SAME curation verdict the byte-exact
 # `curation` oracle checks — compose its SQL verbatim so the two can
 # never drift apart
@@ -9601,6 +9730,7 @@ QUERIES = {
     "mix_sources": q_mix_sources,
     "ann_filtered": q_ann_filtered,
     "corpus_report": q_corpus_report,
+    "corpus_diff": q_corpus_diff,
 }
 
 ORACLE_SQL = {
@@ -9780,6 +9910,7 @@ ORACLE_SQL = {
     "mix_sources": SQL_MIX_SOURCES,
     "ann_filtered": SQL_ANN_FILTERED,
     "corpus_report": SQL_CORPUS_REPORT,
+    "corpus_diff": SQL_CORPUS_DIFF,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

@@ -183,6 +183,7 @@ CHECKED = [
     ("mix_sources", 0),
     ("ann_filtered", 0),
     ("corpus_report", 0),
+    ("corpus_diff", 0),
     ("winsorized_mean", 0),
 ]
 
