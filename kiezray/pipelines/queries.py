@@ -9498,6 +9498,105 @@ ORDER BY doc_id
 """
 
 
+def q_training_mixture(sf_dir: str):
+    """CAPSTONE training-data funnel — the full "raw corpus to training
+    sequences" path, every stage an oracle-exact operator, the
+    COMPOSITION oracle-checked end-to-end:
+
+      1. curation verdict (lang + quality + repetition + decontamination
+         + exact-dedup keeper, ONE fused scan + ONE content shuffle),
+      2. deterministic domain MIXING over the survivors (src0 kept
+         whole, src1 at 50%, the rest at 25% — keyed Knuth-priority
+         thresholds, zero shuffles),
+      3. context-window CHUNK MANIFESTS (window 64 / stride 48) for the
+         mixture docs — boundary rows only, never materialized text.
+
+    Exchanges: the curation content shuffle, one doc_id hash-join onto
+    the (doc_id, source) map, and one semi-join of the text table
+    against the narrow mixture-id set. Everything else is stateless
+    per-batch kernels."""
+    import pandas as pd
+
+    from ..relops import hash_join, semi_join
+    from ..sample import keyed_hash_sample
+    from ..textops import chunk_manifest
+    from .curation import CurationConfig, run_curation
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    flags = run_curation(docs, CurationConfig()).map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], 1)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src_doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kept = hash_join(flags, src, "doc_id", "src_doc_id")
+    mixture = keyed_hash_sample(
+        kept,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5},
+        default_fraction=0.25,
+    ).select_columns(["doc_id"])
+    mix_docs = semi_join(
+        docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "text": t["text"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        mixture,
+        "doc_id",
+        "doc_id",
+    )
+    return chunk_manifest(mix_docs, window=64, stride=48).sort("doc_id")
+
+
+SQL_TRAINING_MIXTURE = f"""
+WITH cur AS ({SQL_CURATION}),
+src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
+mixture AS (
+  SELECT c.doc_id
+  FROM cur c JOIN src s USING (doc_id)
+  WHERE c.keep = 1
+    AND (CAST(c.doc_id AS HUGEINT) * 11400714819323198485)
+        % 18446744073709551616
+        < CAST(CASE s.source WHEN 'src0' THEN 1.0
+                             WHEN 'src1' THEN 0.5
+                             ELSE 0.25 END
+               * 18446744073709551616.0 AS HUGEINT)),
+tok AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         len(string_split_regex(trim(coalesce(d.text, '')), '\\s+')) AS n
+  FROM documents d JOIN mixture m ON CAST(d.doc_id AS BIGINT) = m.doc_id),
+c AS (
+  SELECT doc_id, i AS start_tok, least(i + 63, n) AS end_tok
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, greatest(n - 64 + 48, 1),
+                                              48)) AS i) s)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1
+            AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok,
+       CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 # the health report aggregates the SAME curation verdict the byte-exact
 # `curation` oracle checks — compose its SQL verbatim so the two can
 # never drift apart
@@ -9731,6 +9830,7 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "corpus_report": q_corpus_report,
     "corpus_diff": q_corpus_diff,
+    "training_mixture": q_training_mixture,
 }
 
 ORACLE_SQL = {
@@ -9911,6 +10011,7 @@ ORACLE_SQL = {
     "ann_filtered": SQL_ANN_FILTERED,
     "corpus_report": SQL_CORPUS_REPORT,
     "corpus_diff": SQL_CORPUS_DIFF,
+    "training_mixture": SQL_TRAINING_MIXTURE,
     # Intentionally rows-only (no DuckDB equivalent): kcore (data-dependent
     # fixpoint round count; recursive CTEs disallow per-level aggregation —
     # python-equivalence peels in tests/test_cluster.py), knn_mp_normal

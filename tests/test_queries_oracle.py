@@ -184,6 +184,7 @@ CHECKED = [
     ("ann_filtered", 0),
     ("corpus_report", 0),
     ("corpus_diff", 0),
+    ("training_mixture", 0),
     ("winsorized_mean", 0),
 ]
 
