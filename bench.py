@@ -285,6 +285,9 @@ def main():
     # curation funnel
     timed("dup_spans", lambda: Q.q_dup_spans(sf_dir))
     timed("curation", lambda: Q.q_curation(sf_dir))
+    # capstone: the full raw-corpus -> curation -> mixing -> chunk
+    # manifests funnel (final-session addition, regression-visible)
+    timed("training_mixture", lambda: Q.q_training_mixture(sf_dir))
 
     # headline: synthetic interleaved-doc ER at bench scale (deterministic,
     # per input_hint: synthesize at small scale for benchmarks); median of
