@@ -43,6 +43,47 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def content_keys(
+    t: "pa.Table", content_cols: "list[str]"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """The engine-wide vectorized 128-bit multi-column content identity:
+    two independent 64-bit streams (pandas' C siphash with distinct
+    keys) folded column-wise through splitmix64 — no per-row string
+    join / sha1 (collision odds over the full pair space at 10^12 rows
+    are ~2^-48; cryptographic strength is not required for grouping
+    identity). The ONE definition ``dedup_exact``, ``dedup_keep_best``
+    and ``dedup_canonical`` all key on — change it here or nowhere."""
+    h1 = np.zeros(len(t), dtype=np.uint64)
+    h2 = np.zeros(len(t), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in content_cols:
+            arr = t[c].to_numpy(zero_copy_only=False)
+            h1 = _splitmix64(
+                h1 * np.uint64(31)
+                + pd.util.hash_array(arr).astype(np.uint64)
+            )
+            h2 = _splitmix64(
+                h2 * np.uint64(31)
+                + pd.util.hash_array(
+                    arr, hash_key="kiezraydedup2key"
+                ).astype(np.uint64)
+            )
+    return h1, h2
+
+
+def text_key128(txt: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Single-text-column 128-bit identity: the two independently keyed
+    siphash64 streams WITHOUT the multi-column fold — the exact-text
+    grouping convention of the curation pipeline and the corpus
+    version diff. None hashes to its own constant, so NULL text forms
+    its own group exactly like SQL's ``PARTITION BY text``."""
+    h1 = pd.util.hash_array(txt).astype(np.uint64)
+    h2 = pd.util.hash_array(txt, hash_key="kiezraydedup2key").astype(
+        np.uint64
+    )
+    return h1, h2
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Deterministic 64-bit hashes of the character k-shingles of a text.
 
@@ -247,26 +288,7 @@ def dedup_exact(
     """
 
     def add_keys(t: pa.Table) -> pa.Table:
-        # vectorized 128-bit content key: two independent 64-bit hashes
-        # (pandas' C siphash with distinct keys) mixed column-wise — no
-        # per-row string join / sha1 (collision odds over the full pair
-        # space at 10^12 rows are ~2^-48; cryptographic strength is not
-        # required for grouping identity)
-        h1 = np.zeros(len(t), dtype=np.uint64)
-        h2 = np.zeros(len(t), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in content_cols:
-                arr = t[c].to_numpy(zero_copy_only=False)
-                h1 = _splitmix64(
-                    h1 * np.uint64(31)
-                    + pd.util.hash_array(arr).astype(np.uint64)
-                )
-                h2 = _splitmix64(
-                    h2 * np.uint64(31)
-                    + pd.util.hash_array(
-                        arr, hash_key="kiezraydedup2key"
-                    ).astype(np.uint64)
-                )
+        h1, h2 = content_keys(t, content_cols)
         part = (h1 % np.uint64(num_partitions)).astype(np.int32)
         if keep_cols is not None:
             carried = [id_col] + [c for c in keep_cols if c != id_col]
@@ -1439,21 +1461,7 @@ def dedup_keep_best(
     """
 
     def add_keys(t: pa.Table) -> pa.Table:
-        h1 = np.zeros(len(t), dtype=np.uint64)
-        h2 = np.zeros(len(t), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in content_cols:
-                arr = t[c].to_numpy(zero_copy_only=False)
-                h1 = _splitmix64(
-                    h1 * np.uint64(31)
-                    + pd.util.hash_array(arr).astype(np.uint64)
-                )
-                h2 = _splitmix64(
-                    h2 * np.uint64(31)
-                    + pd.util.hash_array(
-                        arr, hash_key="kiezraydedup2key"
-                    ).astype(np.uint64)
-                )
+        h1, h2 = content_keys(t, content_cols)
         part = (h1 % np.uint64(num_partitions)).astype(np.int32)
         return (
             t.append_column("__ch1", pa.array(h1.astype(np.int64), pa.int64()))

@@ -127,15 +127,12 @@ def run_curation(
         return decontaminate(stream, probes)
 
     def flags_and_keys(df: pd.DataFrame) -> pd.DataFrame:
-        # same 2x-keyed-siphash content identity as dedup.dedup_exact:
-        # grouping is exact text equality (collision odds ~2^-128).
-        # No fillna — None hashes to its own constant, so NULL text is
-        # its own dedup group exactly like SQL's PARTITION BY text
-        txt = df["text"].to_numpy(dtype=object)
-        h1 = pd.util.hash_array(txt).astype(np.uint64)
-        h2 = pd.util.hash_array(txt, hash_key="kiezraydedup2key").astype(
-            np.uint64
-        )
+        # the engine-wide exact-text identity (dedup.text_key128):
+        # grouping is exact text equality (collision odds ~2^-128),
+        # NULL text its own group exactly like SQL's PARTITION BY text
+        from ..dedup import text_key128
+
+        h1, h2 = text_key128(df["text"].to_numpy(dtype=object))
         rep_ok = (
             df["dup_word_frac"].to_numpy() <= cfg.max_dup_word_frac
         ) & (df["dup_2gram_frac"].to_numpy() <= cfg.max_dup_2gram_frac)

@@ -36,15 +36,17 @@ TOPK = 5
 # ---------------------------------------------------------------------------
 
 
-def _emb_ds(sf_dir: str) -> "ray.data.Dataset":
+def _emb_ds(sf_dir: str, extra_cols: tuple = ()) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", *extra_cols],
     )
     return ds.map_batches(
         lambda t: pa.table(
             {
                 "row_id": pc.cast(t["vec_id"], pa.int64()),
                 "embedding": t["embedding"],
+                **{c: t[c] for c in extra_cols},
             }
         ),
         batch_format="pyarrow",
@@ -52,8 +54,8 @@ def _emb_ds(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def _sides(sf_dir: str):
-    ds = _emb_ds(sf_dir)
+def _sides(sf_dir: str, extra_cols: tuple = ()):
+    ds = _emb_ds(sf_dir, extra_cols)
     even = ds.map_batches(
         lambda t: t.filter(pc.equal(pc.bit_wise_and(t["row_id"], 1), 0)),
         batch_format="pyarrow",
@@ -9192,39 +9194,25 @@ def q_ann_filtered(sf_dir: str):
     selective predicates shrink the index instead of post-filtering
     candidate lists (which under-fills k when the predicate is
     selective). Runs the routed search tier like ann_cosine."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding", "label"],
-    )
-
-    def side(t: pa.Table, parity: int) -> pa.Table:
-        m = pc.equal(pc.bit_wise_and(t["vec_id"], 1), parity)
-        f = t.filter(m)
-        return pa.table(
-            {
-                "row_id": pc.cast(f["vec_id"], pa.int64()),
-                "embedding": f["embedding"],
-                "label": f["label"],
-            }
-        )
+    # the module-wide even=query / odd=target split (_sides), carrying
+    # the label column for the predicate
+    even, odd = _sides(sf_dir, extra_cols=("label",))
 
     def tgt_fn(t: pa.Table) -> pa.Table:
-        f = side(t, 1)
         keep = pc.is_in(
-            f["label"], value_set=pa.array([2, 5, 7], pa.int32())
+            t["label"], value_set=pa.array([2, 5, 7], pa.int32())
         )
-        return f.filter(keep).select(["row_id", "embedding"])
+        return t.filter(keep).select(["row_id", "embedding"])
 
     def qry_fn(t: pa.Table) -> pa.Table:
-        f = side(t, 0)
-        return f.filter(pc.less(f["row_id"], 10)).select(
+        return t.filter(pc.less(t["row_id"], 10)).select(
             ["row_id", "embedding"]
         )
 
-    target = ds.map_batches(
+    target = odd.map_batches(
         tgt_fn, batch_format="pyarrow", zero_copy_batch=True
     )
-    queries = ds.map_batches(
+    queries = even.map_batches(
         qry_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     shards, _, _ = shard_refs_from_dataset(
@@ -9304,11 +9292,12 @@ def q_corpus_report(sf_dir: str):
     ]
 
     def part(df: "pd.DataFrame") -> "pd.DataFrame":
-        g = df.groupby("source", as_index=False)[flag_cols].sum()
-        g["n_docs"] = (
-            df.groupby("source", as_index=False).size()["size"].to_numpy()
+        # ONE aggregation so flag sums and n_docs are structurally
+        # aligned per key (never positionally across two groupbys)
+        return df.groupby("source", as_index=False).agg(
+            **{c: (c, "sum") for c in flag_cols},
+            n_docs=("source", "size"),
         )
-        return g
 
     folded = (
         joined.map_batches(part, batch_format="pandas")
@@ -9427,16 +9416,14 @@ def q_corpus_diff(sf_dir: str):
 
     def fp(prefix: str):
         def f(df: "pd.DataFrame") -> "pd.DataFrame":
-            txt = df["text"].to_numpy(dtype=object)
+            from ..dedup import text_key128
+
+            h1, h2 = text_key128(df["text"].to_numpy(dtype=object))
             return pd.DataFrame(
                 {
                     f"{prefix}id": df["doc_id"].to_numpy(np.int64),
-                    f"{prefix}h1": pd.util.hash_array(txt).astype(
-                        np.uint64
-                    ).astype(np.int64),
-                    f"{prefix}h2": pd.util.hash_array(
-                        txt, hash_key="kiezraydedup2key"
-                    ).astype(np.uint64).astype(np.int64),
+                    f"{prefix}h1": h1.astype(np.int64),
+                    f"{prefix}h2": h2.astype(np.int64),
                 }
             )
 
